@@ -1,0 +1,65 @@
+"""Snowball stemming with ISO language-code resolution.
+
+Reference parity target: src/xapian/languages/ (Snowball stemmers compiled
+from .sbl) and the schema's `_language`/`_stem_language` keywords
+(src/database/schema.h). Uses NLTK's pure-Python Snowball implementations
+(same Snowball algorithm family as the reference's compiled stemmers).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from nltk.stem.snowball import SnowballStemmer
+
+# ISO 639-1 / common-name resolution, mirroring Xapian::Stem language aliases
+# (src/xapian/stem.cc language list).
+_LANG_ALIASES = {
+    "ar": "arabic", "da": "danish", "nl": "dutch", "en": "english",
+    "fi": "finnish", "fr": "french", "de": "german", "hu": "hungarian",
+    "it": "italian", "no": "norwegian", "nb": "norwegian", "nn": "norwegian",
+    "pt": "portuguese", "ro": "romanian", "ru": "russian", "es": "spanish",
+    "sv": "swedish", "porter": "porter",
+}
+_SUPPORTED = set(SnowballStemmer.languages)
+
+
+class StemError(ValueError):
+    pass
+
+
+def resolve_language(lang: str | None) -> str | None:
+    """Resolve a language spec to a Snowball language name, or None for
+    'none'/'' (no stemming)."""
+    if not lang or lang.lower() in ("none", "false"):
+        return None
+    lang = lang.lower()
+    lang = _LANG_ALIASES.get(lang, lang)
+    if lang not in _SUPPORTED:
+        return None  # unsupported languages degrade to no stemming
+    return lang
+
+
+@lru_cache(maxsize=32)
+def _stemmer(lang: str) -> SnowballStemmer:
+    return SnowballStemmer(lang)
+
+
+class Stem:
+    """Callable stemmer, Xapian::Stem-alike."""
+
+    def __init__(self, lang: str | None = "english"):
+        self.language = resolve_language(lang)
+        self._impl = _stemmer(self.language) if self.language else None
+
+    def __call__(self, word: str) -> str:
+        if self._impl is None:
+            return word
+        return self._impl.stem(word)
+
+    def __repr__(self):
+        return f"Stem({self.language or 'none'})"
+
+
+def stem_word(word: str, lang: str | None = "english") -> str:
+    return Stem(lang)(word)

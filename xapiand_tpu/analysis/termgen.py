@@ -1,0 +1,134 @@
+"""Term generation: text -> (term, wdf, positions) with stemming/stopwords.
+
+Reference parity target: Xapian::TermGenerator
+(src/xapian/termgenerator.h; src/xapian/queryparser/termgenerator_internal.cc):
+- STEM_SOME (default): the unstemmed lowercase term carries positions; the
+  stemmed form is added as "Z"-prefixed with wdf only.
+- STEM_ALL: only stemmed forms (no Z marker), with positions.
+- STEM_ALL_Z: only stemmed forms, Z-prefixed, with positions.
+- STEM_NONE: only unstemmed forms.
+- STOP_NONE / STOP_ALL / STOP_STEMMED (default: stopwords keep their
+  unstemmed term but no stemmed form is added).
+- words containing digits are never stemmed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from xapiand_tpu.analysis.stem import Stem
+from xapiand_tpu.analysis.stopwords import get_stopwords
+from xapiand_tpu.analysis.unicode_tok import tokenize
+
+STEM_NONE = "none"
+STEM_SOME = "some"
+STEM_ALL = "all"
+STEM_ALL_Z = "all_z"
+
+STOP_NONE = "none"
+STOP_ALL = "all"
+STOP_STEMMED = "stemmed"
+
+MAX_TERM_LENGTH = 245  # bytes; longer words are dropped (glass key limit)
+
+
+@dataclass
+class TermEntry:
+    wdf: int = 0
+    positions: list[int] = field(default_factory=list)
+
+
+class DocumentTerms:
+    """Accumulates terms for one document (Xapian::Document term API)."""
+
+    def __init__(self):
+        self.terms: dict[str, TermEntry] = {}
+
+    def add(self, term: str, wdf_inc: int = 1, position: int | None = None):
+        e = self.terms.get(term)
+        if e is None:
+            e = self.terms[term] = TermEntry()
+        e.wdf += wdf_inc
+        if position is not None:
+            e.positions.append(position)
+
+    def add_boolean(self, term: str):
+        """Boolean filter term: wdf 0, no position (Xapian add_boolean_term)."""
+        if term not in self.terms:
+            self.terms[term] = TermEntry(wdf=0)
+
+    def __len__(self):
+        return len(self.terms)
+
+    def items(self):
+        return self.terms.items()
+
+
+class TermGenerator:
+    def __init__(self, language: str | None = "english",
+                 stem_strategy: str = STEM_SOME,
+                 stop_strategy: str = STOP_STEMMED,
+                 cjk_ngram: bool = True):
+        self.stem = Stem(language)
+        self.stem_strategy = stem_strategy if self.stem.language else STEM_NONE
+        self.stop_strategy = stop_strategy
+        self.stopwords = get_stopwords(self.stem.language)
+        self.cjk_ngram = cjk_ngram
+        self.position = 0  # running position across index_text calls
+
+    def _stemmable(self, word: str) -> bool:
+        return not any(c.isdigit() for c in word)
+
+    def index_text(self, doc: DocumentTerms, text: str, wdf_inc: int = 1,
+                   prefix: str = "", with_positions: bool = True) -> None:
+        base = self.position
+        last_pos = -1
+        for tok in tokenize(text, cjk_ngram=self.cjk_ngram):
+            word = tok.text
+            if not word or len(word.encode("utf-8")) > MAX_TERM_LENGTH:
+                continue
+            pos = base + tok.position
+            last_pos = max(last_pos, tok.position)
+            is_stop = word in self.stopwords
+            if is_stop and self.stop_strategy == STOP_ALL:
+                continue
+            strategy = self.stem_strategy
+            if strategy == STEM_NONE or not self._stemmable(word):
+                doc.add(prefix + word, wdf_inc,
+                        pos if with_positions else None)
+                continue
+            if strategy == STEM_SOME:
+                doc.add(prefix + word, wdf_inc,
+                        pos if with_positions else None)
+                if not (is_stop and self.stop_strategy == STOP_STEMMED):
+                    doc.add("Z" + prefix + self.stem(word), wdf_inc, None)
+            elif strategy == STEM_ALL:
+                doc.add(prefix + self.stem(word), wdf_inc,
+                        pos if with_positions else None)
+            elif strategy == STEM_ALL_Z:
+                doc.add("Z" + prefix + self.stem(word), wdf_inc,
+                        pos if with_positions else None)
+        # advance running position past this block (+100 gap between fields,
+        # Xapian's increase_termpos default behaviour at field boundaries)
+        self.position = base + last_pos + 1
+
+    def increase_termpos(self, delta: int = 100):
+        self.position += delta
+
+    def index_query_text(self, text: str) -> list[str]:
+        """Terms a plain-text query would match against (stemmed forms under
+        STEM_SOME, as the query parser generates Z-terms)."""
+        out = []
+        for tok in tokenize(text, cjk_ngram=self.cjk_ngram):
+            w = tok.text
+            if not w:
+                continue
+            if w in self.stopwords:
+                continue
+            if self.stem_strategy in (STEM_SOME, STEM_ALL_Z) and self._stemmable(w):
+                out.append("Z" + self.stem(w))
+            elif self.stem_strategy == STEM_ALL and self._stemmable(w):
+                out.append(self.stem(w))
+            else:
+                out.append(w)
+        return out
