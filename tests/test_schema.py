@@ -1,0 +1,154 @@
+"""Schema tests: type inference, keyword processing, term/value generation,
+nested objects/arrays, schema evolution."""
+
+import pytest
+
+from xapiand_tpu.schema import FieldType, Schema, SchemaError
+from xapiand_tpu.schema.schema import SLOT_ID
+from xapiand_tpu.utils import dtutils
+
+
+def test_guess_type():
+    g = Schema.guess_type
+    assert g(True) == FieldType.BOOLEAN
+    assert g(-5) == FieldType.INTEGER
+    assert g(5) == FieldType.POSITIVE
+    assert g(1.5) == FieldType.FLOATING
+    assert g("550e8400-e29b-41d4-a716-446655440000") == FieldType.UUID
+    assert g("2015-03-14") == FieldType.DATETIME
+    assert g("09:26:53") == FieldType.TIME
+    assert g("123") == FieldType.POSITIVE
+    assert g("-42") == FieldType.INTEGER
+    assert g("3.14") == FieldType.FLOATING
+    assert g("POINT (-74 40)") == FieldType.GEO
+    assert g("hello world") == FieldType.TEXT
+    assert g({"a": 1}) == FieldType.OBJECT
+    assert g([1, 2]) == FieldType.ARRAY
+    assert g({"_point": {"_longitude": 0, "_latitude": 0}}) == FieldType.GEO
+
+
+def test_index_basic_doc():
+    s = Schema()
+    out = s.index({"name": "John Smith", "age": 30}, doc_id="1")
+    assert out.doc_id == "1" and out.id_term == "Q1"
+    assert s.mutated
+    # text terms (stemmed + unstemmed, prefixed)
+    name_spec = s.get_field("name")
+    assert name_spec.type == FieldType.TEXT
+    assert any(t == name_spec.prefix + "john" for t in out.terms.terms)
+    assert any(t.startswith("Z" + name_spec.prefix) for t in out.terms.terms)
+    # numeric terms + value slot
+    age_spec = s.get_field("age")
+    assert age_spec.type == FieldType.POSITIVE
+    assert age_spec.slot is not None and out.values[age_spec.slot] == [30.0]
+    assert out.values[SLOT_ID] == ["1"]
+
+
+def test_schema_persistence_roundtrip():
+    s = Schema()
+    s.index({"name": "A B", "age": 1}, doc_id="1")
+    s2 = Schema.from_dict(s.to_dict())
+    out = s2.index({"name": "C D", "age": 2}, doc_id="2")
+    assert s2.get_field("age").slot == s.get_field("age").slot
+    assert s2.get_field("name").prefix == s.get_field("name").prefix
+    # indexing same-shaped doc must not mutate schema again
+    assert not s2.mutated
+    assert out.values[s2.get_field("age").slot] == [2.0]
+
+
+def test_type_mismatch_uses_declared_type():
+    s = Schema()
+    s.index({"n": {"_type": "integer", "_value": 7}}, doc_id="1")
+    assert s.get_field("n").type == FieldType.INTEGER
+    out = s.index({"n": "12"}, doc_id="2")  # string coerced to declared int
+    slot = s.get_field("n").slot
+    assert out.values[slot] == [12.0]
+
+
+def test_explicit_spec_inline():
+    s = Schema()
+    out = s.index({"tag": {"_type": "keyword", "_value": "Alpha"}}, doc_id="1")
+    spec = s.get_field("tag")
+    assert spec.type == FieldType.KEYWORD
+    assert spec.prefix + "Alpha" in out.terms.terms
+    assert out.terms.terms[spec.prefix + "Alpha"].wdf == 0  # boolean term
+
+
+def test_nested_object_and_array():
+    s = Schema()
+    out = s.index({
+        "author": {"name": "Ann Lee", "age": 44},
+        "tags": ["x", "y"],
+    }, doc_id="1")
+    assert s.get_field("author.name").type == FieldType.TEXT
+    assert s.get_field("author.age").type == FieldType.POSITIVE
+    tag_spec = s.get_field("tags")
+    # "x"/"y" are single words -> TEXT by guess; both values present
+    assert out.values[tag_spec.slot] == ["x", "y"]
+
+
+def test_date_field_terms_and_values():
+    s = Schema()
+    out = s.index({"when": "2015-03-14T09:26:53"}, doc_id="1")
+    spec = s.get_field("when")
+    assert spec.type == FieldType.DATETIME
+    ts = dtutils.parse_datetime("2015-03-14T09:26:53")
+    assert out.values[spec.slot] == [ts]
+    day = int(dtutils.parse_datetime("2015-03-14"))
+    assert f"{spec.prefix}#Dday:{day}" in out.terms.terms
+
+
+def test_geo_field():
+    s = Schema()
+    out = s.index({"loc": {"_point": {"_longitude": -74.0, "_latitude": 40.7}}},
+                  doc_id="1")
+    spec = s.get_field("loc")
+    assert spec.type == FieldType.GEO
+    assert out.values[spec.slot]  # centroid
+    lat, lon = out.values[spec.slot][0]
+    assert lat == pytest.approx(40.7) and lon == pytest.approx(-74.0)
+    assert out.geo_ranges[spec.slot]
+    assert any("#G" in t for t in out.terms.terms)
+
+
+def test_strict_mode_rejects_unknown():
+    s = Schema({"_version": 1, "schema": {"_strict": True}})
+    with pytest.raises(SchemaError):
+        s.index({"surprise": 1}, doc_id="1")
+
+
+def test_index_none_mode():
+    s = Schema()
+    out = s.index({"x": {"_index": "none", "_value": 5}}, doc_id="1")
+    spec = s.get_field("x")
+    assert len(out.terms.terms) == 0
+    assert spec.slot not in out.values or not out.values.get(spec.slot)
+
+
+def test_field_values_only():
+    s = Schema()
+    out = s.index({"x": {"_index": "field_values", "_value": 5}}, doc_id="1")
+    assert len(out.terms.terms) == 0
+    slot = s.get_field("x").slot
+    assert out.values[slot] == [5.0]
+
+
+def test_bool_and_uuid_fields():
+    s = Schema()
+    u = "550e8400-e29b-41d4-a716-446655440000"
+    out = s.index({"ok": True, "ref": u}, doc_id="1")
+    ok_spec = s.get_field("ok")
+    assert ok_spec.type == FieldType.BOOLEAN
+    assert ok_spec.prefix + ":t" in out.terms.terms
+    ref_spec = s.get_field("ref")
+    assert ref_spec.type == FieldType.UUID
+    assert out.values[ref_spec.slot] == [u]
+
+
+def test_no_stem_language_none():
+    s = Schema()
+    out = s.index({"t": {"_type": "text", "_language": "none",
+                         "_value": "running dogs"}}, doc_id="1")
+    spec = s.get_field("t")
+    assert spec.prefix + "running" in out.terms.terms
+    assert not any(t.startswith("Z") for t in out.terms.terms)

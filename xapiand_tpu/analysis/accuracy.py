@@ -21,7 +21,7 @@ from xapiand_tpu.utils import dtutils
 
 DEF_ACC_NUMERIC = [100, 1000, 10000, 100000, 1000000, 100000000]
 DEF_ACC_DATE = ["hour", "day", "month", "year", "decade", "century"]
-DEF_ACC_GEO = [3, 5, 8, 10, 12, 15]  # HTM levels
+DEF_ACC_GEO = [3, 5, 8, 10, 12, 13]  # HTM levels (device max = htm.MAX_LEVEL)
 
 MAX_RANGE_TERMS = 256
 

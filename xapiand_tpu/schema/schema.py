@@ -1,0 +1,598 @@
+"""Schema: walks JSON/MsgPack documents, infers/validates field specs, and
+produces terms + value-slot entries for indexing.
+
+Reference parity target: Schema::index (src/database/schema.cc:2709) with its
+~40 `process_*` reserved-keyword handlers (schema.h:862-893), type guessing
+(src/serialise.cc:795 guess_type), per-field prefixes/slots
+(required_spc_t, schema.h:307), accuracy terms, nested objects/arrays and
+dynamic fields.
+
+The persistent schema is a plain nested dict (stored msgpack'd in the index
+metadata, like the reference's foreign schema documents in
+`.xapiand/indices`, schemas_lru.cc:289-293).
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from dataclasses import dataclass, field as dfield
+from typing import Any
+
+from xapiand_tpu.analysis import accuracy as acc_mod
+from xapiand_tpu.analysis import termgen as tg_mod
+from xapiand_tpu.schema.types import (FieldType, TypeIndex, index_name,
+                                      parse_index, parse_type)
+from xapiand_tpu.utils import dtutils, serialise as ser, uuid64
+from xapiand_tpu.utils.hashing import fnv1ah64
+
+# slots reserved by the engine (reference: DB_SLOT_ID / DB_SLOT_VERSION in
+# src/database/utils.h)
+SLOT_ID = 0
+SLOT_VERSION = 1
+FIRST_USER_SLOT = 100
+
+ID_FIELD = "_id"
+VERSION_FIELD = "_version"
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+
+
+class SchemaError(ValueError):
+    pass
+
+
+@dataclass
+class FieldSpec:
+    """Resolved per-field indexing spec (required_spc_t, schema.h:307)."""
+
+    type: FieldType = FieldType.EMPTY
+    prefix: str = ""
+    slot: int | None = None
+    index: TypeIndex = TypeIndex.ALL
+    accuracy: list | None = None
+    language: str | None = "english"
+    stem_strategy: str = tg_mod.STEM_SOME
+    stop_strategy: str = tg_mod.STOP_STEMMED
+    weight: int = 1
+    positions: bool = True
+    bool_term: bool = True        # keyword terms are boolean filters
+    store: bool = True
+    dynamic: bool = True
+    strict: bool = False
+    recurse: bool = True
+    partial_paths: bool = False
+    ngram: bool = False
+    cjk_ngram: bool = True
+    error: float = 0.3           # geo HTM error (htm.h:39-51)
+    value: Any = None            # explicit _value override
+    ignored: frozenset = dfield(default_factory=frozenset)
+
+
+@dataclass
+class IndexedDocument:
+    """The output of Schema.index: everything the segment builder needs."""
+
+    doc_id: str
+    id_term: str
+    terms: tg_mod.DocumentTerms
+    values: dict  # slot -> list of typed values (float | str | bool | tuple)
+    data: dict    # the stored document object
+    geo_ranges: dict = dfield(default_factory=dict)  # slot -> HTM ranges
+
+
+def field_prefix(path: str) -> str:
+    """Deterministic short field prefix from the full dotted path.
+
+    The reference derives prefixes from the field path too (get_prefix in
+    schema.cc); exact byte-parity is not required since terms never leave an
+    index, only determinism is."""
+    return "F" + format(fnv1ah64(path) & 0xFFFFFFFF, "08x") + "."
+
+
+def global_spec_for(ftype: FieldType) -> FieldSpec:
+    """Spec used for GLOBAL_TERMS/GLOBAL_VALUES (unprefixed namespace)."""
+    return FieldSpec(type=ftype, prefix="", slot=None)
+
+
+class Schema:
+    """Mutable schema bound to one index.
+
+    ``props`` is the persistent nested dict; indexing unknown fields mutates
+    it (``self.mutated`` flips True so the caller persists + broadcasts it,
+    mirroring SchemasLRU update semantics).
+    """
+
+    VERSION = 1
+
+    def __init__(self, props: dict | None = None):
+        if props is None:
+            props = {"_version": self.VERSION, "schema": {}}
+        self.props = props
+        self.props.setdefault("schema", {})
+        self.mutated = False
+        self._next_slot = self._scan_max_slot() + 1
+
+    # -- persistence ---------------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return self.props
+
+    @classmethod
+    def from_dict(cls, props: dict) -> "Schema":
+        return cls(copy.deepcopy(props))
+
+    def _scan_max_slot(self) -> int:
+        mx = FIRST_USER_SLOT - 1
+
+        def walk(node):
+            nonlocal mx
+            for k, v in node.items():
+                if k == "_slot" and isinstance(v, int):
+                    mx = max(mx, v)
+                elif isinstance(v, dict):
+                    walk(v)
+
+        walk(self.props["schema"])
+        return mx
+
+    # -- field spec resolution -----------------------------------------------
+
+    def _root_defaults(self) -> FieldSpec:
+        spec = FieldSpec()
+        root = self.props.get("schema", {})
+        self._apply_reserved(spec, root, path="", mutate=False)
+        return spec
+
+    def get_field(self, path: str) -> FieldSpec:
+        """Resolve the spec for a dotted field path (query-side view)."""
+        spec = self._root_defaults()
+        node = self.props["schema"]
+        parts = path.split(".") if path else []
+        for part in parts:
+            node = node.get(part)
+            if not isinstance(node, dict):
+                # unknown field: namespace-style guess (empty type)
+                return FieldSpec(type=FieldType.EMPTY,
+                                 prefix=field_prefix(path), slot=None)
+            spec = self._apply_reserved(copy.copy(spec), node, path,
+                                        mutate=False)
+        if not spec.prefix:
+            spec.prefix = field_prefix(path)
+        return spec
+
+    _RESERVED_PARSERS = {}  # populated below
+
+    def _apply_reserved(self, spec: FieldSpec, props: dict, path: str,
+                        mutate: bool) -> FieldSpec:
+        """Apply `_`-keyword properties from a schema/doc node onto a spec.
+
+        Mirrors dispatch_process_properties (schema.h:862-893)."""
+        for key, val in props.items():
+            if not key.startswith("_"):
+                continue
+            handler = self._RESERVED_PARSERS.get(key)
+            if handler is not None:
+                handler(self, spec, val, path)
+            elif self._root_is_strict() and key not in _PASSTHROUGH_KEYS:
+                raise SchemaError(f"unknown reserved keyword {key!r} in {path!r}")
+        return spec
+
+    def _root_is_strict(self) -> bool:
+        return bool(self.props.get("schema", {}).get("_strict", False))
+
+    # individual keyword handlers (subset of the reference's 40; the
+    # remainder raise via strict mode so gaps are visible, not silent)
+
+    def _kw_type(self, spec, val, path):
+        spec.type = parse_type(val)
+
+    def _kw_index(self, spec, val, path):
+        spec.index = parse_index(val)
+
+    def _kw_slot(self, spec, val, path):
+        spec.slot = int(val)
+
+    def _kw_prefix(self, spec, val, path):
+        spec.prefix = str(val)
+
+    def _kw_accuracy(self, spec, val, path):
+        if not isinstance(val, list):
+            raise SchemaError(f"_accuracy must be a list in {path!r}")
+        spec.accuracy = list(val)
+
+    def _kw_language(self, spec, val, path):
+        spec.language = str(val)
+
+    def _kw_stem_language(self, spec, val, path):
+        spec.language = str(val)
+
+    def _kw_stem_strategy(self, spec, val, path):
+        v = str(val).lower().replace("stem_", "")
+        if v not in (tg_mod.STEM_NONE, tg_mod.STEM_SOME, tg_mod.STEM_ALL,
+                     tg_mod.STEM_ALL_Z):
+            raise SchemaError(f"invalid _stem_strategy: {val!r}")
+        spec.stem_strategy = v
+
+    def _kw_stop_strategy(self, spec, val, path):
+        v = str(val).lower().replace("stop_", "")
+        if v not in (tg_mod.STOP_NONE, tg_mod.STOP_ALL, tg_mod.STOP_STEMMED):
+            raise SchemaError(f"invalid _stop_strategy: {val!r}")
+        spec.stop_strategy = v
+
+    def _kw_weight(self, spec, val, path):
+        spec.weight = int(val)
+
+    def _kw_positions(self, spec, val, path):
+        spec.positions = bool(val)
+
+    def _kw_bool_term(self, spec, val, path):
+        spec.bool_term = bool(val)
+
+    def _kw_store(self, spec, val, path):
+        spec.store = bool(val)
+
+    def _kw_dynamic(self, spec, val, path):
+        spec.dynamic = bool(val)
+
+    def _kw_strict(self, spec, val, path):
+        spec.strict = bool(val)
+
+    def _kw_recurse(self, spec, val, path):
+        spec.recurse = bool(val)
+
+    def _kw_partial_paths(self, spec, val, path):
+        spec.partial_paths = bool(val)
+
+    def _kw_ngram(self, spec, val, path):
+        spec.ngram = bool(val)
+
+    def _kw_cjk_ngram(self, spec, val, path):
+        spec.cjk_ngram = bool(val)
+
+    def _kw_error(self, spec, val, path):
+        spec.error = float(val)
+
+    def _kw_value(self, spec, val, path):
+        spec.value = val
+
+    def _kw_ignore(self, spec, val, path):
+        vals = val if isinstance(val, list) else [val]
+        spec.ignored = frozenset(str(v) for v in vals)
+
+    _RESERVED_PARSERS = {
+        "_type": _kw_type, "_index": _kw_index, "_slot": _kw_slot,
+        "_prefix": _kw_prefix, "_accuracy": _kw_accuracy,
+        "_language": _kw_language, "_stem_language": _kw_stem_language,
+        "_stem_strategy": _kw_stem_strategy, "_stop_strategy": _kw_stop_strategy,
+        "_weight": _kw_weight, "_positions": _kw_positions,
+        "_bool_term": _kw_bool_term, "_store": _kw_store,
+        "_dynamic": _kw_dynamic, "_strict": _kw_strict,
+        "_recurse": _kw_recurse, "_partial_paths": _kw_partial_paths,
+        "_ngram": _kw_ngram, "_cjk_ngram": _kw_cjk_ngram,
+        "_error": _kw_error, "_value": _kw_value, "_ignore": _kw_ignore,
+    }
+
+    # -- type inference (guess_type, serialise.cc:795) -------------------------
+
+    @staticmethod
+    def guess_type(value) -> FieldType:
+        if isinstance(value, bool):
+            return FieldType.BOOLEAN
+        if isinstance(value, int):
+            return FieldType.INTEGER if value < 0 else FieldType.POSITIVE
+        if isinstance(value, float):
+            return FieldType.FLOATING
+        if isinstance(value, dict):
+            if any(k in value for k in ("_point", "_circle", "_polygon",
+                                        "_multipoint", "_multicircle",
+                                        "_multipolygon", "_chull")):
+                return FieldType.GEO
+            if "_type" in value and value.get("_type") == "geo":
+                return FieldType.GEO
+            return FieldType.OBJECT
+        if isinstance(value, list):
+            return FieldType.ARRAY
+        if isinstance(value, str):
+            if uuid64.is_uuid(value):
+                return FieldType.UUID
+            try:
+                dtutils.parse_datetime(value)
+                return FieldType.DATETIME
+            except dtutils.DatetimeError:
+                pass
+            try:
+                dtutils.parse_time(value)
+                return FieldType.TIME
+            except dtutils.DatetimeError:
+                pass
+            if _INT_RE.match(value):
+                v = int(value)
+                return FieldType.INTEGER if v < 0 else FieldType.POSITIVE
+            if _FLOAT_RE.match(value):
+                return FieldType.FLOATING
+            from xapiand_tpu.geo.ewkt import is_ewkt
+
+            if is_ewkt(value):
+                return FieldType.GEO
+            return FieldType.TEXT
+        raise SchemaError(f"cannot infer type for {value!r}")
+
+    # -- indexing --------------------------------------------------------------
+
+    def index(self, obj: dict, doc_id: str | None = None) -> IndexedDocument:
+        """Walk a document, producing terms/values and updating the schema.
+
+        ≙ Schema::index (schema.cc:2709)."""
+        if not isinstance(obj, dict):
+            raise SchemaError("document must be an object")
+        obj = copy.deepcopy(obj)
+        if doc_id is None:
+            doc_id = obj.get(ID_FIELD) or uuid64.generate_uuid()
+        doc_id = str(doc_id)
+        obj.pop(ID_FIELD, None)
+        obj.pop(VERSION_FIELD, None)
+
+        out = IndexedDocument(
+            doc_id=doc_id,
+            id_term="Q" + doc_id,
+            terms=tg_mod.DocumentTerms(),
+            values={},
+            data=obj,
+        )
+        out.values[SLOT_ID] = [doc_id]
+        root_spec = self._root_defaults()
+        schema_node = self.props["schema"]
+        for name, value in obj.items():
+            if name.startswith("_"):
+                continue  # reserved at root (e.g. _schema hints) - skip data
+            self._index_field(out, schema_node, root_spec, name, value,
+                              path=name)
+        return out
+
+    def _child_node(self, parent_node: dict, name: str, parent_spec: FieldSpec,
+                    path: str) -> dict | None:
+        node = parent_node.get(name)
+        if node is None:
+            if parent_spec.strict:
+                raise SchemaError(f"strict schema: unknown field {path!r}")
+            if not parent_spec.dynamic:
+                return None
+            node = parent_node[name] = {}
+            self.mutated = True
+        return node
+
+    def _index_field(self, out: IndexedDocument, parent_node: dict,
+                     parent_spec: FieldSpec, name: str, value, path: str):
+        if name in parent_spec.ignored:
+            return
+        node = self._child_node(parent_node, name, parent_spec, path)
+        if node is None:
+            return
+
+        spec = copy.copy(parent_spec)
+        spec.value = None
+        spec.slot = None
+        spec.prefix = ""
+        spec.accuracy = None
+        spec = self._apply_reserved(spec, node, path, mutate=True)
+
+        # geo payloads use _-keys but are values, not specs
+        if isinstance(value, dict) and self.guess_type(value) == FieldType.GEO:
+            self._index_concrete(out, node, spec, value, path)
+            return
+
+        # explicit spec keys sent inline with the document
+        if isinstance(value, dict) and any(k.startswith("_") for k in value):
+            inline = {k: v for k, v in value.items() if k.startswith("_")}
+            payload = {k: v for k, v in value.items() if not k.startswith("_")}
+            spec = self._apply_reserved(spec, inline, path, mutate=True)
+            self._persist_inline(node, inline)
+            if spec.value is not None:
+                value = spec.value
+            elif payload:
+                value = payload
+            elif spec.type == FieldType.EMPTY or spec.type in (
+                    FieldType.OBJECT, FieldType.ARRAY):
+                return  # pure spec object, nothing to index
+            else:
+                return
+
+        if isinstance(value, dict) and self.guess_type(value) == FieldType.OBJECT:
+            if not spec.recurse:
+                return
+            if spec.type == FieldType.EMPTY:
+                self._persist(node, "_type", FieldType.OBJECT.value)
+            for k, v in value.items():
+                if k.startswith("_"):
+                    continue
+                self._index_field(out, node, spec, k, v, path + "." + k)
+            return
+
+        if isinstance(value, list):
+            for item in value:
+                self._index_concrete_or_object(out, node, spec, name, item, path)
+            return
+
+        self._index_concrete_or_object(out, node, spec, name, value, path)
+
+    def _index_concrete_or_object(self, out, node, spec, name, value, path):
+        if isinstance(value, dict) and self.guess_type(value) == FieldType.OBJECT:
+            for k, v in value.items():
+                if k.startswith("_"):
+                    continue
+                self._index_field(out, node, spec, k, v, path + "." + k)
+            return
+        self._index_concrete(out, node, spec, value, path)
+
+    # -- concrete value indexing ------------------------------------------------
+
+    def _persist(self, node: dict, key: str, value):
+        if node.get(key) != value:
+            node[key] = value
+            self.mutated = True
+
+    def _persist_inline(self, node: dict, inline: dict):
+        for k, v in inline.items():
+            if k in ("_value",):
+                continue
+            if k == "_type":
+                continue  # _type persisted via concrete-type resolution
+            self._persist(node, k, v)
+
+    def _resolve_concrete(self, node: dict, spec: FieldSpec, value,
+                          path: str) -> FieldSpec:
+        if spec.type in (FieldType.EMPTY, FieldType.OBJECT, FieldType.ARRAY):
+            guessed = self.guess_type(value)
+            if guessed in (FieldType.OBJECT, FieldType.ARRAY):
+                raise SchemaError(f"expected concrete value at {path!r}")
+            spec.type = guessed
+            self._persist(node, "_type", guessed.value)
+        elif "_type" not in node:
+            self._persist(node, "_type", spec.type.value)
+        if not spec.prefix:
+            spec.prefix = node.get("_prefix") or field_prefix(path)
+            self._persist(node, "_prefix", spec.prefix)
+        if spec.slot is None and (spec.index & TypeIndex.FIELD_VALUES):
+            slot = node.get("_slot")
+            if slot is None:
+                slot = self._next_slot
+                self._next_slot += 1
+                self._persist(node, "_slot", slot)
+            spec.slot = slot
+        if spec.accuracy is None:
+            accd = node.get("_accuracy")
+            if accd is None:
+                if spec.type.is_numeric:
+                    accd = list(acc_mod.DEF_ACC_NUMERIC)
+                elif spec.type in (FieldType.DATE, FieldType.DATETIME):
+                    accd = list(acc_mod.DEF_ACC_DATE)
+                elif spec.type == FieldType.GEO:
+                    accd = list(acc_mod.DEF_ACC_GEO)
+                if accd is not None:
+                    self._persist(node, "_accuracy", accd)
+            spec.accuracy = accd
+        if "_index" not in node:
+            self._persist(node, "_index", index_name(spec.index))
+        return spec
+
+    def _index_concrete(self, out: IndexedDocument, node: dict,
+                        spec: FieldSpec, value, path: str):
+        spec = self._resolve_concrete(node, spec, value, path)
+        ftype = spec.type
+        do_field_terms = bool(spec.index & TypeIndex.FIELD_TERMS)
+        do_field_values = bool(spec.index & TypeIndex.FIELD_VALUES)
+        do_global_terms = bool(spec.index & TypeIndex.GLOBAL_TERMS)
+
+        def add_terms(prefix: str):
+            self._emit_terms(out, spec, ftype, value, prefix, path)
+
+        if do_field_terms:
+            add_terms(spec.prefix)
+        if do_global_terms:
+            add_terms("")
+        if do_field_values and spec.slot is not None:
+            tv = self._typed_value(out, spec, ftype, value, path)
+            if tv is not None:
+                out.values.setdefault(spec.slot, []).append(tv)
+
+    def _emit_terms(self, out, spec, ftype, value, prefix, path):
+        terms = out.terms
+        if ftype == FieldType.TEXT:
+            tg = tg_mod.TermGenerator(spec.language,
+                                      stem_strategy=spec.stem_strategy,
+                                      stop_strategy=spec.stop_strategy,
+                                      cjk_ngram=spec.cjk_ngram)
+            tg.position = getattr(out, "_termpos", 0)
+            tg.index_text(terms, str(value), wdf_inc=spec.weight,
+                          prefix=prefix, with_positions=spec.positions)
+            tg.increase_termpos()
+            out._termpos = tg.position
+        elif ftype == FieldType.KEYWORD:
+            term = prefix + str(value)
+            if spec.bool_term:
+                terms.add_boolean(term)
+            else:
+                terms.add(term.lower(), spec.weight)
+        elif ftype in (FieldType.INTEGER, FieldType.POSITIVE, FieldType.FLOATING):
+            num = _to_number(value, path)
+            terms.add_boolean(prefix + ":" + ser.serialise_float_term(num))
+            for t in acc_mod.numeric_terms(num, spec.accuracy, prefix):
+                terms.add_boolean(t)
+        elif ftype in (FieldType.DATE, FieldType.DATETIME):
+            ts = dtutils.parse_datetime(value)
+            terms.add_boolean(prefix + ":" + ser.serialise_float_term(ts))
+            for t in acc_mod.date_terms(ts, spec.accuracy, prefix):
+                terms.add_boolean(t)
+        elif ftype == FieldType.TIME:
+            t = dtutils.parse_time(value)
+            terms.add_boolean(prefix + ":" + ser.serialise_float_term(t))
+        elif ftype == FieldType.TIMEDELTA:
+            t = dtutils.parse_timedelta(value)
+            terms.add_boolean(prefix + ":" + ser.serialise_float_term(t))
+        elif ftype == FieldType.BOOLEAN:
+            terms.add_boolean(prefix + ":" + ser.serialise_bool_term(_to_bool(value)))
+        elif ftype == FieldType.UUID:
+            terms.add_boolean(prefix + ":" + uuid64.normalise_uuid(str(value)))
+        elif ftype == FieldType.GEO:
+            from xapiand_tpu.geo import geospatial
+
+            ranges, _centroid = geospatial.extract(value, error=spec.error)
+            for t in acc_mod.geo_terms(ranges, spec.accuracy, prefix):
+                terms.add_boolean(t)
+        elif ftype == FieldType.SCRIPT:
+            pass  # scripts are executed by the handler, not indexed
+        else:
+            raise SchemaError(f"cannot index type {ftype} at {path!r}")
+
+    def _typed_value(self, out, spec, ftype, value, path):
+        if ftype in (FieldType.INTEGER, FieldType.POSITIVE, FieldType.FLOATING):
+            return float(_to_number(value, path))
+        if ftype in (FieldType.DATE, FieldType.DATETIME):
+            return dtutils.parse_datetime(value)
+        if ftype == FieldType.TIME:
+            return dtutils.parse_time(value)
+        if ftype == FieldType.TIMEDELTA:
+            return dtutils.parse_timedelta(value)
+        if ftype == FieldType.BOOLEAN:
+            return bool(_to_bool(value))
+        if ftype in (FieldType.KEYWORD, FieldType.TEXT):
+            return str(value)
+        if ftype == FieldType.UUID:
+            return uuid64.normalise_uuid(str(value))
+        if ftype == FieldType.GEO:
+            from xapiand_tpu.geo import geospatial
+
+            ranges, centroid = geospatial.extract(value, error=spec.error)
+            out.geo_ranges.setdefault(spec.slot, []).extend(ranges)
+            return centroid  # (lat, lon) tuple
+        return None
+
+
+_PASSTHROUGH_KEYS = frozenset({
+    "_meta", "_description", "_schema", "_settings", "_id", "_version",
+    "_script", "_foreign", "_endpoint", "_namespace", "_chai",
+})
+
+
+def _to_number(value, path):
+    if isinstance(value, bool):
+        raise SchemaError(f"expected number at {path!r}")
+    if isinstance(value, (int, float)):
+        return value
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            raise SchemaError(f"expected number at {path!r}") from None
+
+
+def _to_bool(value):
+    if isinstance(value, bool):
+        return value
+    if isinstance(value, str):
+        return value.lower() in ("true", "t", "1", "yes")
+    return bool(value)
