@@ -1,0 +1,278 @@
+"""Database: the operations façade over schema + segments + searchers.
+
+Reference parity target: DatabaseHandler (src/database/handler.h:68-183) and
+Shard (src/database/shard.{h,cc}) for a single local shard: prepare/index/
+delete/replace, commit (generation swap), get_mset-style search, document
+access. Incremental updates land in a host-side pending builder; ``commit``
+freezes it into a new immutable device segment (delta-segment model replacing
+glass's copy-on-write B-trees); deletes are bitmap updates on existing
+segments. Multi-shard routing and the mesh plane live in
+xapiand_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from xapiand_tpu.models.builder import SegmentBuilder
+from xapiand_tpu.models.weights import CollectionStats, get_scheme
+from xapiand_tpu.query.dsl import QueryDSL
+from xapiand_tpu.query.ir import Q
+from xapiand_tpu.query.plan import bind, compile_ir
+from xapiand_tpu.schema import Schema
+from xapiand_tpu.search import SegmentSearcher
+
+
+@dataclass
+class Hit:
+    id: str
+    score: float
+    rank: int
+    data: dict
+
+
+@dataclass
+class SearchResult:
+    total: int
+    hits: list = field(default_factory=list)
+    aggregations: Optional[dict] = None
+
+
+class DocumentNotFound(KeyError):
+    pass
+
+
+class Database:
+    def __init__(self, scheme: str = "bm25", schema: Optional[Schema] = None,
+                 device=None, **scheme_params):
+        self.schema = schema or Schema()
+        self.scheme = get_scheme(scheme, **scheme_params)
+        self.device = device
+        self._builder = SegmentBuilder()
+        self._pending_docs: dict[str, dict] = {}      # doc_id -> data
+        self._searchers: list[SegmentSearcher] = []
+        self._locate: dict[str, tuple[int, int]] = {}  # doc_id -> (seg, docid)
+        self._pending_deletes: set[str] = set()
+        self.revision = 0
+
+    # -- write path ----------------------------------------------------------
+
+    def index_document(self, obj: dict, doc_id: Optional[str] = None,
+                       commit: bool = False) -> str:
+        """Index (upsert) one document; ≙ DatabaseHandler::index
+        (handler.h:113)."""
+        idoc = self.schema.index(obj, doc_id)
+        did = idoc.doc_id
+        self.delete_document(did, missing_ok=True)
+        self._builder.add(idoc)
+        self._pending_docs[did] = idoc.data
+        if commit:
+            self.commit()
+        return did
+
+    def delete_document(self, doc_id: str, commit: bool = False,
+                        missing_ok: bool = False) -> bool:
+        doc_id = str(doc_id)
+        found = False
+        if doc_id in self._pending_docs:
+            # mark pending version dead: rebuild without it is costly; mark
+            # via deferred delete applied at commit time
+            self._pending_deletes.add(doc_id)
+            found = True
+        loc = self._locate.get(doc_id)
+        if loc is not None:
+            seg_idx, docid = loc
+            searcher = self._searchers[seg_idx]
+            if not searcher.segment.deleted[docid]:
+                searcher.segment.deleted[docid] = True
+                searcher.refresh_deleted()
+                found = True
+            del self._locate[doc_id]
+        if not found and not missing_ok:
+            raise DocumentNotFound(doc_id)
+        if commit:
+            self.commit()
+        return found
+
+    def commit(self) -> int:
+        """Freeze pending docs into a new immutable segment generation;
+        ≙ Shard::commit (shard.cc:706)."""
+        if len(self._builder) == 0 and not self._pending_deletes:
+            return self.revision
+        if len(self._builder):
+            seg = self._builder.finalize()
+            # apply deletes that targeted pending docs (replaced in-batch):
+            # keep only the LAST occurrence of every doc key
+            last = {}
+            for docid, key in enumerate(seg.doc_keys):
+                last[key] = docid
+            for docid, key in enumerate(seg.doc_keys):
+                if last[key] != docid or key in self._pending_deletes:
+                    seg.deleted[docid] = True
+            searcher = SegmentSearcher(seg, self.scheme, device=self.device)
+            seg_idx = len(self._searchers)
+            self._searchers.append(searcher)
+            for key, docid in last.items():
+                if not seg.deleted[docid]:
+                    self._locate[key] = (seg_idx, docid)
+            self._builder = SegmentBuilder()
+            self._docs_store = getattr(self, "_docs_store", {})
+            self._docs_store.update(self._pending_docs)
+            self._pending_docs = {}
+        self._pending_deletes.clear()
+        self.revision += 1
+        return self.revision
+
+    # -- stats ----------------------------------------------------------------
+
+    @property
+    def doc_count(self) -> int:
+        return sum(s.segment.doc_count for s in self._searchers)
+
+    @property
+    def total_doclen(self) -> float:
+        # approximation: includes deleted docs until merge (documented
+        # deviation from glass, which maintains exact stats on delete)
+        return sum(s.segment.total_doclen for s in self._searchers)
+
+    def stats(self) -> CollectionStats:
+        n = self.doc_count
+        avg = (self.total_doclen / n) if n else 0.0
+        return CollectionStats(doc_count=n, avg_doclen=avg, doclen_lower=1.0)
+
+    def global_termfreq(self, term: str) -> int:
+        tf = 0
+        for s in self._searchers:
+            ti = s.segment.get_term(term)
+            if ti:
+                tf += ti.length
+        return tf
+
+    # -- read path -------------------------------------------------------------
+
+    def get_document(self, doc_id: str) -> dict:
+        doc_id = str(doc_id)
+        if doc_id in self._pending_docs:
+            return self._pending_docs[doc_id]
+        if doc_id in self._locate:
+            return getattr(self, "_docs_store", {})[doc_id]
+        raise DocumentNotFound(doc_id)
+
+    def search(self, query: Any, k: int = 10, offset: int = 0,
+               sort: tuple = (), collapse_slot: Optional[int] = None,
+               aggs: Optional[dict] = None,
+               count_only: bool = False) -> SearchResult:
+        """query: a Q IR node, or a JSON query-DSL dict/string.
+
+        ≙ DatabaseHandler::get_mset (handler.cc:1067,1415): global stats are
+        computed across all segments first (two-phase stat merge), then each
+        segment executes with those stats and partial top-ks merge by score.
+        """
+        from xapiand_tpu import aggregations as aggs_mod
+
+        ir = query if isinstance(query, Q) else \
+            QueryDSL(self.schema, term_expander=self.expand_prefix).parse(query)
+        cq = compile_ir(ir)
+        stats = self.stats()
+        stats_d = {"N": float(stats.doc_count),
+                   "avg_doclen": float(stats.avg_doclen),
+                   "doclen_lower": float(stats.doclen_lower)}
+        want = k + offset
+        total = 0
+        merged: list[tuple[float, int, int]] = []  # (-score, seg, docid)
+        agg_parts, agg_cats, agg_names, agg_meta = [], [], None, None
+        for seg_idx, searcher in enumerate(self._searchers):
+            specs, arrays = (), None
+            if aggs:
+                (agg_names, specs, arrays,
+                 agg_meta) = aggs_mod.compile_for_segment(
+                    self.schema, searcher.segment, aggs)
+                agg_cats.append({
+                    j: (searcher.segment.values[spec[1]].cat_names or [])
+                    for j, spec in enumerate(specs) if spec[0] == "terms"
+                    and spec[1] in searcher.segment.values})
+            bound = bind(cq, searcher.segment, self.scheme, stats,
+                         global_tf=self.global_termfreq, k=want,
+                         sort=sort, collapse_slot=collapse_slot,
+                         aggs=specs, agg_arrays=arrays,
+                         count_only=count_only)
+            out = searcher.execute(bound, stats_d)
+            total += int(out["count"])
+            if aggs:
+                agg_parts.append(out["aggs"])
+            if not count_only:
+                for sc, did in zip(out["scores"], out["docids"]):
+                    if sc == float("-inf"):
+                        continue
+                    if did >= searcher.segment.num_docs:
+                        continue
+                    if searcher.segment.deleted[did]:
+                        continue
+                    merged.append((-float(sc), seg_idx, int(did)))
+        result = SearchResult(total=total)
+        if aggs and agg_parts:
+            result.aggregations = aggs_mod.merge_and_shape(
+                agg_names, agg_meta, agg_parts, agg_cats)
+        if count_only:
+            return result
+        if sort:
+            # value-ordered: per-segment lists are already in key order;
+            # merge by re-binding keys host-side (scores are not the key)
+            merged = self._merge_sorted(merged, sort)
+        else:
+            merged.sort()
+        docs_store = getattr(self, "_docs_store", {})
+        for rank, (negscore, seg_idx, did) in enumerate(
+                merged[offset:offset + k]):
+            seg = self._searchers[seg_idx].segment
+            key = seg.doc_keys[did]
+            result.hits.append(Hit(id=key, score=-negscore,
+                                   rank=offset + rank,
+                                   data=docs_store.get(key, {})))
+        return result
+
+    def _merge_sorted(self, merged, sort):
+        def sort_key(item):
+            _, seg_idx, did = item
+            seg = self._searchers[seg_idx].segment
+            keys = []
+            for kind, slot, desc in sort:
+                if kind == "value":
+                    col = seg.values.get(slot)
+                    if col is None or not col.present[did]:
+                        keys.append((1, 0, 0))
+                    else:
+                        h, l = int(col.hi[did]), int(col.lo[did])
+                        if desc:
+                            h, l = ~h, ~l
+                        keys.append((0, h, l))
+                else:
+                    keys.append((0, item[0], 0))
+            keys.append(did)
+            return tuple(keys)
+
+        return sorted(merged, key=sort_key)
+
+    def count(self, query: Any) -> int:
+        return self.search(query, count_only=True).total
+
+    def expand_prefix(self, prefix: str, limit: int = 256) -> list[str]:
+        """All index terms starting with prefix (wildcard expansion,
+        ≙ glass spelling/allterms cursor scans)."""
+        out: set[str] = set()
+        for s in self._searchers:
+            seg = s.segment
+            cache = getattr(seg, "_sorted_terms", None)
+            if cache is None:
+                cache = sorted(seg.terms.keys())
+                seg._sorted_terms = cache
+            import bisect
+
+            i = bisect.bisect_left(cache, prefix)
+            while i < len(cache) and cache[i].startswith(prefix):
+                out.add(cache[i])
+                if len(out) >= limit:
+                    break
+                i += 1
+        return sorted(out)

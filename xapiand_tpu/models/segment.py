@@ -1,0 +1,188 @@
+"""Immutable index segment: flat posting arrays + dense per-doc columns.
+
+This is the TPU-native replacement for the glass backend's B-tree tables
+(src/xapian/backends/glass/glass_postlist.cc, glass_values.cc,
+glass_positionlist.cc). Instead of chunked copy-on-write trees decoded by
+iterators, a segment is a set of flat, statically-shaped arrays resident in
+HBM; the host keeps the term dictionary (term string -> posting span):
+
+  post_docids : int32[P]   docids, grouped by term, sorted within each term
+  post_wdf    : float32[P] within-document frequency per posting
+  post_posoff : int32[P]   span start into `positions` (positional terms)
+  post_poslen : int32[P]   span length into `positions`
+  positions   : int32[PP]  term positions, flat
+  doclen      : float32[ND+1]  document length per docid (+ dump row)
+  deleted     : bool[ND+1]     delete bitmap (delta deletes on immutable data)
+  value slots : per slot, dense int32 sort-key pairs + float32 aggregates
+  geo slots   : flat HTM level-13 ranges with per-doc spans
+
+Query-time access is gather-only (lax.dynamic_slice on posting spans), so a
+query compiles to a static XLA dataflow - no data-dependent control flow.
+All arrays carry a guard pad at the end so a dynamic_slice of any size class
+starting at any real span stays in bounds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+DUMP = -1  # symbolic; actual dump row index is num_docs (last row)
+
+# posting-gather size classes (static shapes for XLA; pick smallest >= len)
+SIZE_CLASSES = (128, 512, 2048, 8192, 32768, 131072, 524288, 2097152)
+
+
+def size_class(n: int) -> int:
+    for c in SIZE_CLASSES:
+        if n <= c:
+            return c
+    raise ValueError(f"posting list too long for size classes: {n}")
+
+
+@dataclass(frozen=True)
+class TermInfo:
+    tid: int
+    offset: int      # start into post_* arrays
+    length: int      # termfreq within this segment (#docs carrying the term)
+    collfreq: int    # total wdf
+    max_wdf: float
+
+
+@dataclass
+class ValueColumn:
+    """Dense per-doc column for one value slot."""
+
+    kind: str                      # 'numeric' | 'string' | 'bool' | 'geo'
+    hi: np.ndarray                 # int32[ND+1] sort key high word (of min val)
+    lo: np.ndarray                 # int32[ND+1] sort key low word
+    max_hi: np.ndarray             # int32[ND+1] sort key of max value
+    max_lo: np.ndarray
+    fval: np.ndarray               # float32[ND+1] numeric value (aggregations)
+    present: np.ndarray            # bool[ND+1]
+    cats: Optional[np.ndarray] = None       # int32[ND+1] facet code or -1
+    cat_names: Optional[list] = None         # code -> string
+    raw: Optional[list] = None               # docid -> first raw value (host)
+
+
+@dataclass
+class GeoColumn:
+    """Per-doc HTM level-13 range spans (exact device intersection)."""
+
+    flat_start: np.ndarray   # int32[GR]
+    flat_end: np.ndarray     # int32[GR]
+    doc_off: np.ndarray      # int32[ND+1]
+    doc_len: np.ndarray      # int32[ND+1]
+    max_doc_ranges: int
+
+
+@dataclass
+class Segment:
+    """One immutable index generation (host arrays + term dictionary)."""
+
+    num_docs: int                      # rows (docids 0..num_docs-1)
+    total_doclen: float
+    post_docids: np.ndarray
+    post_wdf: np.ndarray
+    post_posoff: np.ndarray
+    post_poslen: np.ndarray
+    positions: np.ndarray
+    doclen: np.ndarray
+    deleted: np.ndarray
+    terms: dict                        # term str -> TermInfo
+    values: dict                       # slot -> ValueColumn
+    geo: dict                          # slot -> GeoColumn
+    doc_keys: list                     # docid -> external doc id (str)
+    guard: int = 128
+
+    @property
+    def doc_count(self) -> int:
+        return self.num_docs - int(self.deleted[:self.num_docs].sum())
+
+    @property
+    def avg_doclen(self) -> float:
+        n = self.doc_count
+        return (self.total_doclen / n) if n else 0.0
+
+    def get_term(self, term: str) -> Optional[TermInfo]:
+        return self.terms.get(term)
+
+    def max_posting_len(self) -> int:
+        return max((t.length for t in self.terms.values()), default=0)
+
+    def nbytes(self) -> int:
+        total = 0
+        for arr in (self.post_docids, self.post_wdf, self.post_posoff,
+                    self.post_poslen, self.positions, self.doclen,
+                    self.deleted):
+            total += arr.nbytes
+        for col in self.values.values():
+            for arr in (col.hi, col.lo, col.max_hi, col.max_lo, col.fval,
+                        col.present):
+                total += arr.nbytes
+            if col.cats is not None:
+                total += col.cats.nbytes
+        for g in self.geo.values():
+            total += (g.flat_start.nbytes + g.flat_end.nbytes +
+                      g.doc_off.nbytes + g.doc_len.nbytes)
+        return total
+
+
+class DeviceSegment:
+    """Device-resident mirror of a Segment (jnp arrays in HBM).
+
+    The host Segment keeps the term dictionary; the DeviceSegment holds only
+    the numeric arrays that query execution gathers from.
+    """
+
+    def __init__(self, seg: Segment, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        put = (lambda a: jax.device_put(a, device)) if device is not None \
+            else jax.device_put
+        self.host = seg
+        self.num_docs = seg.num_docs
+        self.post_docids = put(jnp.asarray(seg.post_docids, jnp.int32))
+        self.post_wdf = put(jnp.asarray(seg.post_wdf, jnp.float32))
+        self.post_posoff = put(jnp.asarray(seg.post_posoff, jnp.int32))
+        self.post_poslen = put(jnp.asarray(seg.post_poslen, jnp.int32))
+        self.positions = put(jnp.asarray(seg.positions, jnp.int32))
+        self.doclen = put(jnp.asarray(seg.doclen, jnp.float32))
+        self.deleted = put(jnp.asarray(seg.deleted, jnp.bool_))
+        self.values = {}
+        for slot, col in seg.values.items():
+            self.values[slot] = {
+                "hi": put(jnp.asarray(col.hi, jnp.int32)),
+                "lo": put(jnp.asarray(col.lo, jnp.int32)),
+                "max_hi": put(jnp.asarray(col.max_hi, jnp.int32)),
+                "max_lo": put(jnp.asarray(col.max_lo, jnp.int32)),
+                "fval": put(jnp.asarray(col.fval, jnp.float32)),
+                "present": put(jnp.asarray(col.present, jnp.bool_)),
+            }
+            if col.cats is not None:
+                self.values[slot]["cats"] = put(jnp.asarray(col.cats, jnp.int32))
+        self.geo = {}
+        for slot, g in seg.geo.items():
+            self.geo[slot] = {
+                "flat_start": put(jnp.asarray(g.flat_start, jnp.int32)),
+                "flat_end": put(jnp.asarray(g.flat_end, jnp.int32)),
+                "doc_off": put(jnp.asarray(g.doc_off, jnp.int32)),
+                "doc_len": put(jnp.asarray(g.doc_len, jnp.int32)),
+            }
+
+    def arrays_pytree(self) -> dict:
+        """All device arrays as a pytree (what jitted executors take)."""
+        return {
+            "post_docids": self.post_docids,
+            "post_wdf": self.post_wdf,
+            "post_posoff": self.post_posoff,
+            "post_poslen": self.post_poslen,
+            "positions": self.positions,
+            "doclen": self.doclen,
+            "deleted": self.deleted,
+            "values": self.values,
+            "geo": self.geo,
+        }

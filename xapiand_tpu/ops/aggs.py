@@ -1,0 +1,116 @@
+"""On-device aggregations, fused with the match pipeline.
+
+Reference parity target: src/aggregations/ (AggregationMatchSpy driven during
+match; metrics metrics.h:225-1137, buckets bucket.h:52-1173). Instead of a
+per-document spy callback, aggregations are masked reductions over the
+candidate rows (or the dense doc axis), computed in the same jitted program
+as the match - bucket counting uses a one-hot matmul so it lands on the MXU.
+
+Static spec forms (cfg.with_aggs entries):
+  ("count",)
+  ("sum"|"avg"|"min"|"max"|"variance"|"std_deviation"|"median"|"mode", slot)
+  ("stats"|"extended_stats", slot)
+  ("terms", slot, ncats)            - facet counts over category codes
+  ("histogram", slot, nbuckets)     - interval/offset passed dynamically via
+                                      plan["agg_params"][i] = (interval, shift)
+  ("range", slot, nranges)          - bounds via plan["agg_ranges"][i][nr, 2]
+Results are raw arrays; host-side shaping into the reference's response
+format happens in xapiand_tpu.aggregations.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _slot_vals(seg, slot, docids, mask):
+    col = seg["values"][slot]
+    d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+    v = col["fval"][d]
+    m = mask & col["present"][d]
+    return v, m
+
+
+def compute_aggs(seg, specs, docids, mask, scores, plan=None):
+    out = []
+    for i, spec in enumerate(specs):
+        kind = spec[0]
+        if kind == "count":
+            out.append(jnp.sum(mask.astype(jnp.int32)))
+            continue
+        slot = spec[1]
+        if kind in ("sum", "avg", "min", "max", "variance", "std_deviation",
+                    "stats", "extended_stats", "median", "mode"):
+            v, m = _slot_vals(seg, slot, docids, mask)
+            fm = m.astype(jnp.float32)
+            n = jnp.sum(fm)
+            s = jnp.sum(v * fm)
+            s2 = jnp.sum(v * v * fm)
+            vmin = jnp.min(jnp.where(m, v, jnp.inf))
+            vmax = jnp.max(jnp.where(m, v, -jnp.inf))
+            # sufficient statistics so segment/shard partials merge exactly
+            # host-side (≙ merge_results, src/database/handler.cc:1543-1545)
+            res = {"n": n, "s": s, "s2": s2, "min": vmin, "max": vmax}
+            if kind == "median":
+                sorted_v = lax.sort(jnp.where(m, v, jnp.inf))
+                idx = jnp.maximum(n.astype(jnp.int32) - 1, 0) // 2
+                idx2 = n.astype(jnp.int32) // 2
+                med = jnp.where(
+                    n.astype(jnp.int32) % 2 == 1,
+                    sorted_v[jnp.minimum(idx2, sorted_v.shape[0] - 1)],
+                    (sorted_v[jnp.minimum(idx, sorted_v.shape[0] - 1)]
+                     + sorted_v[jnp.minimum(idx2, sorted_v.shape[0] - 1)]) * 0.5)
+                res["median"] = jnp.where(n > 0, med, jnp.nan)
+            elif kind == "mode":
+                sv = lax.sort(jnp.where(m, v, jnp.inf))
+                mvalid = jnp.isfinite(sv)
+                head = jnp.concatenate([jnp.ones((1,), bool),
+                                        sv[1:] != sv[:-1]])
+                run_start = jnp.where(head, jnp.arange(sv.shape[0]), -1)
+                run_start = lax.associative_scan(jnp.maximum, run_start)
+                run_len = jnp.arange(sv.shape[0]) - run_start + 1
+                run_len = jnp.where(mvalid, run_len, 0)
+                best = jnp.argmax(run_len)
+                res["mode"] = jnp.where(jnp.any(mvalid), sv[best], jnp.nan)
+            out.append(res)
+        elif kind == "terms":
+            ncats = spec[2]
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+            codes = col["cats"][d]
+            m = mask & (codes >= 0)
+            oh = jnp.asarray(codes[:, None] == jnp.arange(ncats)[None, :],
+                             jnp.float32)
+            counts = jnp.dot(m.astype(jnp.float32), oh,
+                             preferred_element_type=jnp.float32)
+            out.append(counts.astype(jnp.int32))
+        elif kind == "histogram":
+            nb = spec[2]
+            v, m = _slot_vals(seg, slot, docids, mask)
+            interval = plan["agg_params"][i][0]
+            shift = plan["agg_params"][i][1]
+            b = jnp.floor((v - shift) / interval).astype(jnp.int32)
+            inb = m & (b >= 0) & (b < nb)
+            bc = jnp.clip(b, 0, nb - 1)
+            oh = jnp.asarray(bc[:, None] == jnp.arange(nb)[None, :],
+                             jnp.float32)
+            counts = jnp.dot(inb.astype(jnp.float32), oh,
+                             preferred_element_type=jnp.float32)
+            out.append(counts.astype(jnp.int32))
+        elif kind == "range":
+            nr = spec[2]
+            v, m = _slot_vals(seg, slot, docids, mask)
+            bounds = plan["agg_ranges"][i]          # [nr, 2]
+            inr = (v[:, None] >= bounds[None, :, 0]) \
+                & (v[:, None] < bounds[None, :, 1]) & m[:, None]
+            out.append(jnp.sum(inr.astype(jnp.int32), axis=0))
+        elif kind == "filter_count":
+            # count under an extra value filter; params via agg_ranges
+            v, m = _slot_vals(seg, slot, docids, mask)
+            bounds = plan["agg_ranges"][i]
+            inr = (v >= bounds[0, 0]) & (v < bounds[0, 1]) & m
+            out.append(jnp.sum(inr.astype(jnp.int32)))
+        else:
+            raise ValueError(f"unknown aggregation {kind!r}")
+    return tuple(out)

@@ -1,0 +1,288 @@
+"""JSON Query DSL -> logical IR.
+
+Reference parity target: src/query_dsl.{h,cc} (keywords in
+src/reserved/query_dsl.h:27-59). Supported here:
+
+  operators: _and, _or, _not, _and_not, _xor, _and_maybe, _filter
+  leaves: _match_all, _match_none, field leaves {"field": <value|spec>}
+  field specs: _value, _from/_to (ranges), _in {_range: {...}} or geo,
+               _phrase, _near, _wildcard, _boost/_weight, geo objects
+  plus "_id" document-id queries and plain-string free-text queries over
+  the global (unprefixed) term namespace.
+
+Sort specs (reference: _sort with per-field _order) parse via parse_sort.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from xapiand_tpu.analysis import accuracy as acc_mod
+from xapiand_tpu.analysis import termgen as tg_mod
+from xapiand_tpu.analysis.unicode_tok import tokenize
+from xapiand_tpu.query.ir import Q
+from xapiand_tpu.schema import FieldType, Schema
+from xapiand_tpu.utils import dtutils, serialise as ser, uuid64
+
+_OPS = {"_and": "and", "_or": "or", "_xor": "xor", "_and_not": "and_not",
+        "_and_maybe": "and_maybe", "_filter": "filter"}
+
+
+class QueryDSLError(ValueError):
+    pass
+
+
+class QueryDSL:
+    def __init__(self, schema: Schema,
+                 term_expander: Optional[Callable[[str], list]] = None,
+                 default_op: str = "or"):
+        self.schema = schema
+        self.expand = term_expander or (lambda prefix, limit=256: [])
+        self.default_op = default_op
+
+    # -- entry ----------------------------------------------------------------
+
+    def parse(self, query) -> Q:
+        if query is None or query == "" or query == "*":
+            return Q.match_all()
+        if isinstance(query, str):
+            return self.text_query(query)
+        if isinstance(query, dict):
+            return self._parse_obj(query)
+        if isinstance(query, list):
+            return self._combine([self.parse(q) for q in query], "and")
+        raise QueryDSLError(f"cannot parse query: {query!r}")
+
+    def _parse_obj(self, obj: dict) -> Q:
+        parts = []
+        for key, val in obj.items():
+            if key in _OPS:
+                if not isinstance(val, list) or not val:
+                    raise QueryDSLError(f"{key} expects a non-empty list")
+                children = [self.parse(v) for v in val]
+                parts.append(self._combine(children, _OPS[key]))
+            elif key == "_not":
+                sub = self.parse(val if not isinstance(val, list)
+                                 else {"_or": val})
+                parts.append(Q.and_not(Q.match_all(), sub))
+            elif key == "_match_all":
+                parts.append(Q.match_all())
+            elif key == "_match_none":
+                parts.append(Q.match_none())
+            elif key == "_id":
+                parts.append(Q.term("Q" + str(val)))
+            elif key.startswith("_"):
+                raise QueryDSLError(f"unknown query keyword {key!r}")
+            else:
+                parts.append(self.field_query(key, val))
+        return self._combine(parts, "and")
+
+    @staticmethod
+    def _combine(parts: list[Q], op: str) -> Q:
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return Q.match_all()
+        if len(parts) == 1:
+            return parts[0]
+        if op in ("and", "or"):
+            return Q(op, children=tuple(parts))
+        out = parts[0]
+        for p in parts[1:]:
+            out = Q(op, children=(out, p))
+        return out
+
+    # -- free text over the global namespace ----------------------------------
+
+    def text_query(self, text: str, factor: float = 1.0) -> Q:
+        tg = tg_mod.TermGenerator("english")
+        terms = tg.index_query_text(text)
+        if not terms:
+            return Q.match_none()
+        if self.default_op == "and" and len(terms) > 1:
+            return Q.and_(*[Q.term(t, factor=factor) for t in terms])
+        return Q.or_terms(terms, factor=factor)
+
+    # -- field leaves -----------------------------------------------------------
+
+    def field_query(self, path: str, value, factor: float = 1.0) -> Q:
+        spec = self.schema.get_field(path)
+        if isinstance(value, dict):
+            from xapiand_tpu.schema.schema import Schema as _S
+
+            if _S.guess_type(value) == FieldType.GEO:
+                return self._geo_query(spec, value)
+            factor = float(value.get("_boost", value.get("_weight", factor)))
+            if "_from" in value or "_to" in value:
+                return self._range_query(spec, value.get("_from"),
+                                         value.get("_to"))
+            if "_range" in value:
+                r = value["_range"]
+                return self._range_query(spec, r.get("_from"), r.get("_to"))
+            if "_in" in value:
+                inner = value["_in"]
+                if isinstance(inner, dict) and "_range" in inner:
+                    r = inner["_range"]
+                    return self._range_query(spec, r.get("_from"),
+                                             r.get("_to"))
+                return self._geo_query(spec, inner)
+            if "_phrase" in value:
+                return self._positional(spec, str(value["_phrase"]),
+                                        int(value.get("_window", 0)),
+                                        True, factor)
+            if "_near" in value:
+                return self._positional(spec, str(value["_near"]),
+                                        int(value.get("_window", 0)),
+                                        False, factor)
+            if "_wildcard" in value:
+                pre = spec.prefix + str(value["_wildcard"]).lower()
+                terms = self.expand(pre)
+                return Q.or_terms(terms, factor=factor)
+            if "_value" in value:
+                return self.field_query(path, value["_value"], factor)
+            raise QueryDSLError(f"cannot parse field query {path}: {value!r}")
+        if isinstance(value, list):
+            return self._combine(
+                [self.field_query(path, v, factor) for v in value],
+                self.default_op)
+        return self._scalar_query(spec, path, value, factor)
+
+    def _scalar_query(self, spec, path, value, factor) -> Q:
+        ftype = spec.type
+        if ftype == FieldType.EMPTY:
+            from xapiand_tpu.schema.schema import Schema as _S
+
+            ftype = _S.guess_type(value)
+        pfx = spec.prefix
+        if ftype == FieldType.TEXT:
+            tg = tg_mod.TermGenerator(spec.language,
+                                      stem_strategy=spec.stem_strategy,
+                                      stop_strategy=spec.stop_strategy)
+            toks = tg.index_query_text(str(value))
+            terms = []
+            for t in toks:
+                if t.startswith("Z"):
+                    terms.append("Z" + pfx + t[1:])
+                else:
+                    terms.append(pfx + t)
+            if not terms:
+                return Q.match_none()
+            if self.default_op == "and" and len(terms) > 1:
+                return Q.and_(*[Q.term(t, factor=factor) for t in terms])
+            return Q.or_terms(terms, factor=factor)
+        if ftype == FieldType.KEYWORD:
+            return Q.term(pfx + str(value), factor=factor)
+        if ftype in (FieldType.INTEGER, FieldType.POSITIVE, FieldType.FLOATING):
+            return Q.term(pfx + ":" + ser.serialise_float_term(float(value)),
+                          factor=factor)
+        if ftype in (FieldType.DATE, FieldType.DATETIME):
+            ts = dtutils.parse_datetime(value)
+            return Q.term(pfx + ":" + ser.serialise_float_term(ts),
+                          factor=factor)
+        if ftype == FieldType.TIME:
+            return Q.term(pfx + ":" + ser.serialise_float_term(
+                dtutils.parse_time(value)), factor=factor)
+        if ftype == FieldType.TIMEDELTA:
+            return Q.term(pfx + ":" + ser.serialise_float_term(
+                dtutils.parse_timedelta(value)), factor=factor)
+        if ftype == FieldType.BOOLEAN:
+            from xapiand_tpu.schema.schema import _to_bool
+
+            return Q.term(pfx + ":" + ser.serialise_bool_term(_to_bool(value)),
+                          factor=factor)
+        if ftype == FieldType.UUID:
+            return Q.term(pfx + ":" + uuid64.normalise_uuid(str(value)),
+                          factor=factor)
+        if ftype == FieldType.GEO:
+            return self._geo_query(spec, value)
+        raise QueryDSLError(f"cannot query type {ftype} at {path!r}")
+
+    # -- ranges ------------------------------------------------------------------
+
+    def _range_query(self, spec, lo, hi) -> Q:
+        ftype = spec.type
+        if spec.slot is None:
+            raise QueryDSLError("range query on a field without values")
+        if ftype in (FieldType.DATE, FieldType.DATETIME):
+            lo_v = dtutils.parse_datetime(lo) if lo is not None else None
+            hi_v = dtutils.parse_datetime(hi) if hi is not None else None
+            cover = []
+            if lo_v is not None and hi_v is not None:
+                cover = acc_mod.date_range_terms(lo_v, hi_v, spec.accuracy,
+                                                 spec.prefix)
+        elif ftype in (FieldType.INTEGER, FieldType.POSITIVE,
+                       FieldType.FLOATING, FieldType.TIME,
+                       FieldType.TIMEDELTA, FieldType.EMPTY):
+            lo_v = float(lo) if lo is not None else None
+            hi_v = float(hi) if hi is not None else None
+            cover = []
+            if lo_v is not None and hi_v is not None:
+                cover = acc_mod.numeric_range_terms(lo_v, hi_v, spec.accuracy,
+                                                    spec.prefix)
+        elif ftype in (FieldType.KEYWORD, FieldType.TEXT):
+            lo_key = ser.serialise_string_key(str(lo)) if lo is not None else None
+            hi_key = (ser.serialise_string_key(str(hi)) + 1) \
+                if hi is not None else None
+            return Q.value_range(spec.slot, lo_key, hi_key)
+        else:
+            raise QueryDSLError(f"range unsupported for type {ftype}")
+        lo_key = ser.sortable_key_u64(lo_v) if lo_v is not None else None
+        hi_key = ser.sortable_key_u64(hi_v) if hi_v is not None else None
+        return Q.value_range(spec.slot, lo_key, hi_key, cover_terms=cover)
+
+    # -- positional --------------------------------------------------------------
+
+    def _positional(self, spec, text, window, is_phrase, factor) -> Q:
+        # positions are stored on the *unstemmed* prefixed terms (STEM_SOME)
+        toks = [t.text for t in tokenize(text)]
+        terms = [spec.prefix + t for t in toks]
+        if not terms:
+            return Q.match_none()
+        if len(terms) == 1:
+            return Q.term(terms[0], factor=factor)
+        if is_phrase:
+            return Q.phrase(terms, window=window, factor=factor)
+        return Q.near(terms, window=window, factor=factor)
+
+    # -- geo ------------------------------------------------------------------------
+
+    def _geo_query(self, spec, value) -> Q:
+        from xapiand_tpu.geo import geospatial
+
+        if spec.slot is None:
+            raise QueryDSLError("geo query on a field without values")
+        ranges, _ = geospatial.extract(value, error=spec.error)
+        cover = acc_mod.geo_range_cover(ranges, spec.accuracy, spec.prefix)
+        return Q.geo(spec.slot, ranges, cover_terms=cover)
+
+
+def parse_sort(schema: Schema, sort_spec) -> tuple:
+    """Reference sort forms: "field", "-field", ["-field", ...],
+    [{"field": {"_order": "desc"}}], "_score"."""
+    if sort_spec is None:
+        return ()
+    if isinstance(sort_spec, (str, dict)):
+        sort_spec = [sort_spec]
+    out = []
+    for item in sort_spec:
+        if isinstance(item, str):
+            desc = item.startswith("-")
+            name = item.lstrip("+-")
+            if name == "_score":
+                out.append(("score", 0, True))
+                continue
+            spec = schema.get_field(name)
+            if spec.slot is None:
+                raise QueryDSLError(f"cannot sort on {name!r} (no values)")
+            out.append(("value", spec.slot, desc))
+        elif isinstance(item, dict):
+            for name, opts in item.items():
+                desc = str(opts.get("_order", "asc")).lower() == "desc" \
+                    if isinstance(opts, dict) else False
+                if name == "_score":
+                    out.append(("score", 0, True))
+                    continue
+                spec = schema.get_field(name)
+                if spec.slot is None:
+                    raise QueryDSLError(f"cannot sort on {name!r}")
+                out.append(("value", spec.slot, desc))
+    return tuple(out)

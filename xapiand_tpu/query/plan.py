@@ -1,0 +1,289 @@
+"""IR -> device-plan compiler.
+
+Lowers a logical Q tree to:
+  - ExecConfig: the *static* program shape (term-count bucket, posting size
+    class, boolean tree, filter/geo/phrase slots, sort/collapse/agg spec) -
+    the jit cache key; queries with the same shape share one compilation
+    (the reference recompiles nothing but re-walks iterators per query; XLA
+    needs bucketed static shapes instead, SURVEY.md §7 "hard parts").
+  - plan arrays: the *dynamic* values (posting offsets/lengths, per-term
+    weight constants, filter keys, geo query ranges).
+
+Scoring/boolean context rules mirror the Xapian operator semantics
+(OP_AND/OR/AND_NOT/AND_MAYBE/FILTER/XOR; src/xapian/matcher/queryoptimiser.h).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from xapiand_tpu.models.segment import Segment, size_class
+from xapiand_tpu.ops.executor import ExecConfig
+from xapiand_tpu.query.ir import Q
+from xapiand_tpu.utils import serialise as ser
+
+MAX_GROUPS = 31
+T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+QR_BUCKETS = (16, 64, 256, 1024)
+DEFAULT_CAND_CAP = 4096
+DEFAULT_PMAX = 128
+
+
+class PlanError(ValueError):
+    pass
+
+
+@dataclass
+class PlanTerm:
+    term: str
+    group: int
+    scoring: bool
+    wqf: int = 1
+    factor: float = 1.0
+
+
+@dataclass
+class CompiledQuery:
+    tree: tuple = ("NONE",)
+    terms: list = field(default_factory=list)           # [PlanTerm]
+    filters: list = field(default_factory=list)          # [(slot, lo, hi)]
+    geo: list = field(default_factory=list)              # [(slot, ranges)]
+    phrases: list = field(default_factory=list)  # (tidxs, gidxs, win, exact)
+    n_groups: int = 0
+    dense: bool = False
+
+    def _new_group(self) -> int:
+        if self.n_groups >= MAX_GROUPS:
+            raise PlanError("query too complex: more than 31 leaf groups")
+        g = self.n_groups
+        self.n_groups += 1
+        return g
+
+
+def _t_bucket(n: int) -> int:
+    for b in T_BUCKETS:
+        if n <= b:
+            return b
+    raise PlanError(f"too many query terms: {n}")
+
+
+def _qr_bucket(n: int) -> int:
+    for b in QR_BUCKETS:
+        if n <= b:
+            return b
+    raise PlanError(f"geo query too fine: {n} ranges")
+
+
+def compile_ir(ir: Q) -> CompiledQuery:
+    cq = CompiledQuery()
+    cq.tree = _walk(cq, ir, scoring=True, generative=True, factor=1.0)
+    if not cq.terms:
+        cq.dense = True
+    elif _contains_generative_all(cq.tree):
+        raise PlanError("OR with match_all alongside terms is not supported")
+    return cq
+
+
+def _has_terms(node: Q) -> bool:
+    if node.op in ("term", "or_terms", "phrase", "near"):
+        return True
+    if node.op in ("value_range", "geo"):
+        return False
+    return any(_has_terms(c) for c in node.children)
+
+
+def _contains_generative_all(tree) -> bool:
+    if tree[0] == "ALL":
+        return True
+    if tree[0] in ("G", "F", "GEO", "PH", "NONE"):
+        return False
+    if tree[0] in ("AND", "FILTER", "AND_NOT", "AND_MAYBE"):
+        # ALL under an AND-like op never generates; only the first child of
+        # AND_NOT / AND_MAYBE and any child of OR/XOR can
+        if tree[0] in ("AND", "FILTER"):
+            return False
+        return _contains_generative_all(tree[1])
+    return any(_contains_generative_all(t) for t in tree[1:])
+
+
+def _walk(cq: CompiledQuery, node: Q, scoring: bool, generative: bool,
+          factor: float) -> tuple:
+    op = node.op
+    if op in ("term", "or_terms"):
+        g = cq._new_group()
+        for t in node.terms:
+            cq.terms.append(PlanTerm(t, g, scoring, node.wqf,
+                                     factor * node.factor))
+        return ("G", g)
+    if op in ("phrase", "near"):
+        gidxs = []
+        tidxs = []
+        for t in node.terms:
+            g = cq._new_group()
+            gidxs.append(g)
+            tidxs.append(len(cq.terms))
+            cq.terms.append(PlanTerm(t, g, scoring, node.wqf,
+                                     factor * node.factor))
+        pidx = len(cq.phrases)
+        cq.phrases.append((tuple(tidxs), tuple(gidxs), int(node.window),
+                           op == "phrase"))
+        return ("PH", pidx)
+    if op == "value_range":
+        fidx = len(cq.filters)
+        cq.filters.append((node.slot, node.lo_key, node.hi_key))
+        if generative:
+            if not node.cover_terms:
+                # only legal if the whole query ends up dense
+                return ("F", fidx)
+            g = cq._new_group()
+            for t in node.cover_terms:
+                cq.terms.append(PlanTerm(t, g, False))
+            return ("AND", ("G", g), ("F", fidx))
+        return ("F", fidx)
+    if op == "geo":
+        gidx = len(cq.geo)
+        cq.geo.append((node.slot, node.geo_ranges))
+        if generative:
+            if not node.cover_terms:
+                return ("GEO", gidx)
+            g = cq._new_group()
+            for t in node.cover_terms:
+                cq.terms.append(PlanTerm(t, g, False))
+            return ("AND", ("G", g), ("GEO", gidx))
+        return ("GEO", gidx)
+    if op == "match_all":
+        return ("ALL",)
+    if op == "match_none":
+        return ("NONE",)
+    if op == "scale":
+        return _walk(cq, node.children[0], scoring, generative,
+                     factor * node.factor)
+    if op in ("and", "filter"):
+        kids = node.children
+        term_kids = [k for k in kids if _has_terms(k)]
+        subs = []
+        for i, k in enumerate(kids):
+            child_scoring = scoring and not (op == "filter" and i > 0)
+            # range/geo/all children of an AND act as pure filters when some
+            # sibling generates candidates
+            child_gen = generative and not (term_kids and not _has_terms(k))
+            subs.append(_walk(cq, k, child_scoring, child_gen, factor))
+        return ("AND",) + tuple(subs)
+    if op == "or":
+        return ("OR",) + tuple(
+            _walk(cq, k, scoring, generative, factor) for k in node.children)
+    if op == "and_not":
+        a = _walk(cq, node.children[0], scoring, generative, factor)
+        b = _walk(cq, node.children[1], False, generative, factor)
+        return ("AND_NOT", a, b)
+    if op == "and_maybe":
+        a = _walk(cq, node.children[0], scoring, generative, factor)
+        b = _walk(cq, node.children[1], scoring, generative, factor)
+        return ("AND_MAYBE", a, b)
+    if op == "xor":
+        a = _walk(cq, node.children[0], scoring, generative, factor)
+        b = _walk(cq, node.children[1], scoring, generative, factor)
+        return ("XOR", a, b)
+    raise PlanError(f"unknown IR op {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# binding to a concrete segment
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BoundPlan:
+    cfg: ExecConfig
+    arrays: dict       # jit-traced plan arrays (numpy; converted by jax)
+
+
+def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
+         global_tf: Optional[Callable[[str], int]] = None,
+         k: int = 10, sort: tuple = (), collapse_slot: Optional[int] = None,
+         aggs: tuple = (), agg_arrays: Optional[dict] = None,
+         count_only: bool = False) -> BoundPlan:
+    """Bind a compiled query to one segment, producing cfg + plan arrays.
+
+    global_tf supplies cross-shard/segment termfreqs for idf (the two-phase
+    global-stats merge of the reference, handler.cc:1532-1538); defaults to
+    this segment's own termfreqs."""
+    if global_tf is None:
+        global_tf = lambda t: (ti.length if (ti := seg.get_term(t)) else 0)
+
+    T = _t_bucket(max(len(cq.terms), 1))
+    offsets = np.zeros(T, dtype=np.int32)
+    lens = np.zeros(T, dtype=np.int32)
+    tconst = np.zeros(T, dtype=np.float32)
+    scoring = np.zeros(T, dtype=np.float32)
+    group_bits = np.zeros(T, dtype=np.int32)
+    max_len = 1
+    for i, pt in enumerate(cq.terms):
+        ti = seg.get_term(pt.term)
+        if ti is not None:
+            offsets[i] = ti.offset
+            lens[i] = ti.length
+            max_len = max(max_len, ti.length)
+        tf = global_tf(pt.term)
+        if tf > 0 and pt.scoring:
+            tconst[i] = scheme.term_constant(stats, tf, pt.wqf, pt.factor)
+        scoring[i] = 1.0 if pt.scoring else 0.0
+        group_bits[i] = 1 << pt.group
+
+    L = size_class(max_len)
+    nd1 = seg.num_docs + 1
+
+    arrays = {
+        "offsets": offsets, "lens": lens, "tconst": tconst,
+        "scoring": scoring, "group_bits": group_bits,
+    }
+
+    if cq.filters:
+        fp = np.zeros((len(cq.filters), 4), dtype=np.int32)
+        for i, (slot, lo, hi) in enumerate(cq.filters):
+            lo = 0 if lo is None else lo
+            hi = (1 << 64) - 1 if hi is None else hi
+            fp[i, 0], fp[i, 1] = ser.split_key(lo)
+            fp[i, 2], fp[i, 3] = ser.split_key(hi)
+        arrays["fparams"] = fp
+
+    geo_specs = []
+    if cq.geo:
+        gq = []
+        for slot, ranges in cq.geo:
+            QR = _qr_bucket(max(len(ranges), 1))
+            q = np.zeros((QR, 2), dtype=np.int32)
+            q[:, 0] = 1  # invalid (start > end)
+            q[:, 1] = 0
+            for j, (s, e) in enumerate(ranges):
+                q[j, 0], q[j, 1] = s, e
+            gq.append(q)
+            gcol = seg.geo.get(slot)
+            rmax = 16
+            if gcol is not None and gcol.max_doc_ranges > 0:
+                rmax = int(min(max(
+                    16, 1 << (gcol.max_doc_ranges - 1).bit_length()), 256))
+            geo_specs.append((slot, QR, rmax))
+        arrays["geo_queries"] = gq
+
+    rows = nd1 if cq.dense else T * L
+    cfg = ExecConfig(
+        T=T, L=L, k=min(k, rows),
+        tree=cq.tree,
+        n_filters=len(cq.filters),
+        filter_slots=tuple(slot for slot, _, _ in cq.filters),
+        geo_specs=tuple(geo_specs),
+        sort=tuple(sort),
+        collapse_slot=collapse_slot,
+        count_only=count_only,
+        phrases=tuple(cq.phrases),
+        pmax=DEFAULT_PMAX,
+        cand_cap=DEFAULT_CAND_CAP,
+        with_aggs=tuple(aggs),
+        dense=cq.dense,
+    )
+    if agg_arrays:
+        arrays.update(agg_arrays)
+    return BoundPlan(cfg=cfg, arrays=arrays)
