@@ -1,0 +1,164 @@
+"""Benchmark: BM25 top-10 QPS on a 1M-doc synthetic corpus, single chip.
+
+BASELINE.md primary metric: "QPS/chip at BM25 recall@10 parity on 1M docs".
+The reference publishes no numbers (docs/_docs/benchmarks.md is empty), so
+``vs_baseline`` is measured against a single-core vectorised numpy CPU
+scorer over the identical corpus + queries (stand-in for the CPU reference
+run until a pinned Xapian build is benchmarked; see BASELINE.md methodology).
+Rank parity between device and baseline is asserted on a sample before
+timing - speed without recall parity doesn't count.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMALL = os.environ.get("BENCH_SMALL") == "1"
+N_DOCS = 50_000 if SMALL else 1_000_000
+VOCAB = 20_000 if SMALL else 200_000
+N_QUERIES = 64 if SMALL else 256
+BATCH = 32 if SMALL else 64
+TERMS_PER_QUERY = 3
+K = 10
+K1, B, MIN_NORMLEN = 1.0, 0.5, 0.5
+
+
+def cpu_baseline(seg, query_terms, k=K):
+    """Single-core vectorised numpy BM25 top-k (dense accumulator)."""
+    nd = seg.num_docs
+    doclen = seg.doclen[:nd].astype(np.float64)
+    avg = seg.total_doclen / nd
+    lf = 1.0 / avg
+    results = []
+    for terms in query_terms:
+        scores = np.zeros(nd, dtype=np.float64)
+        for t in terms:
+            ti = seg.terms.get(t)
+            if ti is None or ti.length == 0:
+                continue
+            ids = seg.post_docids[ti.offset: ti.offset + ti.length]
+            wdf = seg.post_wdf[ti.offset: ti.offset + ti.length].astype(np.float64)
+            n = ti.length
+            tw = (nd - n + 0.5) / (n + 0.5)
+            if tw < 2.0:
+                tw = tw * 0.5 + 1.0
+            tw = np.log(tw) * 2.0 * (K1 + 1.0) / 2.0  # k3 factor with wqf=1 -> 1
+            normlen = np.maximum(doclen[ids] * lf, MIN_NORMLEN)
+            w = tw * (wdf / (K1 * (normlen * B + (1 - B)) + wdf))
+            np.add.at(scores, ids, w)
+        # top-k with exact tie-break: score desc, docid asc (Xapian
+        # docid_order ASCENDING) - argpartition alone drops ties arbitrarily
+        cand = np.argpartition(-scores, min(4 * k, nd - 1))[: 4 * k]
+        order = np.lexsort((cand, -scores[cand]))
+        top = cand[order][:k]
+        results.append([(int(d), float(scores[d])) for d in top
+                        if scores[d] > 0.0])
+    return results
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xapiand_tpu.models.weights import CollectionStats, get_scheme
+    from xapiand_tpu.query.ir import Q
+    from xapiand_tpu.query.plan import bind, compile_ir
+    from xapiand_tpu.search import SegmentSearcher
+    from xapiand_tpu.utils.synth import build_synthetic_segment, sample_queries
+
+    t0 = time.time()
+    seg = build_synthetic_segment(N_DOCS, VOCAB, seed=7)
+    queries = sample_queries(seg, N_QUERIES, TERMS_PER_QUERY, seed=11)
+    build_s = time.time() - t0
+
+    scheme = get_scheme("bm25")
+    stats = CollectionStats(doc_count=seg.doc_count,
+                            avg_doclen=seg.avg_doclen, doclen_lower=1.0)
+    stats_d = {"N": jnp.float32(stats.doc_count),
+               "avg_doclen": jnp.float32(stats.avg_doclen),
+               "doclen_lower": jnp.float32(1.0)}
+
+    searcher = SegmentSearcher(seg, scheme)
+    seg_arrays = searcher.device_segment.arrays_pytree()
+
+    bounds = [bind(compile_ir(Q.or_terms(q)), seg, scheme, stats, k=K)
+              for q in queries]
+    T = max(b.cfg.T for b in bounds)
+    L = max(b.cfg.L for b in bounds)
+    cfg = type(bounds[0].cfg)(**{**bounds[0].cfg.__dict__, "T": T, "L": L})
+
+    def pad_batch(bs):
+        return {
+            k: jnp.asarray(np.stack([
+                np.pad(b.arrays[k], [(0, T - b.arrays[k].shape[0])])
+                for b in bs]))
+            for k in ("offsets", "lens", "tconst", "scoring", "group_bits")
+        }
+
+    fn = searcher.batched(cfg)
+    batches = [pad_batch(bounds[i: i + BATCH])
+               for i in range(0, len(bounds), BATCH)]
+
+    # warmup / compile
+    out = fn(seg_arrays, batches[0], stats_d)
+    jax.block_until_ready(out)
+
+    # recall parity vs the CPU baseline on a sample (BASELINE.md gate)
+    sample = min(8, len(queries))
+    base = cpu_baseline(seg, queries[:sample])
+    dev_docs = np.asarray(out["docids"])[:sample]
+    dev_scores = np.asarray(out["scores"])[:sample]
+    for qi in range(sample):
+        expect = [d for d, _ in base[qi]]
+        got = [int(d) for d, s in zip(dev_docs[qi], dev_scores[qi])
+               if np.isfinite(s)][: len(expect)]
+        if got != expect:
+            print(json.dumps({"metric": "RECALL_PARITY_FAILURE",
+                              "query": qi, "got": got[:10],
+                              "expect": expect[:10]}), file=sys.stderr)
+            raise SystemExit(1)
+
+    # timed runs
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        outs = [fn(seg_arrays, b, stats_d) for b in batches]
+        jax.block_until_ready(outs)
+    dt = (time.time() - t0) / reps
+    qps = len(queries) / dt
+
+    # CPU single-core baseline QPS on a subset
+    t0 = time.time()
+    cpu_baseline(seg, queries[:sample])
+    cpu_qps = sample / (time.time() - t0)
+
+    print(json.dumps({
+        "metric": f"bm25_top{K}_qps_{N_DOCS // 1000}k_docs",
+        "value": round(qps, 2),
+        "unit": "qps/chip",
+        "vs_baseline": round(qps / cpu_qps, 2),
+        "detail": {
+            "p50_batch_ms": round(dt / len(batches) * 1000, 2),
+            "cpu_numpy_1core_qps": round(cpu_qps, 2),
+            "n_docs": N_DOCS, "n_queries": len(queries),
+            "terms_per_query": TERMS_PER_QUERY,
+            "posting_gather_class_L": L,
+            "corpus_build_s": round(build_s, 1),
+            "platform": jax.devices()[0].platform,
+            "baseline_kind": "numpy-1core-dense-bm25 (no published "
+                             "reference numbers; BASELINE.md)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

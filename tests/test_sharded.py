@@ -1,0 +1,73 @@
+"""Mesh-plane tests: 8 virtual CPU devices, (dp=2, shard=4) mesh.
+
+Validates the SPMD scatter-gather against the single-segment engine:
+same global stats -> identical scores -> identical ranking (the
+two-phase-match exactness requirement, SURVEY.md §2.4)."""
+
+import numpy as np
+import pytest
+
+from test_engine import make_docs
+
+from xapiand_tpu.database import Database
+from xapiand_tpu.parallel import ShardedIndex, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_devices):
+    return make_mesh(n_shards=4, n_dp=2, devices=eight_devices)
+
+
+@pytest.fixture(scope="module")
+def sharded(mesh):
+    idx = ShardedIndex(mesh=mesh)
+    for i, doc in enumerate(make_docs(200)):
+        idx.index_document(doc, doc_id=str(i))
+    idx.commit()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def single():
+    db = Database()
+    for i, doc in enumerate(make_docs(200)):
+        db.index_document(doc, doc_id=str(i))
+    db.commit()
+    return db
+
+
+def test_routing_parity(sharded):
+    # fnv1ah64("Q7") % 4 must route deterministically
+    from xapiand_tpu.utils.hashing import fnv1ah64
+
+    assert sharded.route("7") == fnv1ah64("Q7") % 4
+
+
+def test_sharded_matches_single(sharded, single):
+    for q in ({"body": "fox"}, {"body": "search engine"},
+              {"body": "quick brown dog"}):
+        got = sharded.search(q, k=10)
+        ref = single.search(q, k=10)
+        assert got["total"] == ref.total, q
+        assert [h["id"] for h in got["hits"]] == [h.id for h in ref.hits], q
+        np.testing.assert_allclose(
+            [h["score"] for h in got["hits"]],
+            [h.score for h in ref.hits], rtol=1e-4)
+
+
+def test_sharded_batch(sharded, single):
+    queries = [{"body": "fox"}, {"body": "dog"}, {"body": "river"},
+               {"body": "cat"}]
+    outs = sharded.search_batch(queries, k=5)
+    for q, got in zip(queries, outs):
+        ref = single.search(q, k=5)
+        assert got["total"] == ref.total
+        assert [h["id"] for h in got["hits"]] == [h.id for h in ref.hits]
+
+
+def test_sharded_range_filter(sharded, single):
+    q = {"body": "fox", "price": {"_from": 100, "_to": 800}}
+    got = sharded.search(q, k=20)
+    ref = single.search(q, k=20)
+    assert got["total"] == ref.total
+    assert [h["id"] for h in got["hits"]] == [h.id for h in ref.hits]

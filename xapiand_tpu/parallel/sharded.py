@@ -1,0 +1,386 @@
+"""ShardedIndex: docid-striped shards executed SPMD over a device mesh.
+
+Reference parity:
+- shard routing: ``fnv1ah64(id_term) % n_shards`` (handler.cc:2004);
+- global docids stripe as ``global = local * n_shards + shard``
+  (zero-based form of handler.cc:835);
+- the two-phase match becomes: host-side global stats (the coordinator's
+  term dictionary already sums per-shard termfreqs = add_prepared_mset),
+  per-device local top-k, all_gather over the 'shard' ICI axis, re-top-k
+  (= merge_mset), psum for counts/aggregates.
+
+All shards must share array shapes for SPMD; ``pad_uniform`` pads each
+shard's segment to the max shapes (padding rows are flagged deleted, so
+they can never match).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xapiand_tpu.models.builder import SegmentBuilder
+from xapiand_tpu.models.segment import Segment, size_class
+from xapiand_tpu.models.weights import CollectionStats, get_scheme
+from xapiand_tpu.ops.executor import ExecConfig, execute
+from xapiand_tpu.query.dsl import QueryDSL
+from xapiand_tpu.query.ir import Q
+from xapiand_tpu.query.plan import CompiledQuery, bind, compile_ir
+from xapiand_tpu.schema import Schema
+from xapiand_tpu.utils.hashing import fnv1ah64
+
+_I32MAX = np.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# uniform padding + stacking
+# ---------------------------------------------------------------------------
+
+def pad_uniform(segments: list[Segment]) -> list[Segment]:
+    nd_pad = max(s.num_docs for s in segments)
+    # guard must cover the GLOBAL max posting-gather size class so a
+    # dynamic_slice near any shard's data end stays in bounds unclamped
+    guard = size_class(max(max(s.max_posting_len() for s in segments), 1))
+    p_pad = max(s.post_docids.shape[0] for s in segments) + guard
+    pp_pad = max(s.positions.shape[0] for s in segments)
+    all_slots = sorted({slot for s in segments for slot in s.values})
+    all_geo = sorted({slot for s in segments for slot in s.geo})
+    gr_pad = {slot: max((s.geo[slot].flat_start.shape[0]
+                         for s in segments if slot in s.geo), default=64)
+              for slot in all_geo}
+    out = []
+    for s in segments:
+        out.append(_pad_one(s, nd_pad, p_pad, pp_pad, all_slots, all_geo,
+                            gr_pad))
+    return out
+
+
+def _pad_one(s: Segment, nd_pad, p_pad, pp_pad, all_slots, all_geo, gr_pad):
+    import copy as _copy
+
+    from xapiand_tpu.models.segment import GeoColumn, ValueColumn
+
+    def pad1(a, n, fill):
+        if a.shape[0] >= n:
+            return a
+        out = np.full(n, fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    ns = _copy.copy(s)
+    # postings: pad rows point at the dump row (nd_pad)
+    ns.post_docids = pad1(np.where(s.post_docids == s.num_docs, nd_pad,
+                                   s.post_docids).astype(np.int32),
+                          p_pad, nd_pad)
+    ns.post_wdf = pad1(s.post_wdf, p_pad, 0.0)
+    ns.post_posoff = pad1(s.post_posoff, p_pad, 0)
+    ns.post_poslen = pad1(s.post_poslen, p_pad, 0)
+    ns.positions = pad1(s.positions, pp_pad, 0)
+    ns.doclen = pad1(s.doclen, nd_pad + 1, 0.0)
+    deleted = np.ones(nd_pad + 1, dtype=bool)
+    deleted[: s.num_docs] = s.deleted[: s.num_docs]
+    deleted[nd_pad] = True
+    ns.deleted = deleted
+    ns.values = {}
+    for slot in all_slots:
+        col = s.values.get(slot)
+        if col is None:
+            ns.values[slot] = ValueColumn(
+                kind="numeric",
+                hi=np.full(nd_pad + 1, _I32MAX, np.int32),
+                lo=np.full(nd_pad + 1, _I32MAX, np.int32),
+                max_hi=np.full(nd_pad + 1, -(2**31), np.int32),
+                max_lo=np.full(nd_pad + 1, -(2**31), np.int32),
+                fval=np.zeros(nd_pad + 1, np.float32),
+                present=np.zeros(nd_pad + 1, bool),
+                cats=np.full(nd_pad + 1, -1, np.int32))
+        else:
+            nc = _copy.copy(col)
+            nc.hi = pad1(col.hi, nd_pad + 1, _I32MAX)
+            nc.lo = pad1(col.lo, nd_pad + 1, _I32MAX)
+            nc.max_hi = pad1(col.max_hi, nd_pad + 1, -(2**31))
+            nc.max_lo = pad1(col.max_lo, nd_pad + 1, -(2**31))
+            nc.fval = pad1(col.fval, nd_pad + 1, 0.0)
+            nc.present = pad1(col.present, nd_pad + 1, False)
+            if col.cats is not None:
+                nc.cats = pad1(col.cats, nd_pad + 1, -1)
+            else:
+                nc.cats = np.full(nd_pad + 1, -1, np.int32)
+            ns.values[slot] = nc
+    ns.geo = {}
+    for slot in all_geo:
+        g = s.geo.get(slot)
+        if g is None:
+            ns.geo[slot] = GeoColumn(
+                flat_start=np.full(gr_pad[slot], _I32MAX, np.int32),
+                flat_end=np.full(gr_pad[slot], -1, np.int32),
+                doc_off=np.zeros(nd_pad + 1, np.int32),
+                doc_len=np.zeros(nd_pad + 1, np.int32),
+                max_doc_ranges=1)
+        else:
+            ng = _copy.copy(g)
+            ng.flat_start = pad1(g.flat_start, gr_pad[slot], _I32MAX)
+            ng.flat_end = pad1(g.flat_end, gr_pad[slot], -1)
+            ng.doc_off = pad1(g.doc_off, nd_pad + 1, 0)
+            ng.doc_len = pad1(g.doc_len, nd_pad + 1, 0)
+            ns.geo[slot] = ng
+    ns.num_docs = nd_pad
+    return ns
+
+
+def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
+    """Stack uniform shards along a leading axis sharded over 'shard'."""
+    def shard_arr(arrs, extra_dims):
+        a = np.stack(arrs)
+        spec = P("shard", *([None] * extra_dims))
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    out = {
+        "post_docids": shard_arr([s.post_docids for s in segments], 1),
+        "post_wdf": shard_arr([s.post_wdf for s in segments], 1),
+        "post_posoff": shard_arr([s.post_posoff for s in segments], 1),
+        "post_poslen": shard_arr([s.post_poslen for s in segments], 1),
+        "positions": shard_arr([s.positions for s in segments], 1),
+        "doclen": shard_arr([s.doclen for s in segments], 1),
+        "deleted": shard_arr([s.deleted for s in segments], 1),
+        "values": {}, "geo": {},
+    }
+    for slot in segments[0].values:
+        cols = [s.values[slot] for s in segments]
+        out["values"][slot] = {
+            "hi": shard_arr([c.hi for c in cols], 1),
+            "lo": shard_arr([c.lo for c in cols], 1),
+            "max_hi": shard_arr([c.max_hi for c in cols], 1),
+            "max_lo": shard_arr([c.max_lo for c in cols], 1),
+            "fval": shard_arr([c.fval for c in cols], 1),
+            "present": shard_arr([c.present for c in cols], 1),
+            "cats": shard_arr([c.cats for c in cols], 1),
+        }
+    for slot in segments[0].geo:
+        gs = [s.geo[slot] for s in segments]
+        out["geo"][slot] = {
+            "flat_start": shard_arr([g.flat_start for g in gs], 1),
+            "flat_end": shard_arr([g.flat_end for g in gs], 1),
+            "doc_off": shard_arr([g.doc_off for g in gs], 1),
+            "doc_len": shard_arr([g.doc_len for g in gs], 1),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the SPMD search step
+# ---------------------------------------------------------------------------
+
+def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
+    """jit-compiled shard_map'd batch search step.
+
+    plan arrays: offsets/lens [Q, S, T] (P('dp','shard',None)); tconst/
+    scoring/group_bits [Q, T]; fparams [Q, F, 4] (P('dp',None,None)).
+    Returns global docids/scores [Q, k] + counts [Q] (replicated over
+    'shard', sharded over 'dp').
+    """
+    from jax import shard_map
+
+    def step(seg, offsets, lens, tconst, scoring, group_bits, stats,
+             fparams):
+        def per_shard(seg_blk, off_blk, len_blk, tconst_blk, scoring_blk,
+                      bits_blk, stats_blk, fp_blk):
+            seg1 = jax.tree.map(lambda a: a[0], seg_blk)
+            my_shard = jax.lax.axis_index("shard")
+
+            def one_query(off, ln, tc, sc, gb, fp):
+                plan = {"offsets": off[0], "lens": ln[0], "tconst": tc,
+                        "scoring": sc, "group_bits": gb}
+                if cfg.n_filters:
+                    plan["fparams"] = fp
+                return execute(seg1, plan, cfg, stats_blk, scheme)
+
+            out = jax.vmap(one_query)(off_blk, len_blk, tconst_blk,
+                                      scoring_blk, bits_blk, fp_blk)
+            # local -> global docids (docid striping, handler.cc:835)
+            gdoc = out["docids"] * n_shards + my_shard
+            invalid = jnp.isinf(out["scores"]) & (out["scores"] < 0)
+            gdoc = jnp.where(invalid, jnp.int32(2**31 - 1), gdoc)
+            # merge over ICI: gather all shards' top-k, re-top-k
+            all_scores = jax.lax.all_gather(out["scores"], "shard", axis=1,
+                                            tiled=True)     # [Ql, S*k]
+            all_docs = jax.lax.all_gather(gdoc, "shard", axis=1, tiled=True)
+            # merge_mset: score desc, ties by ascending GLOBAL docid
+            # (reference docid_order ASCENDING, handler.cc:1168)
+            neg, docs_sorted = jax.lax.sort((-all_scores, all_docs),
+                                            num_keys=2, dimension=1)
+            top_scores = -neg[:, : cfg.k]
+            top_docs = docs_sorted[:, : cfg.k]
+            count = jax.lax.psum(out["count"], "shard")
+            return top_docs, top_scores, count
+
+        in_specs = (
+            jax.tree.map(lambda _: P("shard"), seg),
+            P("dp", "shard", None), P("dp", "shard", None),
+            P("dp", None), P("dp", None), P("dp", None),
+            jax.tree.map(lambda _: P(), stats),
+            P("dp", None, None),
+        )
+        out_specs = (P("dp", None), P("dp", None), P("dp"))
+        fn = shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+        return fn(seg, offsets, lens, tconst, scoring, group_bits, stats,
+                  fparams)
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# ShardedIndex
+# ---------------------------------------------------------------------------
+
+class ShardedIndex:
+    """N-shard index over a device mesh; single coordinator host.
+
+    ≙ an IndexSettings of num_shards local shards (index_resolver_lru.h:41)
+    with the DatabaseHandler's routing + scatter-gather."""
+
+    def __init__(self, n_shards: Optional[int] = None, mesh: Optional[Mesh] = None,
+                 scheme: str = "bm25", schema: Optional[Schema] = None):
+        from xapiand_tpu.parallel.mesh import make_mesh
+
+        self.mesh = mesh or make_mesh()
+        self.n_shards = n_shards or self.mesh.shape["shard"]
+        self.n_dp = self.mesh.shape["dp"]
+        self.schema = schema or Schema()
+        self.scheme = get_scheme(scheme)
+        self._builders = [SegmentBuilder() for _ in range(self.n_shards)]
+        self.segments: list[Segment] = []
+        self._stacked = None
+        self._step_cache: dict = {}
+        self._docs: dict[str, dict] = {}
+
+    # -- routing (fnv1ah64 % n, handler.cc:2004) -----------------------------
+
+    def route(self, doc_id: str) -> int:
+        return fnv1ah64("Q" + str(doc_id)) % self.n_shards
+
+    def index_document(self, obj: dict, doc_id: Optional[str] = None) -> str:
+        idoc = self.schema.index(obj, doc_id)
+        shard = self.route(idoc.doc_id)
+        self._builders[shard].add(idoc)
+        self._docs[idoc.doc_id] = idoc.data
+        return idoc.doc_id
+
+    def commit(self):
+        segs = [b.finalize() for b in self._builders]
+        segs = pad_uniform(segs)
+        self.segments = segs
+        self._stacked = stack_segments(segs, self.mesh)
+        self._step_cache.clear()
+
+    # -- stats (global = the merged prepare_mset stats) -----------------------
+
+    def stats(self) -> CollectionStats:
+        n = sum(s.doc_count for s in self.segments)
+        tot = sum(s.total_doclen for s in self.segments)
+        return CollectionStats(doc_count=n, avg_doclen=tot / n if n else 0.0,
+                               doclen_lower=1.0)
+
+    def global_termfreq(self, term: str) -> int:
+        return sum(ti.length for s in self.segments
+                   if (ti := s.get_term(term)) is not None)
+
+    # -- search ----------------------------------------------------------------
+
+    def search_batch(self, queries: list, k: int = 10) -> list[dict]:
+        """Relevance-ordered batch search; all queries must share one plan
+        shape (same signature) - callers bucket them (SURVEY §7)."""
+        if self._stacked is None:
+            raise RuntimeError("commit() before searching")
+        dsl = QueryDSL(self.schema)
+        irs = [q if isinstance(q, Q) else dsl.parse(q) for q in queries]
+        cqs = [compile_ir(ir) for ir in irs]
+        sigs = {ir.signature() for ir in irs}
+        if len(sigs) != 1:
+            raise ValueError("search_batch requires same-shape queries")
+        stats = self.stats()
+        stats_d = {"N": jnp.float32(stats.doc_count),
+                   "avg_doclen": jnp.float32(stats.avg_doclen),
+                   "doclen_lower": jnp.float32(1.0)}
+
+        nq = len(queries)
+        q_pad = -(-nq // self.n_dp) * self.n_dp
+        cqs = cqs + [cqs[-1]] * (q_pad - nq)
+
+        bounds = []
+        cfg = None
+        for cq in cqs:
+            per_shard = [bind(cq, seg, self.scheme, stats,
+                              global_tf=self.global_termfreq, k=k)
+                         for seg in self.segments]
+            bounds.append(per_shard)
+            for b in per_shard:
+                if cfg is None or b.cfg.L > cfg.L or b.cfg.T > cfg.T:
+                    cfg = b.cfg
+        # uniform L/T across batch: rebind nothing, just pad arrays
+        T, L = cfg.T, cfg.L
+        S = self.n_shards
+        offsets = np.zeros((q_pad, S, T), np.int32)
+        lens = np.zeros((q_pad, S, T), np.int32)
+        tconst = np.zeros((q_pad, T), np.float32)
+        scoring = np.zeros((q_pad, T), np.float32)
+        gbits = np.zeros((q_pad, T), np.int32)
+        n_filters = bounds[0][0].cfg.n_filters
+        fparams = np.zeros((q_pad, max(n_filters, 1), 4), np.int32) \
+            if n_filters else None
+        for qi, per_shard in enumerate(bounds):
+            for si, b in enumerate(per_shard):
+                t = b.arrays["offsets"].shape[0]
+                offsets[qi, si, :t] = b.arrays["offsets"]
+                lens[qi, si, :t] = b.arrays["lens"]
+            b0 = per_shard[0].arrays
+            t = b0["tconst"].shape[0]
+            tconst[qi, :t] = b0["tconst"]
+            scoring[qi, :t] = b0["scoring"]
+            gbits[qi, :t] = b0["group_bits"]
+            if n_filters:
+                fparams[qi] = b0["fparams"]
+        cfg = ExecConfig(**{**cfg.__dict__, "T": T, "L": L, "k": k})
+
+        key = (cfg, self.scheme.key())
+        step = self._step_cache.get(key)
+        if step is None:
+            step = make_sharded_step(cfg, self.scheme, self.mesh, S)
+            self._step_cache[key] = step
+        if fparams is None:
+            fparams = np.zeros((q_pad, 1, 4), np.int32)
+        args = [self._stacked, jnp.asarray(offsets), jnp.asarray(lens),
+                jnp.asarray(tconst), jnp.asarray(scoring),
+                jnp.asarray(gbits), stats_d, jnp.asarray(fparams)]
+        top_docs, top_scores, counts = step(*args)
+        top_docs = np.asarray(top_docs)[:nq]
+        top_scores = np.asarray(top_scores)[:nq]
+        counts = np.asarray(counts)[:nq]
+
+        results = []
+        for qi in range(nq):
+            hits = []
+            for gd, sc in zip(top_docs[qi], top_scores[qi]):
+                if not np.isfinite(sc) and sc < 0:
+                    continue
+                if gd == 2**31 - 1:
+                    continue
+                shard, local = int(gd) % S, int(gd) // S
+                seg = self.segments[shard]
+                if local >= len(seg.doc_keys):
+                    continue
+                key_ = seg.doc_keys[local]
+                hits.append({"id": key_, "score": float(sc),
+                             "data": self._docs.get(key_, {})})
+            results.append({"total": int(counts[qi]), "hits": hits})
+        return results
+
+    def search(self, query, k: int = 10) -> dict:
+        return self.search_batch([query], k=k)[0]

@@ -46,6 +46,24 @@ class SegmentSearcher:
             self._cache[key] = fn
         return fn
 
+    def batched(self, cfg: ExecConfig):
+        """jit(vmap(execute)) over a leading query axis - the single-chip
+        throughput path (one compiled program serves every query of this
+        shape class)."""
+        key = ("batched", cfg, self.scheme.key())
+        fn = self._cache.get(key)
+        if fn is None:
+            scheme = self.scheme
+
+            def run(seg_arrays, plan_batch, stats):
+                return jax.vmap(
+                    lambda p: execute(seg_arrays, p, cfg, stats, scheme)
+                )(plan_batch)
+
+            fn = jax.jit(run)
+            self._cache[key] = fn
+        return fn
+
     def execute(self, bound: BoundPlan, stats: dict) -> dict:
         """stats: {"N": float, "avg_doclen": float, "doclen_lower": float}."""
         fn = self._compiled(bound.cfg)
