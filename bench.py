@@ -92,9 +92,10 @@ def main():
 
     bounds = [bind(compile_ir(Q.or_terms(q)), seg, scheme, stats, k=K)
               for q in queries]
-    T = max(b.cfg.T for b in bounds)
-    L = max(b.cfg.L for b in bounds)
-    cfg = type(bounds[0].cfg)(**{**bounds[0].cfg.__dict__, "T": T, "L": L})
+    from xapiand_tpu.query.plan import unify_cfgs
+
+    cfg = unify_cfgs([b.cfg for b in bounds], k=K)
+    T = cfg.T
 
     def pad_batch(bs):
         return {
@@ -151,7 +152,7 @@ def main():
             "cpu_numpy_1core_qps": round(cpu_qps, 2),
             "n_docs": N_DOCS, "n_queries": len(queries),
             "terms_per_query": TERMS_PER_QUERY,
-            "posting_gather_class_L": L,
+            "posting_classes": list(cfg.classes),
             "corpus_build_s": round(build_s, 1),
             "platform": jax.devices()[0].platform,
             "baseline_kind": "numpy-1core-dense-bm25 (no published "

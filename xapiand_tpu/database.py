@@ -44,17 +44,70 @@ class DocumentNotFound(KeyError):
 
 
 class Database:
-    def __init__(self, scheme: str = "bm25", schema: Optional[Schema] = None,
-                 device=None, **scheme_params):
+    def __init__(self, path: Optional[str] = None, scheme: str = "bm25",
+                 schema: Optional[Schema] = None, device=None,
+                 **scheme_params):
+        import os
+
+        from xapiand_tpu.index.datastore import DataStore
+        from xapiand_tpu.index.wal import DatabaseWAL
+
         self.schema = schema or Schema()
         self.scheme = get_scheme(scheme, **scheme_params)
         self.device = device
+        self.path = path
         self._builder = SegmentBuilder()
         self._pending_docs: dict[str, dict] = {}      # doc_id -> data
+        self._docs_store: dict[str, dict] = {}
         self._searchers: list[SegmentSearcher] = []
         self._locate: dict[str, tuple[int, int]] = {}  # doc_id -> (seg, docid)
         self._pending_deletes: set[str] = set()
+        self._metadata: dict[str, object] = {}
+        self._blobs: dict[str, list] = {}             # doc_id -> locators
         self.revision = 0
+        self._replaying = False
+        if path is not None:
+            os.makedirs(path, exist_ok=True)
+            self.wal = DatabaseWAL(os.path.join(path, "wal"))
+            self.datastore = DataStore(os.path.join(path, "docdata"))
+            self._replay_wal()
+        else:
+            self.wal = None
+            self.datastore = DataStore(None)
+
+    # -- WAL replay (crash/restart recovery, ≙ wal.cc:251/506) ---------------
+
+    def _replay_wal(self):
+        from xapiand_tpu.index.wal import WalOp
+
+        self._replaying = True
+        try:
+            def apply(entry):
+                op = entry[0]
+                if op == WalOp.REPLACE_DOCUMENT:
+                    self.index_document(entry[2], doc_id=entry[1])
+                elif op == WalOp.DELETE_DOCUMENT:
+                    self.delete_document(entry[1], missing_ok=True)
+                elif op == WalOp.SET_METADATA:
+                    self._metadata[entry[1]] = entry[2]
+                elif op == WalOp.SET_SCHEMA:
+                    self.schema = Schema.from_dict(entry[1])
+                elif op == WalOp.STORE_BLOB:
+                    locs = self._blobs.setdefault(entry[1], [])
+                    locs[:] = [l for l in locs if l.get("_content_type")
+                               != entry[2]] + [entry[3]]
+                elif op == WalOp.COMMIT:
+                    self.commit()
+
+            self.wal.replay(apply)
+            if len(self._builder) or self._pending_deletes:
+                self.commit()  # uncommitted tail after crash
+        finally:
+            self._replaying = False
+
+    @property
+    def uuid(self) -> Optional[str]:
+        return self.wal.uuid if self.wal is not None else None
 
     # -- write path ----------------------------------------------------------
 
@@ -64,7 +117,9 @@ class Database:
         (handler.h:113)."""
         idoc = self.schema.index(obj, doc_id)
         did = idoc.doc_id
-        self.delete_document(did, missing_ok=True)
+        if self.wal is not None and not self._replaying:
+            self.wal.write_replace_document(did, obj)
+        self.delete_document(did, missing_ok=True, _log=False)
         self._builder.add(idoc)
         self._pending_docs[did] = idoc.data
         if commit:
@@ -72,8 +127,10 @@ class Database:
         return did
 
     def delete_document(self, doc_id: str, commit: bool = False,
-                        missing_ok: bool = False) -> bool:
+                        missing_ok: bool = False, _log: bool = True) -> bool:
         doc_id = str(doc_id)
+        if _log and self.wal is not None and not self._replaying:
+            self.wal.write_delete_document(doc_id)
         found = False
         if doc_id in self._pending_docs:
             # mark pending version dead: rebuild without it is costly; mark
@@ -97,9 +154,14 @@ class Database:
 
     def commit(self) -> int:
         """Freeze pending docs into a new immutable segment generation;
-        ≙ Shard::commit (shard.cc:706)."""
+        ≙ Shard::commit (shard.cc:706): WAL COMMIT line + revision bump."""
         if len(self._builder) == 0 and not self._pending_deletes:
             return self.revision
+        if self.wal is not None and not self._replaying:
+            if self.schema.mutated:
+                self.wal.write_set_schema(self.schema.to_dict())
+                self.schema.mutated = False
+            self.wal.write_commit(fsync=True)
         if len(self._builder):
             seg = self._builder.finalize()
             # apply deletes that targeted pending docs (replaced in-batch):
@@ -117,7 +179,6 @@ class Database:
                 if not seg.deleted[docid]:
                     self._locate[key] = (seg_idx, docid)
             self._builder = SegmentBuilder()
-            self._docs_store = getattr(self, "_docs_store", {})
             self._docs_store.update(self._pending_docs)
             self._pending_docs = {}
         self._pending_deletes.clear()
@@ -156,8 +217,127 @@ class Database:
         if doc_id in self._pending_docs:
             return self._pending_docs[doc_id]
         if doc_id in self._locate:
-            return getattr(self, "_docs_store", {})[doc_id]
+            return self._docs_store[doc_id]
         raise DocumentNotFound(doc_id)
+
+    # -- metadata (≙ handler.h:149-153 get/set_metadata) -----------------------
+
+    def set_metadata(self, key: str, value) -> None:
+        self._metadata[str(key)] = value
+        if self.wal is not None and not self._replaying:
+            self.wal.write_set_metadata(str(key), value, fsync=True)
+
+    def get_metadata(self, key: str, default=None):
+        return self._metadata.get(str(key), default)
+
+    def metadata_keys(self) -> list:
+        return sorted(self._metadata)
+
+    # -- typed blob storage (STORE verb, ≙ data.h Locators) ---------------------
+
+    def store_blob(self, doc_id: str, content_type: str, raw: bytes) -> None:
+        doc_id = str(doc_id)
+        if doc_id not in self._pending_docs and doc_id not in self._locate:
+            raise DocumentNotFound(doc_id)
+        loc = self.datastore.put_blob(content_type, raw)
+        self.datastore.fsync()
+        locs = self._blobs.setdefault(doc_id, [])
+        locs[:] = [l for l in locs
+                   if l.get("_content_type") != content_type] + [loc]
+        if self.wal is not None and not self._replaying:
+            from xapiand_tpu.index.wal import WalOp
+
+            self.wal.append(WalOp.STORE_BLOB, doc_id, content_type, loc,
+                            fsync=True)
+
+    def get_blob(self, doc_id: str, content_type: str) -> bytes:
+        locs = self._blobs.get(str(doc_id), [])
+        out = self.datastore.get_by_type(locs, content_type)
+        if out is None:
+            raise DocumentNotFound(f"{doc_id}:{content_type}")
+        return out
+
+    def blob_content_types(self, doc_id: str) -> list:
+        return self.datastore.content_types(self._blobs.get(str(doc_id), []))
+
+    # -- dump / restore (≙ handler.h:139-143, the portable backup path) ---------
+
+    def dump_documents(self):
+        """Iterate all live documents as objects with _id (DUMP verb)."""
+        for seg_idx, s in enumerate(self._searchers):
+            seg = s.segment
+            for docid, key in enumerate(seg.doc_keys):
+                if not seg.deleted[docid] and \
+                        self._locate.get(key) == (seg_idx, docid):
+                    doc = dict(self._docs_store.get(key, {}))
+                    doc["_id"] = key
+                    yield doc
+        for key, data in self._pending_docs.items():
+            if key not in self._pending_deletes:
+                doc = dict(data)
+                doc["_id"] = key
+                yield doc
+
+    def restore_documents(self, docs, commit: bool = True) -> int:
+        n = 0
+        for doc in docs:
+            doc = dict(doc)
+            did = doc.pop("_id", None)
+            self.index_document(doc, doc_id=did)
+            n += 1
+        if commit:
+            self.commit()
+        return n
+
+    # -- info / maintenance ------------------------------------------------------
+
+    def info(self) -> dict:
+        """≙ :info view (retrieve_database_view): doccount, revision, ..."""
+        return {
+            "uuid": self.uuid,
+            "revision": self.revision,
+            "doc_count": self.doc_count,
+            "segments": len(self._searchers),
+            "pending": len(self._builder),
+            "avg_doclen": self.stats().avg_doclen,
+            "index_bytes": sum(s.segment.nbytes() for s in self._searchers),
+        }
+
+    def check(self) -> dict:
+        """≙ :check view / glass_dbcheck: structural invariants."""
+        errors = []
+        for i, s in enumerate(self._searchers):
+            seg = s.segment
+            for term, ti in seg.terms.items():
+                if ti.offset + ti.length > len(seg.post_docids):
+                    errors.append(f"segment {i}: span overflow for {term!r}")
+                    continue
+                ids = seg.post_docids[ti.offset: ti.offset + ti.length]
+                if len(ids) > 1 and not (ids[1:] > ids[:-1]).all():
+                    errors.append(f"segment {i}: unsorted postings {term!r}")
+        return {"ok": not errors, "errors": errors}
+
+    def merge_segments(self) -> int:
+        """Compact all segments into one (≙ glass compaction): rebuilds from
+        live documents, dropping deletes."""
+        docs = list(self.dump_documents())
+        self._searchers = []
+        self._locate = {}
+        self._builder = SegmentBuilder()
+        self._pending_docs = {}
+        self._pending_deletes = set()
+        for doc in docs:
+            did = doc.pop("_id")
+            idoc = self.schema.index(doc, did)
+            self._builder.add(idoc)
+            self._pending_docs[did] = idoc.data
+        self.commit()
+        return len(docs)
+
+    def close(self):
+        if self.wal is not None:
+            self.wal.close()
+        self.datastore.close()
 
     def search(self, query: Any, k: int = 10, offset: int = 0,
                sort: tuple = (), collapse_slot: Optional[int] = None,

@@ -1,0 +1,131 @@
+"""Append-only storage volumes.
+
+Reference parity target: src/storage.h (generic volume file: magic header,
+length-prefixed bins with checksum footers, storage.h:53-68). Layout here:
+
+  file header : MAGIC(8) | version u32 | reserved u32
+  record      : length u32 | flags u8 | payload | xxh64 u64
+
+flags bit0 = compressed (block codec from utils.codecs). Offsets returned by
+``write`` address the record start and are stable forever (append-only).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator, Optional
+
+from xapiand_tpu.utils.codecs import block_compress, block_decompress
+from xapiand_tpu.utils.hashing import xxh64
+
+MAGIC = b"XPTPUv01"
+HEADER_SIZE = 16
+_REC_HDR = struct.Struct("<IB")
+_SUM = struct.Struct("<Q")
+
+FLAG_COMPRESSED = 0x01
+
+
+class StorageError(IOError):
+    pass
+
+
+class StorageCorruptVolume(StorageError):
+    pass
+
+
+class Storage:
+    """One append-only volume file."""
+
+    def __init__(self, path: str, writable: bool = True,
+                 compress_threshold: int = 128):
+        self.path = path
+        self.writable = writable
+        self.compress_threshold = compress_threshold
+        exists = os.path.exists(path)
+        mode = ("r+b" if exists else "w+b") if writable else "rb"
+        if not exists and not writable:
+            raise StorageError(f"volume not found: {path}")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._fh = open(path, mode)
+        if exists and os.path.getsize(path) >= HEADER_SIZE:
+            self._fh.seek(0)
+            head = self._fh.read(HEADER_SIZE)
+            if head[:8] != MAGIC:
+                raise StorageCorruptVolume(f"bad magic in {path}")
+        else:
+            self._fh.write(MAGIC + struct.pack("<II", 1, 0))
+            self._fh.flush()
+        self._fh.seek(0, os.SEEK_END)
+        self._end = self._fh.tell()
+
+    @property
+    def size(self) -> int:
+        return self._end
+
+    def write(self, payload: bytes, compress: Optional[bool] = None) -> int:
+        if not self.writable:
+            raise StorageError("volume is read-only")
+        if compress is None:
+            compress = len(payload) >= self.compress_threshold
+        flags = 0
+        body = payload
+        if compress:
+            c = block_compress(payload)
+            if len(c) < len(payload):
+                body, flags = c, FLAG_COMPRESSED
+        offset = self._end
+        rec = _REC_HDR.pack(len(body), flags) + body + _SUM.pack(xxh64(body))
+        self._fh.seek(self._end)
+        self._fh.write(rec)
+        self._end += len(rec)
+        return offset
+
+    def read(self, offset: int) -> bytes:
+        self._fh.seek(offset)
+        hdr = self._fh.read(_REC_HDR.size)
+        if len(hdr) < _REC_HDR.size:
+            raise StorageCorruptVolume(f"truncated record at {offset}")
+        length, flags = _REC_HDR.unpack(hdr)
+        body = self._fh.read(length)
+        tail = self._fh.read(_SUM.size)
+        if len(body) < length or len(tail) < _SUM.size:
+            raise StorageCorruptVolume(f"truncated record at {offset}")
+        (checksum,) = _SUM.unpack(tail)
+        if xxh64(body) != checksum:
+            raise StorageCorruptVolume(f"checksum mismatch at {offset}")
+        if flags & FLAG_COMPRESSED:
+            body = block_decompress(body)
+        return body
+
+    def scan(self) -> Iterator[tuple[int, bytes]]:
+        """Yield (offset, payload) for every record; stop cleanly at a
+        truncated tail (crash recovery semantics: last partial write is
+        discarded, like WAL replay in the reference wal.cc:251)."""
+        offset = HEADER_SIZE
+        while offset < self._end:
+            try:
+                payload = self.read(offset)
+            except StorageCorruptVolume:
+                return
+            yield offset, payload
+            self._fh.seek(offset)
+            length, _ = _REC_HDR.unpack(self._fh.read(_REC_HDR.size))
+            offset += _REC_HDR.size + length + _SUM.size
+
+    def fsync(self):
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+
+    def close(self):
+        try:
+            self._fh.flush()
+        finally:
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

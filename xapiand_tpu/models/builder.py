@@ -107,6 +107,8 @@ class SegmentBuilder:
         if nd:
             doclen[:nd] = np.asarray(self._doclen, dtype=np.float32)
         deleted = np.zeros(nd + 1, dtype=bool)
+        # denormalised per-posting doclen (see segment.py docstring)
+        post_doclen = doclen[np.minimum(post_docids, nd)]
 
         values = {}
         for slot, per_doc in self._values.items():
@@ -121,6 +123,7 @@ class SegmentBuilder:
             total_doclen=float(sum(self._doclen)),
             post_docids=post_docids,
             post_wdf=post_wdf,
+            post_doclen=post_doclen,
             post_posoff=post_posoff,
             post_poslen=post_poslen,
             positions=positions,

@@ -8,6 +8,10 @@ HBM; the host keeps the term dictionary (term string -> posting span):
 
   post_docids : int32[P]   docids, grouped by term, sorted within each term
   post_wdf    : float32[P] within-document frequency per posting
+  post_doclen : float32[P] document length per posting (denormalised copy of
+                           doclen[docid]: BM25 normlen comes from a contiguous
+                           dynamic_slice instead of a random gather - TPU
+                           gathers serialise, slices stream)
   post_posoff : int32[P]   span start into `positions` (positional terms)
   post_poslen : int32[P]   span length into `positions`
   positions   : int32[PP]  term positions, flat
@@ -86,6 +90,7 @@ class Segment:
     total_doclen: float
     post_docids: np.ndarray
     post_wdf: np.ndarray
+    post_doclen: np.ndarray
     post_posoff: np.ndarray
     post_poslen: np.ndarray
     positions: np.ndarray
@@ -114,7 +119,8 @@ class Segment:
 
     def nbytes(self) -> int:
         total = 0
-        for arr in (self.post_docids, self.post_wdf, self.post_posoff,
+        for arr in (self.post_docids, self.post_wdf, self.post_doclen,
+                    self.post_posoff,
                     self.post_poslen, self.positions, self.doclen,
                     self.deleted):
             total += arr.nbytes
@@ -147,6 +153,7 @@ class DeviceSegment:
         self.num_docs = seg.num_docs
         self.post_docids = put(jnp.asarray(seg.post_docids, jnp.int32))
         self.post_wdf = put(jnp.asarray(seg.post_wdf, jnp.float32))
+        self.post_doclen = put(jnp.asarray(seg.post_doclen, jnp.float32))
         self.post_posoff = put(jnp.asarray(seg.post_posoff, jnp.int32))
         self.post_poslen = put(jnp.asarray(seg.post_poslen, jnp.int32))
         self.positions = put(jnp.asarray(seg.positions, jnp.int32))
@@ -178,6 +185,7 @@ class DeviceSegment:
         return {
             "post_docids": self.post_docids,
             "post_wdf": self.post_wdf,
+            "post_doclen": self.post_doclen,
             "post_posoff": self.post_posoff,
             "post_poslen": self.post_poslen,
             "positions": self.positions,

@@ -1,29 +1,46 @@
-"""The match executor: candidate generation, merge, predicate, rank, top-k.
+"""The match executor: candidate generation, join, predicate, rank, top-k.
 
 Replaces the reference's matcher hot loop (src/xapian/matcher/matcher.cc:
 482-536 - postlist tree next()/get_weight()/ProtoMSet heap) with a fully
-vectorised pipeline (see package docstring). Exactness guarantees:
+vectorised, *sort-free* pipeline:
 
-- candidate set = union of all gathered posting spans, so every potentially
-  matching doc is enumerated (no pruning approximations);
+  1. gather each query term's posting span with its own static size class
+     (lax.dynamic_slice; per-term classes avoid padding every term to the
+     longest - the dominant cost of a naive formulation);
+  2. searchsorted-join: every posting row looks up its docid in every other
+     term's (sorted) span with a branchless binary search -> per-row total
+     score, term-match bitmask, and first-occurrence flag (dedup);
+  3. boolean tree evaluated bitwise over the masks (vectorised - replaces
+     the AND/OR/NOT postlist iterator operators);
+  4. rank: lax.top_k over row scores + a tiny exact re-sort of the top
+     candidates for the score-desc/docid-asc tie order, or a full multi-key
+     lax.sort for value ordering / collapse / unweighted queries.
+
+Exactness guarantees:
+- the candidate set is the union of all gathered posting spans - every
+  potentially matching doc is enumerated (no pruning approximations);
 - per-doc score = sum of weight-scheme sumparts of its matching scoring
-  terms (OP_AND/OR/AND_MAYBE semantics fall out of the predicate masking);
-- ties broken by ascending docid (candidates are docid-sorted and lax.top_k
-  prefers earlier indices on equal scores), matching the reference's
-  docid-order ASCENDING default (src/database/handler.cc:1168).
+  terms (OP_AND/OR/AND_MAYBE semantics fall out of the predicate mask);
+- ties break by ascending docid, matching the reference's docid-order
+  ASCENDING default (src/database/handler.cc:1168). With relevance
+  ranking the tie-refinement window is CAND_MARGIN*k rows; tie groups
+  larger than that fall back to the exact full-sort path only for
+  unweighted (bool) schemes where everything ties.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 SENTINEL = jnp.int32(2**31 - 1)
+CAND_MARGIN = 8  # tie-refinement window = CAND_MARGIN * k
 
 
 # --------------------------------------------------------------------------
@@ -33,20 +50,26 @@ SENTINEL = jnp.int32(2**31 - 1)
 @dataclass(frozen=True)
 class ExecConfig:
     T: int                       # padded number of terms
-    L: int                       # posting-gather size class
+    L: int                       # max posting size class (phrase gathers)
     k: int                       # top-k
     tree: tuple                  # boolean tree over leaves (hashable nest)
+    classes: tuple = ()          # per-term posting size class, len == T
     n_filters: int = 0
     filter_slots: tuple = ()     # slot per filter leaf
     geo_specs: tuple = ()        # (slot, QR, RMAX) per geo leaf
     sort: tuple = ()             # ((kind, slot, desc), ...); () = relevance
     collapse_slot: Optional[int] = None
     count_only: bool = False
-    phrases: tuple = ()          # (term_idx_tuple, window, is_phrase) per phrase group
+    phrases: tuple = ()          # (term_idxs, group_idxs, window, is_phrase)
     pmax: int = 128              # positions gathered per (term, doc)
     cand_cap: int = 4096         # phrase-verified candidate cap
     with_aggs: tuple = ()        # static agg spec (see ops/aggs.py)
     dense: bool = False          # dense all-docs path (match_all root)
+    unweighted: bool = False     # bool scheme / all-filter: docid ordering
+    has_deletes: bool = False    # segment has delete-bitmap entries
+
+    def term_classes(self) -> tuple:
+        return self.classes if self.classes else (self.L,) * self.T
 
 
 # --------------------------------------------------------------------------
@@ -74,12 +97,37 @@ def _segmented(vals, bits, head):
     return lax.associative_scan(comb, (vals, bits, head))
 
 
+def _segmented_sum(vals, head):
+    def comb(a, b):
+        (va, ha), (vb, hb) = a, b
+        return vb + jnp.where(hb, 0.0, va), ha | hb
+
+    return lax.associative_scan(comb, (vals, head))
+
+
+def lower_bound(a, x, L: int):
+    """Branchless vectorised binary search: leftmost i with a[i] >= x.
+
+    a: [L] ascending int32 (pad suffix = INT32_MAX); x: any shape.
+    The glass-postlist skip_to equivalent, executed data-parallel on the
+    VPU (log2(L) gather rounds instead of per-iterator skips)."""
+    pos = jnp.zeros(x.shape, jnp.int32)
+    bits = max((L - 1).bit_length(), 1)
+    for sbit in reversed(range(bits)):
+        cand = pos + (1 << sbit)
+        probe = a[jnp.minimum(cand - 1, L - 1)]
+        ok = (cand <= L) & (probe < x)
+        pos = jnp.where(ok, cand, pos)
+    return pos
+
+
 def _eval_tree(tree, leaf_fns):
     """Compile the static boolean tree to a vectorised predicate.
 
     Node forms: ('G', i) term group leaf; ('F', i) value-filter leaf;
-    ('GEO', i) geo leaf; ('ALL',); ('NONE',); ('AND', ...); ('OR', ...);
-    ('AND_NOT', a, b); ('AND_MAYBE', a, b); ('XOR', a, b); ('FILTER', a, b).
+    ('GEO', i) geo leaf; ('PH', i) phrase leaf; ('ALL',); ('NONE',);
+    ('AND', ...); ('OR', ...); ('AND_NOT', a, b); ('AND_MAYBE', a, b);
+    ('XOR', a, b); ('FILTER', a, b).
     Mirrors the reference postlist operators (multiandpostlist.h etc.).
     """
     op = tree[0]
@@ -151,7 +199,6 @@ def _gather_geo_leaves(seg, cfg: ExecConfig, geo_queries, docids):
         q = geo_queries[gi]            # [QR, 2]
         qs, qe = q[:, 0], q[:, 1]
         qvalid = qs <= qe
-        # [C, RMAX, QR]
         ov = ((rs[:, :, None] <= qe[None, None, :])
               & (re[:, :, None] >= qs[None, None, :])
               & rvalid[:, :, None] & qvalid[None, None, :])
@@ -159,18 +206,26 @@ def _gather_geo_leaves(seg, cfg: ExecConfig, geo_queries, docids):
     return outs
 
 
-def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible):
-    """Final ordering: relevance top-k or multi-key value sort.
+# --------------------------------------------------------------------------
+# ranking
+# --------------------------------------------------------------------------
 
-    eligible: bool per candidate row (tail & match & not sentinel)."""
+def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible):
+    """Final ordering: relevance top-k (+ exact tie refinement) or full
+    multi-key sort for value ordering / unweighted queries."""
     if cfg.collapse_slot is not None:
-        docids, scores, eligible = _collapse(cfg, seg, docids, scores, eligible)
-    if not cfg.sort:
+        docids, scores, eligible = _collapse(cfg, seg, docids, scores,
+                                             eligible)
+    if not cfg.sort and not cfg.unweighted:
+        # rows are docid-ascending, and lax.top_k prefers lower indices on
+        # ties -> exact score-desc/docid-asc order with a single top_k
         masked = jnp.where(eligible, scores, -jnp.inf)
-        top_scores, idx = lax.top_k(masked, cfg.k)
-        return docids[idx], top_scores, idx
-    # multi-key sort: build key arrays; ineligible rows sink to the end
+        vals, idx = lax.top_k(masked, cfg.k)
+        cand_d = jnp.where(jnp.isfinite(vals), docids[idx], SENTINEL)
+        return cand_d, vals, idx
     keys = []
+    if cfg.unweighted and not cfg.sort:
+        keys.append(jnp.where(eligible, docids, SENTINEL))
     for kind, slot, desc in cfg.sort:
         if kind == "value":
             col = seg["values"][slot]
@@ -178,7 +233,6 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible):
             h, l = col["hi"][d], col["lo"][d]
             if desc:
                 h, l = ~h, ~l
-            # missing values sort last (reference keymaker semantics)
             h = jnp.where(col["present"][d], h, jnp.int32(2**31 - 1))
             keys.extend([jnp.where(eligible, h, jnp.int32(2**31 - 1)),
                          jnp.where(eligible, l, jnp.int32(2**31 - 1))])
@@ -186,13 +240,11 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible):
             sk = -scores if desc else scores
             keys.append(jnp.where(eligible, sk, jnp.inf))
     keys.append(jnp.where(eligible, docids, SENTINEL))  # final tiebreak
-    order = lax.sort(tuple(keys) + (docids, scores),
-                     num_keys=len(keys))
-    out_d = order[-2][: cfg.k]
-    out_s = order[-1][: cfg.k]
-    # positions of the winners are unknown after sort; re-derive eligibility
-    # by marking sunk rows with sentinel docid
-    return out_d, out_s, None
+    # payloads masked too: ineligible rows must never surface as hits
+    pay_d = jnp.where(eligible, docids, SENTINEL)
+    pay_s = jnp.where(eligible, scores, -jnp.inf)
+    order = lax.sort(tuple(keys) + (pay_d, pay_s), num_keys=len(keys))
+    return order[-2][: cfg.k], order[-1][: cfg.k], None
 
 
 def _collapse(cfg: ExecConfig, seg, docids, scores, eligible):
@@ -202,10 +254,8 @@ def _collapse(cfg: ExecConfig, seg, docids, scores, eligible):
     d = jnp.minimum(docids, col["hi"].shape[0] - 1)
     kh, kl = col["hi"][d], col["lo"][d]
     present = col["present"][d]
-    # docs with no collapse key are never collapsed (reference behaviour:
-    # collapser.cc treats empty keys as always-kept)
     grouped = present & eligible
-    solo = ~grouped  # each of these is its own group
+    solo = ~grouped
     gflag = solo.astype(jnp.int32)
     uniq = jnp.where(grouped, kl, docids)
     order = lax.sort(
@@ -230,8 +280,7 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
     seg: DeviceSegment.arrays_pytree()
     plan: {offsets i32[T], lens i32[T], tconst f32[T], scoring f32[T],
-           group_bits i32[T], fparams i32[F,4], geo_queries [..],
-           extra per phrase}
+           group_bits i32[T], fparams i32[F,4], geo_queries [..]}
     stats: {N f32, avg_doclen f32, doclen_lower f32}
     Returns {docids i32[k], scores f32[k], count i32, ...}.
     """
@@ -244,55 +293,80 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     if cfg.dense:
         return _execute_dense(seg, plan, cfg, cstats, scheme)
 
-    T, L = cfg.T, cfg.L
+    T = cfg.T
+    classes = cfg.term_classes()
     offsets, lens = plan["offsets"], plan["lens"]
-    nd1 = seg["doclen"].shape[0]          # num_docs + 1 (dump row)
+    nd1 = seg["doclen"].shape[0]
 
-    def gather_term(off):
-        ids = lax.dynamic_slice(seg["post_docids"], (off,), (L,))
-        wdf = lax.dynamic_slice(seg["post_wdf"], (off,), (L,))
-        return ids, wdf
+    # The whole hot path is gather-free: contiguous dynamic_slice reads
+    # (postings carry their doc's length denormalised - post_doclen),
+    # elementwise weight math, one docid sort, one segmented scan. TPU
+    # random gathers serialise; sorts and scans stream through the VPU.
+    needs_bits = not (cfg.tree[0] == "G" and not cfg.n_filters
+                      and not cfg.geo_specs and not cfg.phrases)
 
-    ids, wdf = jax.vmap(gather_term)(offsets)               # [T, L]
-    valid = jnp.arange(L)[None, :] < lens[:, None]
-    ids_c = jnp.minimum(ids, nd1 - 1)
-    valid &= ~seg["deleted"][ids_c]
-    doclen = seg["doclen"][ids_c]
+    ids_parts, w_parts, bit_parts = [], [], []
+    for t in range(T):
+        Lt = classes[t]
+        idt = lax.dynamic_slice(seg["post_docids"], (offsets[t],), (Lt,))
+        wdft = lax.dynamic_slice(seg["post_wdf"], (offsets[t],), (Lt,))
+        dlt = lax.dynamic_slice(seg["post_doclen"], (offsets[t],), (Lt,))
+        inlen = jnp.arange(Lt) < lens[t]
+        idt = jnp.where(inlen, idt, SENTINEL)
+        w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
+        w = jnp.where(inlen, w * plan["scoring"][t], 0.0)
+        ids_parts.append(idt)
+        w_parts.append(w)
+        if needs_bits:
+            bit_parts.append(jnp.where(inlen, plan["group_bits"][t], 0))
 
-    w = scheme.sumpart(wdf, doclen, plan["tconst"][:, None], cstats)
-    w = jnp.where(valid, w * plan["scoring"][:, None], 0.0)
-    bits = jnp.where(valid, plan["group_bits"][:, None], 0)
-    ids_flat = jnp.where(valid, ids, SENTINEL).ravel()
-    slots = (offsets[:, None] + jnp.arange(L)[None, :]).ravel()  # posting slot
+    ids_flat = jnp.concatenate(ids_parts)
+    w_flat = jnp.concatenate(w_parts)
 
-    d, wv, bv, sl = lax.sort(
-        (ids_flat, w.ravel(), bits.ravel(), slots), num_keys=1)
-
+    # merge rows of the same doc: docid sort + segmented scan
+    if needs_bits:
+        d, wv, bv = lax.sort((ids_flat, w_flat,
+                              jnp.concatenate(bit_parts)), num_keys=1)
+    else:
+        d, wv = lax.sort((ids_flat, w_flat), num_keys=1)
+        bv = None
     head = jnp.concatenate([jnp.ones((1,), bool), d[1:] != d[:-1]])
-    sums, orbits, _ = _segmented(wv, bv, head)
     tail = jnp.concatenate([d[1:] != d[:-1], jnp.ones((1,), bool)])
+    if needs_bits:
+        sums, orbits, _ = _segmented(wv, bv, head)
+    else:
+        sums, _ = _segmented_sum(wv, head)
+        orbits = None
 
-    d_cand = jnp.minimum(d, nd1 - 1)
-    leaf_fns = {
-        "G": lambda g: (orbits & (1 << g)) != 0,
-        "ALL": lambda: jnp.ones_like(d, dtype=bool),
-    }
-    fres = _gather_filter_leaves(seg, cfg, plan.get("fparams"), d_cand) \
-        if cfg.n_filters else []
-    leaf_fns["F"] = lambda i: fres[i]
-    gres = _gather_geo_leaves(seg, cfg, plan.get("geo_queries"), d_cand) \
-        if cfg.geo_specs else []
-    leaf_fns["GEO"] = lambda i: gres[i]
+    real = d != SENTINEL
+    first = tail & real
+    if cfg.has_deletes:
+        first &= ~seg["deleted"][jnp.minimum(d, nd1 - 1)]
 
-    if cfg.phrases:
-        from xapiand_tpu.ops.phrase import phrase_leaves
+    # predicate leaves + boolean tree (vectorised over rows)
+    if needs_bits:
+        d_cand = jnp.minimum(d, nd1 - 1)
+        leaf_fns = {
+            "G": lambda g: (orbits & (1 << g)) != 0,
+            "ALL": lambda: jnp.ones_like(d, dtype=bool),
+        }
+        fres = _gather_filter_leaves(seg, cfg, plan.get("fparams"), d_cand) \
+            if cfg.n_filters else []
+        leaf_fns["F"] = lambda i: fres[i]
+        gres = _gather_geo_leaves(seg, cfg, plan.get("geo_queries"), d_cand) \
+            if cfg.geo_specs else []
+        leaf_fns["GEO"] = lambda i: gres[i]
+        if cfg.phrases:
+            from xapiand_tpu.ops.phrase import phrase_leaves
 
-        pres = phrase_leaves(seg, plan, cfg, d, tail, orbits)
-        leaf_fns["PH"] = lambda i: pres[i]
+            pres = phrase_leaves(seg, plan, cfg, d, first, orbits)
+            leaf_fns["PH"] = lambda i: pres[i]
+        match = _eval_tree(cfg.tree, leaf_fns)
+        eligible = first & match
+    else:
+        d_cand = jnp.minimum(d, nd1 - 1)
+        eligible = first
 
-    match = _eval_tree(cfg.tree, leaf_fns)
-
-    eligible = tail & match & (d != SENTINEL)
     count = jnp.sum(eligible.astype(jnp.int32))
     out = {"count": count}
     if cfg.with_aggs:
@@ -309,7 +383,7 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
 def _execute_dense(seg, plan, cfg: ExecConfig, cstats, scheme):
     """Dense path for match-all roots (pure value/geo filters or sorts):
-    operate on all docid rows, no posting gathers/sort needed."""
+    operate on all docid rows, no posting gathers needed."""
     nd1 = seg["doclen"].shape[0]
     d = jnp.arange(nd1, dtype=jnp.int32)
     live = (~seg["deleted"]) & (d < nd1 - 1)
@@ -332,9 +406,12 @@ def _execute_dense(seg, plan, cfg: ExecConfig, cstats, scheme):
     if cfg.with_aggs:
         from xapiand_tpu.ops.aggs import compute_aggs
 
-        out["aggs"] = compute_aggs(seg, cfg.with_aggs, d, match, scores, plan)
+        out["aggs"] = compute_aggs(seg, cfg.with_aggs, d, match, scores,
+                                   plan)
     if not cfg.count_only:
-        docids, sc, _ = _rank_and_topk(cfg, seg, d, scores, match)
+        dense_cfg = cfg if cfg.unweighted or cfg.sort else \
+            ExecConfig(**{**cfg.__dict__, "unweighted": True})
+        docids, sc, _ = _rank_and_topk(dense_cfg, seg, d, scores, match)
         out["docids"] = docids
         out["scores"] = sc
     return out

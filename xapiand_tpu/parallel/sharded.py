@@ -79,6 +79,7 @@ def _pad_one(s: Segment, nd_pad, p_pad, pp_pad, all_slots, all_geo, gr_pad):
                                    s.post_docids).astype(np.int32),
                           p_pad, nd_pad)
     ns.post_wdf = pad1(s.post_wdf, p_pad, 0.0)
+    ns.post_doclen = pad1(s.post_doclen, p_pad, 0.0)
     ns.post_posoff = pad1(s.post_posoff, p_pad, 0)
     ns.post_poslen = pad1(s.post_poslen, p_pad, 0)
     ns.positions = pad1(s.positions, pp_pad, 0)
@@ -144,6 +145,7 @@ def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
     out = {
         "post_docids": shard_arr([s.post_docids for s in segments], 1),
         "post_wdf": shard_arr([s.post_wdf for s in segments], 1),
+        "post_doclen": shard_arr([s.post_doclen for s in segments], 1),
         "post_posoff": shard_arr([s.post_posoff for s in segments], 1),
         "post_poslen": shard_arr([s.post_poslen for s in segments], 1),
         "positions": shard_arr([s.positions for s in segments], 1),
@@ -314,17 +316,15 @@ class ShardedIndex:
         q_pad = -(-nq // self.n_dp) * self.n_dp
         cqs = cqs + [cqs[-1]] * (q_pad - nq)
 
+        from xapiand_tpu.query.plan import unify_cfgs
+
         bounds = []
-        cfg = None
         for cq in cqs:
             per_shard = [bind(cq, seg, self.scheme, stats,
                               global_tf=self.global_termfreq, k=k)
                          for seg in self.segments]
             bounds.append(per_shard)
-            for b in per_shard:
-                if cfg is None or b.cfg.L > cfg.L or b.cfg.T > cfg.T:
-                    cfg = b.cfg
-        # uniform L/T across batch: rebind nothing, just pad arrays
+        cfg = unify_cfgs([b.cfg for per in bounds for b in per], k=k)
         T, L = cfg.T, cfg.L
         S = self.n_shards
         offsets = np.zeros((q_pad, S, T), np.int32)
@@ -347,7 +347,6 @@ class ShardedIndex:
             gbits[qi, :t] = b0["group_bits"]
             if n_filters:
                 fparams[qi] = b0["fparams"]
-        cfg = ExecConfig(**{**cfg.__dict__, "T": T, "L": L, "k": k})
 
         key = (cfg, self.scheme.key())
         step = self._step_cache.get(key)

@@ -219,20 +219,20 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
     tconst = np.zeros(T, dtype=np.float32)
     scoring = np.zeros(T, dtype=np.float32)
     group_bits = np.zeros(T, dtype=np.int32)
-    max_len = 1
+    classes = [128] * T   # per-term posting-gather size class
     for i, pt in enumerate(cq.terms):
         ti = seg.get_term(pt.term)
         if ti is not None:
             offsets[i] = ti.offset
             lens[i] = ti.length
-            max_len = max(max_len, ti.length)
+            classes[i] = size_class(max(ti.length, 1))
         tf = global_tf(pt.term)
         if tf > 0 and pt.scoring:
             tconst[i] = scheme.term_constant(stats, tf, pt.wqf, pt.factor)
         scoring[i] = 1.0 if pt.scoring else 0.0
         group_bits[i] = 1 << pt.group
 
-    L = size_class(max_len)
+    L = max(classes)
     nd1 = seg.num_docs + 1
 
     arrays = {
@@ -268,10 +268,13 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
             geo_specs.append((slot, QR, rmax))
         arrays["geo_queries"] = gq
 
-    rows = nd1 if cq.dense else T * L
+    rows = nd1 if cq.dense else sum(classes)
+    unweighted = (getattr(scheme, "name", "") == "bool"
+                  or not any(pt.scoring for pt in cq.terms))
     cfg = ExecConfig(
         T=T, L=L, k=min(k, rows),
         tree=cq.tree,
+        classes=tuple(classes),
         n_filters=len(cq.filters),
         filter_slots=tuple(slot for slot, _, _ in cq.filters),
         geo_specs=tuple(geo_specs),
@@ -283,7 +286,26 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         cand_cap=DEFAULT_CAND_CAP,
         with_aggs=tuple(aggs),
         dense=cq.dense,
+        unweighted=unweighted,
+        has_deletes=bool(seg.deleted.any()),
     )
     if agg_arrays:
         arrays.update(agg_arrays)
     return BoundPlan(cfg=cfg, arrays=arrays)
+
+
+def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
+    """Merge same-structure configs (across a query batch and/or shards)
+    into one shared compilation shape: element-wise max size classes."""
+    T = max(c.T for c in cfgs)
+    classes = [128] * T
+    for c in cfgs:
+        for i, cl in enumerate(c.term_classes()):
+            classes[i] = max(classes[i], cl)
+    base = cfgs[0]
+    return ExecConfig(**{
+        **base.__dict__,
+        "T": T, "classes": tuple(classes), "L": max(classes),
+        "k": k if k is not None else base.k,
+        "has_deletes": any(c.has_deletes for c in cfgs),
+    })

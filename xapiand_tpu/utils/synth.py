@@ -43,6 +43,7 @@ def build_synthetic_segment(n_docs: int, vocab: int = 50_000,
 
     doclen = np.zeros(n_docs + 1, dtype=np.float32)
     doclen[:n_docs] = np.bincount(doc_of, minlength=n_docs).astype(np.float32)
+    post_doclen = doclen[np.minimum(post_docids, n_docs)]
 
     terms = {}
     for tid, off, ln in zip(term_ids, term_starts, term_lens):
@@ -55,8 +56,9 @@ def build_synthetic_segment(n_docs: int, vocab: int = 50_000,
         total_doclen=float(doclen.sum()),
         post_docids=post_docids,
         post_wdf=post_wdf,
-        post_posoff=np.zeros(P, dtype=np.int32),
-        post_poslen=np.zeros(P, dtype=np.int32),
+        post_doclen=post_doclen,
+        post_posoff=np.zeros(1, dtype=np.int32),
+        post_poslen=np.zeros(1, dtype=np.int32),
         positions=np.zeros(128, dtype=np.int32),
         doclen=doclen,
         deleted=np.zeros(n_docs + 1, dtype=bool),
