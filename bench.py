@@ -65,6 +65,11 @@ def cpu_baseline(seg, query_terms, k=K):
     return results
 
 
+def log(msg):
+    import time as _t
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -79,6 +84,7 @@ def main():
     seg = build_synthetic_segment(N_DOCS, VOCAB, seed=7)
     queries = sample_queries(seg, N_QUERIES, TERMS_PER_QUERY, seed=11)
     build_s = time.time() - t0
+    log(f"corpus built in {build_s:.1f}s")
 
     scheme = get_scheme("bm25")
     stats = CollectionStats(doc_count=seg.doc_count,
@@ -89,6 +95,7 @@ def main():
 
     searcher = SegmentSearcher(seg, scheme)
     seg_arrays = searcher.device_segment.arrays_pytree()
+    log("segment uploaded")
 
     bounds = [bind(compile_ir(Q.or_terms(q)), seg, scheme, stats, k=K)
               for q in queries]
@@ -106,16 +113,20 @@ def main():
         }
 
     fn = searcher.batched(cfg)
+    log(f"binding done; classes={cfg.classes}")
     batches = [pad_batch(bounds[i: i + BATCH])
                for i in range(0, len(bounds), BATCH)]
 
     # warmup / compile
+    t0 = time.time()
     out = fn(seg_arrays, batches[0], stats_d)
     jax.block_until_ready(out)
+    log(f"compile+warmup {time.time()-t0:.1f}s")
 
     # recall parity vs the CPU baseline on a sample (BASELINE.md gate)
     sample = min(8, len(queries))
     base = cpu_baseline(seg, queries[:sample])
+    log("cpu baseline sample done")
     dev_docs = np.asarray(out["docids"])[:sample]
     dev_scores = np.asarray(out["scores"])[:sample]
     for qi in range(sample):
@@ -128,12 +139,15 @@ def main():
                               "expect": expect[:10]}), file=sys.stderr)
             raise SystemExit(1)
 
-    # timed runs
+    # timed runs - force a value readback per batch: on the tunneled TPU
+    # backend block_until_ready can return before execution finishes, so
+    # device-to-host transfer is the only honest fence
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        outs = [fn(seg_arrays, b, stats_d) for b in batches]
-        jax.block_until_ready(outs)
+        for b in batches:
+            o = fn(seg_arrays, b, stats_d)
+            float(np.asarray(o["scores"])[0, 0])
     dt = (time.time() - t0) / reps
     qps = len(queries) / dt
 

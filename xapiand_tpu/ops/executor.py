@@ -85,24 +85,43 @@ def _lex_le(ah, al, bh, bl):
     return (ah < bh) | ((ah == bh) & (al <= bl))
 
 
-def _segmented(vals, bits, head):
-    """Segmented (sum, or) over runs delimited by head=True."""
-
-    def comb(a, b):
-        (va, ba, ha), (vb, bb, hb) = a, b
-        v = vb + jnp.where(hb, 0.0, va)
-        o = bb | jnp.where(hb, 0, ba)
-        return v, o, ha | hb
-
-    return lax.associative_scan(comb, (vals, bits, head))
+def _shift_right(x, s, fill):
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
 
 
-def _segmented_sum(vals, head):
-    def comb(a, b):
-        (va, ha), (vb, hb) = a, b
-        return vb + jnp.where(hb, 0.0, va), ha | hb
+def _merge_runs(d, vals, bits, max_run: int):
+    """Per-doc (sum, or) over adjacent equal-docid runs after the sort.
 
-    return lax.associative_scan(comb, (vals, head))
+    A doc appears at most once per query term, so runs are bounded by the
+    static term count: max_run-1 shifted adds replace a log-R segmented
+    scan (lax.associative_scan is both a TPU compile bomb and O(log R)
+    unaligned-shift passes at runtime). Totals are valid at run *tails*.
+    """
+    sums, orb = vals, bits
+    if max_run <= 1:
+        return sums, orb
+    if max_run <= 8:
+        for s in range(1, max_run):
+            same = d == _shift_right(d, s, SENTINEL - 1)
+            sums = sums + jnp.where(same, _shift_right(vals, s, 0.0), 0.0)
+            if bits is not None:
+                orb = orb | jnp.where(same, _shift_right(bits, s, 0), 0)
+        return sums, orb
+    # wide queries (accuracy-cover ORs): log-steps, Hillis-Steele segmented
+    f = jnp.concatenate([jnp.ones((1,), bool), d[1:] != d[:-1]])
+    s = 1
+    n = d.shape[-1]
+    while s < min(n, 2 * max_run):
+        vp = _shift_right(sums, s, 0.0)
+        fp = _shift_right(f, s, True)
+        sums = jnp.where(f, sums, sums + vp)
+        if bits is not None:
+            bp = _shift_right(orb, s, 0)
+            orb = jnp.where(f, orb, orb | bp)
+        f = f | fp
+        s *= 2
+    return sums, orb
 
 
 def lower_bound(a, x, L: int):
@@ -330,13 +349,8 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     else:
         d, wv = lax.sort((ids_flat, w_flat), num_keys=1)
         bv = None
-    head = jnp.concatenate([jnp.ones((1,), bool), d[1:] != d[:-1]])
     tail = jnp.concatenate([d[1:] != d[:-1], jnp.ones((1,), bool)])
-    if needs_bits:
-        sums, orbits, _ = _segmented(wv, bv, head)
-    else:
-        sums, _ = _segmented_sum(wv, head)
-        orbits = None
+    sums, orbits = _merge_runs(d, wv, bv, T)
 
     real = d != SENTINEL
     first = tail & real
