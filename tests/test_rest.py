@@ -1,0 +1,249 @@
+"""REST API conformance tests (the docs_to_postman-style end-to-end HTTP
+suite of the reference, SURVEY.md §4, run in-process)."""
+
+import asyncio
+import json
+import threading
+
+import pytest
+import urllib.request
+import urllib.error
+
+from xapiand_tpu.server.app import IndexManager, create_app
+
+
+class ServerThread:
+    def __init__(self, data_dir=None):
+        self.data_dir = data_dir
+        self.port = None
+        self._loop = None
+        self._started = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        assert self._started.wait(30)
+
+    def _run(self):
+        from aiohttp import web
+
+        async def start():
+            app = create_app(manager=IndexManager(self.data_dir))
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            self.port = runner.addresses[0][1]
+            self._runner = runner
+            self._started.set()
+
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+        self._loop.run_until_complete(start())
+        self._loop.run_forever()
+
+    def stop(self):
+        async def shutdown():
+            await self._runner.cleanup()
+
+        fut = asyncio.run_coroutine_threadsafe(shutdown(), self._loop)
+        fut.result(10)
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(10)
+
+    def req(self, method, path, body=None, headers=None, raw=False):
+        url = f"http://127.0.0.1:{self.port}{path}"
+        data = None
+        headers = dict(headers or {})
+        if body is not None:
+            if isinstance(body, (dict, list)):
+                data = json.dumps(body).encode()
+                headers.setdefault("Content-Type", "application/json")
+            else:
+                data = body
+        r = urllib.request.Request(url, data=data, method=method,
+                                   headers=headers)
+        try:
+            with urllib.request.urlopen(r, timeout=600) as resp:
+                payload = resp.read()
+                status = resp.status
+                ct = resp.headers.get("Content-Type", "")
+        except urllib.error.HTTPError as e:
+            payload = e.read()
+            status = e.code
+            ct = e.headers.get("Content-Type", "")
+        if raw:
+            return status, payload, ct
+        out = json.loads(payload) if payload and "json" in ct else payload
+        return status, out, ct
+
+
+@pytest.fixture(scope="module")
+def srv(tmp_path_factory):
+    s = ServerThread(str(tmp_path_factory.mktemp("rest-data")))
+    yield s
+    s.stop()
+
+
+def test_server_info(srv):
+    status, out, _ = srv.req("GET", "/")
+    assert status == 200
+    assert out["name"] == "xapiand-tpu" and "version" in out
+
+
+def test_document_crud(srv):
+    status, out, _ = srv.req("PUT", "/books/1",
+                             {"title": "Moby Dick", "price": 12})
+    assert status == 200 and out["_id"] == "1"
+    status, out, _ = srv.req("POST", "/books/", {"title": "Auto Id"})
+    assert status == 201 and out["_id"]
+    auto_id = out["_id"]
+    srv.req("POST", "/books/:commit")
+    status, out, _ = srv.req("GET", "/books/1")
+    assert status == 200 and out["title"] == "Moby Dick"
+    status, out, _ = srv.req("GET", f"/books/{auto_id}")
+    assert status == 200
+    status, out, _ = srv.req("DELETE", f"/books/{auto_id}?commit")
+    assert status == 200
+    status, out, _ = srv.req("GET", f"/books/{auto_id}")
+    assert status == 404
+    status, out, _ = srv.req("GET", "/books/nope")
+    assert status == 404
+
+
+def test_search_and_count(srv):
+    for i, (title, price) in enumerate([("white whale hunt", 10),
+                                        ("whale songs", 25),
+                                        ("desert planet", 40)]):
+        srv.req("PUT", f"/lib/{i}", {"title": title, "price": price})
+    srv.req("POST", "/lib/:commit")
+    status, out, _ = srv.req("POST", "/lib/:search",
+                             {"_query": {"title": "whale"}})
+    assert status == 200
+    assert out["total"] == 2
+    assert all("_score" in h and "_id" in h for h in out["hits"])
+    # query-string search
+    status, out, _ = srv.req("GET", "/lib/:search?q=title:whale")
+    assert status == 200 and out["total"] == 2
+    # range + sort
+    status, out, _ = srv.req("POST", "/lib/:search", {
+        "_query": {"price": {"_from": 20}},
+        "_sort": [{"price": {"_order": "desc"}}]})
+    assert [h["_id"] for h in out["hits"]] == ["2", "1"]
+    # count
+    status, out, _ = srv.req("POST", "/lib/:count",
+                             {"_query": {"title": "whale"}})
+    assert out["count"] == 2
+    # custom verb
+    status, out, _ = srv.req("SEARCH", "/lib/",
+                             {"_query": {"title": "whale"}})
+    assert status == 200 and out["total"] == 2
+
+
+def test_aggregations_via_rest(srv):
+    for i in range(6):
+        srv.req("PUT", f"/shop/{i}",
+                {"price": 10 * (i + 1), "cat": ["a", "b", "c"][i % 3]})
+    srv.req("POST", "/shop/:commit")
+    status, out, _ = srv.req("POST", "/shop/:search", {
+        "_query": {"_match_all": {}}, "_limit": 0,
+        "_aggs": {"avg_price": {"_avg": {"_field": "price"}},
+                  "cats": {"_terms": {"_field": "cat"}}}})
+    assert status == 200
+    assert out["aggregations"]["avg_price"]["_avg"] == 35.0
+    cats = {b["_key"]: b["_doc_count"]
+            for b in out["aggregations"]["cats"]}
+    assert cats == {"a": 2, "b": 2, "c": 2}
+
+
+def test_patch_and_update(srv):
+    srv.req("PUT", "/p/1", {"a": {"b": 1}, "tags": ["x"]})
+    status, out, _ = srv.req("PATCH", "/p/1", [
+        {"op": "replace", "path": "/a/b", "value": 9},
+        {"op": "add", "path": "/tags/-", "value": "y"}])
+    assert status == 200
+    _, doc, _ = srv.req("GET", "/p/1")
+    assert doc["a"]["b"] == 9 and doc["tags"] == ["x", "y"]
+    status, out, _ = srv.req("UPDATE", "/p/1", {"a": {"c": 2}})
+    assert status == 200
+    _, doc, _ = srv.req("GET", "/p/1")
+    assert doc["a"] == {"b": 9, "c": 2}
+
+
+def test_store_blob_roundtrip(srv):
+    srv.req("PUT", "/m/1", {"name": "img"})
+    payload = b"\x89PNGfakebytes" * 100
+    status, out, _ = srv.req("STORE", "/m/1", payload,
+                             headers={"Content-Type": "image/png"})
+    assert status == 200 and out["#stored"] == "image/png"
+
+
+def test_metadata_info_check_wal(srv):
+    srv.req("PUT", "/meta-idx/1", {"x": 1}, headers={})
+    srv.req("POST", "/meta-idx/:commit")
+    status, out, _ = srv.req("PUT", "/meta-idx/:metadata",
+                             {"owner": "tests", "n": 3})
+    assert status == 200
+    status, out, _ = srv.req("GET", "/meta-idx/:metadata")
+    assert out["owner"] == "tests" and out["n"] == 3
+    status, out, _ = srv.req("GET", "/meta-idx/:info")
+    assert out["doc_count"] == 1 and out["revision"] >= 1
+    status, out, _ = srv.req("GET", "/meta-idx/:check")
+    assert out["ok"] is True
+    status, out, _ = srv.req("GET", "/meta-idx/:wal")
+    ops = [l["op"] for l in out["wal"]]
+    assert "replace_document" in ops and "commit" in ops
+
+
+def test_dump_restore_roundtrip(srv):
+    for i in range(5):
+        srv.req("PUT", f"/src-idx/{i}", {"n": i})
+    srv.req("POST", "/src-idx/:commit")
+    status, out, _ = srv.req("GET", "/src-idx/:dump")
+    docs = out["#dump"]
+    assert len(docs) == 5
+    status, out, _ = srv.req("POST", "/dst-idx/:restore", docs)
+    assert out["#restored"] == 5
+    status, out, _ = srv.req("GET", "/dst-idx/:info")
+    assert out["doc_count"] == 5
+
+
+def test_msgpack_negotiation(srv):
+    import msgpack
+
+    body = msgpack.packb({"title": "binary doc"})
+    status, out, ct = srv.req(
+        "PUT", "/neg/1", body,
+        headers={"Content-Type": "application/x-msgpack",
+                 "Accept": "application/x-msgpack"}, raw=True)
+    assert status == 200 and "msgpack" in ct
+    assert msgpack.unpackb(out)["_id"] == "1"
+    # yaml out
+    status, out, ct = srv.req("GET", "/neg/1",
+                              headers={"Accept": "application/yaml"},
+                              raw=True)
+    assert status == 200 and "yaml" in ct
+    import yaml
+
+    assert yaml.safe_load(out)["title"] == "binary doc"
+
+
+def test_metrics_endpoint(srv):
+    status, out, ct = srv.req("GET", "/:metrics", raw=True)
+    assert status == 200
+    assert b"xapiand_operations" in out
+
+
+def test_error_shapes(srv):
+    status, out, _ = srv.req("GET", "/no-such-index/:info")
+    assert status == 404 and "#message" in out["#error"]
+    status, out, _ = srv.req("PUT", "/bad%20name%21/1", {"a": 1})
+    assert status == 400
+    status, out, _ = srv.req("POST", "/lib/:search", {"_query": {"_bogus": 1}})
+    assert status == 400
+
+
+def test_index_delete(srv):
+    srv.req("PUT", "/tmp-idx/1", {"a": 1})
+    status, out, _ = srv.req("DELETE", "/tmp-idx/")
+    assert status == 200
+    status, out, _ = srv.req("GET", "/tmp-idx/:info")
+    assert status == 404

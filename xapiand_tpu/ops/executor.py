@@ -396,14 +396,47 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
 
 def _execute_dense(seg, plan, cfg: ExecConfig, cstats, scheme):
-    """Dense path for match-all roots (pure value/geo filters or sorts):
-    operate on all docid rows, no posting gathers needed."""
+    """Dense path for match-all roots: pure value/geo filters, sorts, and
+    NOT-style queries (AND_NOT(match_all, x)). Term leaves are supported
+    via dense scatter masks - correct but gather/scatter-bound, used only
+    when the query's semantics force enumerating all docs."""
     nd1 = seg["doclen"].shape[0]
     d = jnp.arange(nd1, dtype=jnp.int32)
     live = (~seg["deleted"]) & (d < nd1 - 1)
 
+    group_masks: dict = {}
+    scores = jnp.zeros_like(seg["doclen"])
+    if cfg.T and "offsets" in plan:
+        classes = cfg.term_classes()
+        for t in range(cfg.T):
+            Lt = classes[t]
+            idt = lax.dynamic_slice(seg["post_docids"],
+                                    (plan["offsets"][t],), (Lt,))
+            inlen = jnp.arange(Lt) < plan["lens"][t]
+            idt = jnp.where(inlen, idt, nd1 - 1)
+            gbit = plan["group_bits"][t]
+            # group_bits is a power of two per term; masks merge per group
+            # inside group_leaf below
+            mask = jnp.zeros(nd1, bool).at[idt].max(inlen)
+            key = ("bits", int(t))
+            group_masks[key] = (gbit, mask)
+            wdft = lax.dynamic_slice(seg["post_wdf"],
+                                     (plan["offsets"][t],), (Lt,))
+            dlt = lax.dynamic_slice(seg["post_doclen"],
+                                    (plan["offsets"][t],), (Lt,))
+            w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
+            w = jnp.where(inlen, w * plan["scoring"][t], 0.0)
+            scores = scores.at[idt].add(w)
+        scores = scores.at[nd1 - 1].set(0.0)
+
+    def group_leaf(g):
+        out = jnp.zeros(nd1, bool)
+        for gbit, mask in group_masks.values():
+            out = out | jnp.where(gbit == (1 << g), mask, False)
+        return out & live
+
     leaf_fns = {
-        "G": lambda g: jnp.zeros_like(live),  # no term leaves on dense path
+        "G": group_leaf,
         "ALL": lambda: live,
     }
     fres = _gather_filter_leaves(seg, cfg, plan.get("fparams"), d) \
@@ -414,7 +447,6 @@ def _execute_dense(seg, plan, cfg: ExecConfig, cstats, scheme):
     leaf_fns["GEO"] = lambda i: gres[i]
 
     match = _eval_tree(cfg.tree, leaf_fns) & live
-    scores = jnp.zeros_like(seg["doclen"])
     count = jnp.sum(match.astype(jnp.int32))
     out = {"count": count}
     if cfg.with_aggs:

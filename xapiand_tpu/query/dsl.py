@@ -102,6 +102,21 @@ class QueryDSL:
             return Q.and_(*[Q.term(t, factor=factor) for t in terms])
         return Q.or_terms(terms, factor=factor)
 
+    def text_phrase(self, text: str, factor: float = 1.0) -> Q:
+        """Quoted phrase over the global (unprefixed, unstemmed) namespace."""
+        toks = [t.text for t in tokenize(text)]
+        if not toks:
+            return Q.match_none()
+        if len(toks) == 1:
+            return Q.term(toks[0], factor=factor)
+        return Q.phrase(toks, factor=factor)
+
+    def parse_string(self, text: str) -> Q:
+        """?q= string syntax (booleanParser + field_parser analog)."""
+        from xapiand_tpu.query.boolparser import BoolParser
+
+        return BoolParser(self).parse(text)
+
     # -- field leaves -----------------------------------------------------------
 
     def field_query(self, path: str, value, factor: float = 1.0) -> Q:

@@ -80,10 +80,10 @@ def _qr_bucket(n: int) -> int:
 def compile_ir(ir: Q) -> CompiledQuery:
     cq = CompiledQuery()
     cq.tree = _walk(cq, ir, scoring=True, generative=True, factor=1.0)
-    if not cq.terms:
+    if not cq.terms or _contains_generative_all(cq.tree):
+        # no candidate-generating terms, or a generative match_all
+        # (e.g. NOT x): evaluate over the dense doc axis
         cq.dense = True
-    elif _contains_generative_all(cq.tree):
-        raise PlanError("OR with match_all alongside terms is not supported")
     return cq
 
 

@@ -1,0 +1,40 @@
+"""CLI entry point: ``python -m xapiand_tpu.server``.
+
+Reference parity target: src/main.cc / src/opts.cc (TCLAP flags) - the
+operationally relevant subset via argparse.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="xapiand-tpu",
+        description="TPU-native distributed search & storage engine")
+    p.add_argument("--bind", default="0.0.0.0", help="listen address")
+    p.add_argument("--port", type=int, default=8880,
+                   help="HTTP port (reference default 8880)")
+    p.add_argument("--data-dir", default="./data",
+                   help="index data directory (WAL + volumes)")
+    p.add_argument("--scheme", default="bm25",
+                   help="default weighting scheme")
+    p.add_argument("--verbosity", "-v", action="count", default=0)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbosity else logging.INFO,
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s")
+
+    from aiohttp import web
+
+    from xapiand_tpu.server.app import IndexManager, create_app
+
+    app = create_app(manager=IndexManager(args.data_dir, scheme=args.scheme))
+    web.run_app(app, host=args.bind, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,475 @@
+"""The REST application: index/document CRUD, search, admin views.
+
+Reference parity target: src/server/http_client.cc - the dispatch table
+(1034-1219) and views (http_client.h:321-351): document CRUD + PATCH/
+UPDATE/STORE, SEARCH/COUNT, INFO, METADATA, COMMIT, DUMP/RESTORE, CHECK,
+WAL, :metrics, plus command-style paths (``GET /idx/:search``,
+http_client.cc:1013-1032). Custom verbs (SEARCH, COUNT, ...) are accepted
+as well as their command-path forms.
+
+Per-request timing lands in the response (#took) and in Prometheus
+summaries (xapiand_operations_summary analog, src/metrics.cc).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import re
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from xapiand_tpu import __version__
+from xapiand_tpu.database import Database, DocumentNotFound
+from xapiand_tpu.query.dsl import QueryDSL, QueryDSLError, parse_sort
+from xapiand_tpu.server import negotiation as neg
+from xapiand_tpu.utils.patcher import PatchError, apply_patch
+
+try:
+    from prometheus_client import (CollectorRegistry, Counter, Summary,
+                                   generate_latest)
+except ImportError:  # pragma: no cover
+    CollectorRegistry = None
+
+_SAFE_SEG = re.compile(r"^[\w.\-]+$", re.UNICODE)
+
+CUSTOM_METHODS = ("SEARCH", "COUNT", "INFO", "COMMIT", "DUMP", "RESTORE",
+                  "CHECK", "UPDATE", "MERGE", "STORE", "OPEN", "CLOSE",
+                  "FLUSH")
+
+
+class ApiError(web.HTTPException):
+    def __init__(self, status: int, message: str):
+        self.status_code = status
+        super().__init__(text=message)
+
+
+class IndexManager:
+    """Open-index registry (DatabasePool/XapiandManager-lite for one node)."""
+
+    def __init__(self, data_dir: Optional[str] = None, scheme: str = "bm25"):
+        self.data_dir = data_dir
+        self.scheme = scheme
+        self.indexes: dict[str, Database] = {}
+        if data_dir:
+            os.makedirs(data_dir, exist_ok=True)
+            for name in sorted(os.listdir(data_dir)):
+                if os.path.isdir(os.path.join(data_dir, name, "wal")):
+                    self.indexes[name.replace("%2F", "/")] = None  # lazy
+
+    def _path_for(self, name: str) -> Optional[str]:
+        if self.data_dir is None:
+            return None
+        return os.path.join(self.data_dir, name.replace("/", "%2F"))
+
+    def validate(self, name: str):
+        for seg in name.split("/"):
+            if not seg or not _SAFE_SEG.match(seg) or seg.startswith(":"):
+                raise ApiError(400, f"invalid index name {name!r}")
+
+    def get(self, name: str, create: bool = False) -> Database:
+        self.validate(name)
+        db = self.indexes.get(name)
+        if db is None:
+            if name not in self.indexes and not create:
+                raise ApiError(404, f"index {name!r} not found")
+            db = Database(path=self._path_for(name), scheme=self.scheme)
+            self.indexes[name] = db
+        return db
+
+    def exists(self, name: str) -> bool:
+        return name in self.indexes
+
+    def delete(self, name: str):
+        db = self.indexes.pop(name, None)
+        if db is None:
+            raise ApiError(404, f"index {name!r} not found")
+        db.close()
+        path = self._path_for(name)
+        if path and os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+
+    def close(self):
+        for db in self.indexes.values():
+            if db is not None:
+                db.close()
+
+
+def parse_path(path: str):
+    """'/a/b/:search' -> ('a/b', None, 'search'); '/a/b/1' -> ('a/b','1',None).
+
+    ≙ PathParser (src/url_parser.h:68-102) minus drill selectors."""
+    parts = [p for p in path.split("/") if p]
+    cmd = None
+    if parts and parts[-1].startswith(":"):
+        cmd = parts[-1][1:].lower()
+        parts = parts[:-1]
+    return "/".join(parts), cmd
+
+
+class RestServer:
+    def __init__(self, manager: IndexManager):
+        self.man = manager
+        self.started = time.time()
+        if CollectorRegistry is not None:
+            self.registry = CollectorRegistry()
+            self.op_count = Counter(
+                "xapiand_operations_total", "operations",
+                ["operation"], registry=self.registry)
+            self.op_summary = Summary(
+                "xapiand_operations_summary", "operation seconds",
+                ["operation"], registry=self.registry)
+        else:  # pragma: no cover
+            self.registry = None
+
+    # -- plumbing --------------------------------------------------------------
+
+    async def handle(self, request: web.Request) -> web.Response:
+        t0 = time.time()
+        try:
+            obj, status = await self._dispatch(request)
+        except ApiError as e:
+            obj, status = {"#error": {"#message": e.text,
+                                      "#code": e.status_code}}, e.status_code
+        except (QueryDSLError, PatchError, ValueError) as e:
+            obj, status = {"#error": {"#message": str(e), "#code": 400}}, 400
+        except DocumentNotFound as e:
+            obj, status = {"#error": {"#message": f"document not found: {e}",
+                                      "#code": 404}}, 404
+        took = time.time() - t0
+        if isinstance(obj, dict):
+            obj.setdefault("#took", round(took * 1000, 3))
+        if isinstance(obj, web.Response):
+            return obj
+        ct = neg.pick_accept(request.headers.get("Accept"),
+                             request.headers.get("Content-Type"))
+        pretty = "pretty" in request.query
+        body = neg.encode_body(obj, ct, pretty=pretty)
+        return web.Response(body=body, status=status, content_type=ct,
+                            headers={"Operation-Time": f"{took:.6f}"})
+
+    def _observe(self, op: str, t0: float):
+        if self.registry is not None:
+            self.op_count.labels(op).inc()
+            self.op_summary.labels(op).observe(time.time() - t0)
+
+    async def _body(self, request):
+        raw = await request.read()
+        return neg.decode_body(raw, request.headers.get("Content-Type"))
+
+    # -- dispatch (≙ http_client.cc:1034-1219) -----------------------------------
+
+    async def _dispatch(self, request: web.Request):
+        t0 = time.time()
+        method = request.method.upper()
+        index, cmd = parse_path(request.path)
+        # trailing slash = the path names an index, not a document
+        # (PathParser-style disambiguation, url_parser.h)
+        trailing = request.path != "/" and request.path.endswith("/")
+        doc_id = None
+        if cmd is None and index and not trailing and method in (
+                "PUT", "PATCH", "GET", "HEAD", "DELETE", "UPDATE", "MERGE",
+                "STORE"):
+            parts = index.split("/")
+            if len(parts) >= 2:
+                index, doc_id = "/".join(parts[:-1]), parts[-1]
+            elif method in ("PUT", "PATCH", "STORE"):
+                raise ApiError(400, "document id required (use /index/id)")
+
+        if not index and cmd is None:
+            if method in ("GET", "HEAD"):
+                return self._server_info(), 200
+            raise ApiError(405, "method not allowed on /")
+        if not index and cmd == "metrics":
+            return await self._metrics(request)
+
+        # command views
+        if cmd is not None:
+            return await self._command(request, method, index, cmd, t0)
+
+        # method views
+        if method in ("SEARCH",):
+            return await self._search(request, index, t0)
+        if method == "COUNT":
+            return await self._count(request, index, t0)
+        if method == "INFO":
+            return self._info(index), 200
+        if method == "COMMIT":
+            return self._commit(index), 200
+        if method == "DUMP":
+            return await self._dump(request, index)
+        if method == "RESTORE":
+            return await self._restore(request, index, t0)
+        if method == "CHECK":
+            return self.man.get(index).check(), 200
+        if method == "POST" and doc_id is None:
+            return await self._write_doc(request, index, None, t0)
+        if method == "PUT":
+            return await self._write_doc(request, index, doc_id, t0)
+        if method == "PATCH":
+            return await self._patch_doc(request, index, doc_id, t0)
+        if method in ("UPDATE", "MERGE"):
+            return await self._update_doc(request, index, doc_id, t0)
+        if method == "STORE":
+            return await self._store_blob(request, index, doc_id)
+        if method in ("GET", "HEAD") and doc_id is not None:
+            return self._get_doc(request, index, doc_id, head=method == "HEAD")
+        if method in ("GET", "HEAD"):
+            return self._info(index), 200
+        if method == "DELETE":
+            if doc_id is not None:
+                return self._delete_doc(request, index, doc_id, t0)
+            self.man.delete(index)
+            return {"#deleted": index}, 200
+        raise ApiError(405, f"method {method} not supported here")
+
+    async def _command(self, request, method, index, cmd, t0):
+        if cmd == "search":
+            return await self._search(request, index, t0)
+        if cmd == "count":
+            return await self._count(request, index, t0)
+        if cmd == "info":
+            return self._info(index), 200
+        if cmd == "schema":
+            return self.man.get(index).schema.to_dict(), 200
+        if cmd == "metadata":
+            return await self._metadata(request, method, index)
+        if cmd == "commit":
+            return self._commit(index), 200
+        if cmd == "dump":
+            return await self._dump(request, index)
+        if cmd == "restore":
+            return await self._restore(request, index, t0)
+        if cmd == "check":
+            return self.man.get(index).check(), 200
+        if cmd == "wal":
+            db = self.man.get(index)
+            if db.wal is None:
+                raise ApiError(400, "index has no WAL (in-memory)")
+            frm = int(request.query.get("from", 0))
+            return {"wal": db.wal.repr_wal(from_revision=frm)}, 200
+        if cmd == "merge":
+            n = self.man.get(index).merge_segments()
+            return {"#merged": n}, 200
+        if cmd == "update":
+            parts = index.split("/")
+            return await self._update_doc(request, "/".join(parts[:-1]),
+                                          parts[-1], t0)
+        if cmd == "store":
+            parts = index.split("/")
+            return await self._store_blob(request, "/".join(parts[:-1]),
+                                          parts[-1])
+        raise ApiError(404, f"unknown command :{cmd}")
+
+    # -- views ---------------------------------------------------------------------
+
+    def _server_info(self):
+        import jax
+
+        return {
+            "name": "xapiand-tpu",
+            "cluster_name": "xapiand-tpu",
+            "version": __version__,
+            "uptime": round(time.time() - self.started, 1),
+            "indexes": sorted(self.man.indexes),
+            "devices": [str(d) for d in jax.devices()],
+        }
+
+    async def _metrics(self, request):
+        if self.registry is None:  # pragma: no cover
+            raise ApiError(501, "prometheus_client unavailable")
+        body = generate_latest(self.registry)
+        return web.Response(body=body,
+                            content_type="text/plain"), 200
+
+    async def _write_doc(self, request, index, doc_id, t0):
+        body = await self._body(request)
+        if not isinstance(body, dict):
+            raise ApiError(400, "document body must be an object")
+        db = self.man.get(index, create=True)
+        commit = "commit" in request.query
+        did = db.index_document(body, doc_id=doc_id, commit=commit)
+        self._observe("index", t0)
+        return {"_id": did, "#commit": commit}, 200 if doc_id else 201
+
+    async def _patch_doc(self, request, index, doc_id, t0):
+        patch = await self._body(request)
+        db = self.man.get(index)
+        doc = db.get_document(doc_id)
+        new = apply_patch(doc, patch)
+        db.index_document(new, doc_id=doc_id,
+                          commit="commit" in request.query)
+        self._observe("patch", t0)
+        return {"_id": doc_id}, 200
+
+    async def _update_doc(self, request, index, doc_id, t0):
+        body = await self._body(request)
+        if not isinstance(body, dict):
+            raise ApiError(400, "update body must be an object")
+        db = self.man.get(index, create=True)
+        try:
+            doc = db.get_document(doc_id)
+        except DocumentNotFound:
+            doc = {}
+        merged = _deep_merge(doc, body)
+        db.index_document(merged, doc_id=doc_id,
+                          commit="commit" in request.query)
+        self._observe("update", t0)
+        return {"_id": doc_id}, 200
+
+    def _get_doc(self, request, index, doc_id, head=False):
+        db = self.man.get(index)
+        doc = dict(db.get_document(doc_id))
+        if head:
+            return web.Response(status=200), 200
+        doc["_id"] = doc_id
+        return doc, 200
+
+    def _delete_doc(self, request, index, doc_id, t0):
+        db = self.man.get(index)
+        db.delete_document(doc_id, commit="commit" in request.query)
+        self._observe("delete", t0)
+        return {"_id": doc_id, "#deleted": True}, 200
+
+    async def _store_blob(self, request, index, doc_id):
+        db = self.man.get(index)
+        ct = request.headers.get("Content-Type",
+                                 "application/octet-stream").split(";")[0]
+        raw = await request.read()
+        db.store_blob(doc_id, ct, raw)
+        return {"_id": doc_id, "#stored": ct, "#size": len(raw)}, 200
+
+    def _info(self, index):
+        db = self.man.get(index)
+        return db.info()
+
+    def _commit(self, index):
+        db = self.man.get(index)
+        rev = db.commit()
+        return {"#revision": rev}
+
+    async def _dump(self, request, index):
+        db = self.man.get(index)
+        docs = list(db.dump_documents())
+        ct = neg.pick_accept(request.headers.get("Accept"), None)
+        if ct == neg.CT_NDJSON:
+            return web.Response(body=neg.encode_body(docs, ct),
+                                content_type=ct), 200
+        return {"#dump": docs}, 200
+
+    async def _restore(self, request, index, t0):
+        body = await self._body(request)
+        if isinstance(body, dict) and "#dump" in body:
+            body = body["#dump"]
+        if not isinstance(body, list):
+            raise ApiError(400, "restore expects a list of documents")
+        db = self.man.get(index, create=True)
+        n = db.restore_documents(body)
+        self._observe("restore", t0)
+        return {"#restored": n}, 200
+
+    async def _search(self, request, index, t0):
+        db = self.man.get(index)
+        body = await self._body(request) if request.can_read_body else None
+        body = body or {}
+        q = request.query.get("q")
+        dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
+        if q is not None:
+            ir = dsl.parse_string(q)
+        else:
+            ir = dsl.parse(body.get("_query", body.get("query",
+                                                       {"_match_all": {}})))
+        k = int(request.query.get("limit", body.get("_limit", 10)))
+        offset = int(request.query.get("offset", body.get("_offset", 0)))
+        sort = parse_sort(db.schema, body.get("_sort"))
+        aggs = body.get("_aggs") or body.get("_aggregations")
+        collapse_slot = None
+        collapse = body.get("_collapse")
+        if collapse:
+            field = collapse.get("_field") if isinstance(collapse, dict) \
+                else collapse
+            spec = db.schema.get_field(str(field))
+            if spec.slot is None:
+                raise ApiError(400, f"cannot collapse on {field!r}")
+            collapse_slot = spec.slot
+        res = db.search(ir, k=k, offset=offset, sort=sort,
+                        collapse_slot=collapse_slot, aggs=aggs)
+        hits = []
+        for h in res.hits:
+            doc = dict(h.data)
+            doc["_id"] = h.id
+            doc["_score"] = h.score
+            doc["_rank"] = h.rank
+            hits.append(doc)
+        out = {"total": res.total, "count": len(hits), "hits": hits}
+        if res.aggregations is not None:
+            out["aggregations"] = res.aggregations
+        self._observe("search", t0)
+        return out, 200
+
+    async def _count(self, request, index, t0):
+        db = self.man.get(index)
+        body = await self._body(request) if request.can_read_body else None
+        body = body or {}
+        q = request.query.get("q")
+        dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
+        ir = dsl.parse_string(q) if q is not None else \
+            dsl.parse(body.get("_query", {"_match_all": {}}))
+        n = db.count(ir)
+        self._observe("count", t0)
+        return {"count": n}, 200
+
+    async def _metadata(self, request, method, index):
+        db = self.man.get(index)
+        if method in ("GET", "HEAD"):
+            key = request.query.get("key")
+            if key:
+                val = db.get_metadata(key)
+                if val is None:
+                    raise ApiError(404, f"metadata {key!r} not found")
+                return {key: val}, 200
+            return {k: db.get_metadata(k) for k in db.metadata_keys()}, 200
+        if method in ("PUT", "POST", "UPDATE"):
+            body = await self._body(request)
+            if not isinstance(body, dict):
+                raise ApiError(400, "metadata body must be an object")
+            for k, v in body.items():
+                db.set_metadata(k, v)
+            return {"#updated": sorted(body)}, 200
+        raise ApiError(405, "unsupported metadata method")
+
+
+def _deep_merge(base: dict, update: dict) -> dict:
+    out = dict(base)
+    for k, v in update.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def create_app(data_dir: Optional[str] = None,
+               manager: Optional[IndexManager] = None) -> web.Application:
+    man = manager or IndexManager(data_dir)
+    server = RestServer(man)
+    app = web.Application(client_max_size=256 * 1024 * 1024)
+    app["manager"] = man
+    app["server"] = server
+    methods = ["GET", "HEAD", "POST", "PUT", "DELETE", "PATCH"] + \
+        list(CUSTOM_METHODS)
+    for m in methods:
+        try:
+            app.router.add_route(m, "/{tail:.*}", server.handle)
+        except (ValueError, RuntimeError):  # pragma: no cover
+            pass
+
+    async def on_cleanup(app):
+        man.close()
+
+    app.on_cleanup.append(on_cleanup)
+    return app
