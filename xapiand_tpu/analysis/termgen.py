@@ -32,6 +32,26 @@ STOP_STEMMED = "stemmed"
 MAX_TERM_LENGTH = 245  # bytes; longer words are dropped (glass key limit)
 
 
+class _Tok:
+    __slots__ = ("text", "position")
+
+    def __init__(self, text, position):
+        self.text = text
+        self.position = position
+
+
+def _tokens(text: str, cjk_ngram: bool):
+    """Native ASCII fast path (xapiand_tpu/native), Python Unicode fallback."""
+    if text.isascii():
+        from xapiand_tpu.native import lib
+
+        if lib is not None:
+            toks = lib.tokenize_ascii(text)
+            if toks is not None:
+                return [_Tok(t, p) for t, p in toks]
+    return tokenize(text, cjk_ngram=cjk_ngram)
+
+
 @dataclass
 class TermEntry:
     wdf: int = 0
@@ -83,7 +103,7 @@ class TermGenerator:
                    prefix: str = "", with_positions: bool = True) -> None:
         base = self.position
         last_pos = -1
-        for tok in tokenize(text, cjk_ngram=self.cjk_ngram):
+        for tok in _tokens(text, self.cjk_ngram):
             word = tok.text
             if not word or len(word.encode("utf-8")) > MAX_TERM_LENGTH:
                 continue
@@ -117,13 +137,17 @@ class TermGenerator:
 
     def index_query_text(self, text: str) -> list[str]:
         """Terms a plain-text query would match against (stemmed forms under
-        STEM_SOME, as the query parser generates Z-terms)."""
+        STEM_SOME, as the query parser generates Z-terms). If stopping would
+        drop every term, the unstemmed forms are used instead - those ARE
+        indexed under STEM_SOME, so an all-stopword query still matches."""
         out = []
+        stopped = []
         for tok in tokenize(text, cjk_ngram=self.cjk_ngram):
             w = tok.text
             if not w:
                 continue
             if w in self.stopwords:
+                stopped.append(w)
                 continue
             if self.stem_strategy in (STEM_SOME, STEM_ALL_Z) and self._stemmable(w):
                 out.append("Z" + self.stem(w))
@@ -131,4 +155,6 @@ class TermGenerator:
                 out.append(self.stem(w))
             else:
                 out.append(w)
+        if not out and stopped and self.stem_strategy in (STEM_SOME, STEM_NONE):
+            return stopped
         return out
