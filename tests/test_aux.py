@@ -1,0 +1,129 @@
+"""Aux subsystem tests: string metrics, phonetic, scripting, similar-doc
+search, spelling suggestions (mirrors oldtests/test_string_metric.cc,
+test_phonetic.cc + scripting/expand docs behaviour)."""
+
+import pytest
+
+from xapiand_tpu.database import Database
+from xapiand_tpu.utils import phonetic, strmetrics
+from xapiand_tpu.utils.scripting import ScriptError, compile_script
+
+
+# --- string metrics -----------------------------------------------------------
+
+def test_levenshtein():
+    assert strmetrics.levenshtein("kitten", "sitting") == 3
+    assert strmetrics.levenshtein("", "abc") == 3
+    assert strmetrics.levenshtein("abc", "abc") == 0
+    assert strmetrics.levenshtein_similarity("abc", "abc") == 1.0
+
+
+def test_jaro_winkler():
+    assert strmetrics.jaro("martha", "marhta") == pytest.approx(0.9444, abs=1e-3)
+    assert strmetrics.jaro_winkler("martha", "marhta") == pytest.approx(
+        0.9611, abs=1e-3)
+    assert strmetrics.jaro("abc", "xyz") == 0.0
+
+
+def test_dice_jaccard_lcs():
+    assert strmetrics.sorensen_dice("night", "nacht") == pytest.approx(0.25)
+    assert strmetrics.jaccard("abc", "abd") == pytest.approx(0.5)
+    assert strmetrics.lcs_length("AGCAT", "GAC") == 2
+    assert strmetrics.lcs_substr_length("abcdxyz", "xyzabcd") == 4
+    assert strmetrics.similarity("color", "colour", "jaro_winkler") > 0.9
+
+
+# --- phonetic -------------------------------------------------------------------
+
+def test_soundex_english():
+    assert phonetic.soundex("Robert") == "R163"
+    assert phonetic.soundex("Rupert") == "R163"
+    assert phonetic.soundex("Tymczak") == "T522"
+    assert phonetic.soundex("Honeyman") == "H555"
+    assert phonetic.soundex("Pfister") == "P236"
+
+
+def test_soundex_languages_and_similarity():
+    assert phonetic.soundex("Müller", "de")
+    assert phonetic.soundex_similarity("Smith", "Smyth") == 1.0
+    assert phonetic.soundex_similarity("Smith", "Jones") < 0.8
+
+
+# --- scripting --------------------------------------------------------------------
+
+def test_script_basic_mutation():
+    s = compile_script("doc['n'] = doc.get('n', 0) + 1")
+    out = s.run({"n": 5})
+    assert out["n"] == 6
+
+
+def test_script_uses_old_doc():
+    s = compile_script(
+        "doc['views'] = old.get('views', 0) + 1\n"
+        "doc['tags'] = sorted(set(old.get('tags', []) + doc.get('tags', [])))")
+    out = s.run({"tags": ["b"]}, old={"views": 3, "tags": ["a"]})
+    assert out["views"] == 4 and out["tags"] == ["a", "b"]
+
+
+def test_script_forbidden_constructs():
+    for bad in ("import os", "open('/etc/passwd')",
+                "doc.__class__", "(lambda: 1)()", "exec('1')",
+                "def f(): pass"):
+        with pytest.raises(ScriptError):
+            compile_script(bad).run({})
+
+
+def test_script_step_budget():
+    from xapiand_tpu.utils.scripting import ScriptTimeout
+
+    with pytest.raises(ScriptTimeout):
+        compile_script("while True:\n  pass").run({})
+
+
+def test_script_on_index():
+    db = Database()
+    db.index_document({"counter": 0, "name": "x"}, doc_id="1", commit=True)
+    db.index_document(
+        {"name": "x", "_script": "doc['counter'] = old.get('counter', 0) + 1"},
+        doc_id="1", commit=True)
+    assert db.get_document("1")["counter"] == 1
+    db.index_document(
+        {"name": "x", "_script": {"_body":
+                                  "doc['counter'] = old.get('counter', 0) + 1"}},
+        doc_id="1", commit=True)
+    assert db.get_document("1")["counter"] == 2
+
+
+# --- similar documents --------------------------------------------------------------
+
+def test_find_similar():
+    db = Database()
+    docs = {
+        "a": "machine learning models train on tensor data",
+        "b": "training machine learning tensors on devices",
+        "c": "cooking pasta with tomato sauce and basil",
+        "d": "tensor devices accelerate machine training",
+        "e": "fresh basil tomato pasta recipe for dinner",
+    }
+    for did, body in docs.items():
+        db.index_document({"body": body}, doc_id=did)
+    db.commit()
+    res = db.find_similar("a", k=2)
+    assert {h.id for h in res.hits} <= {"b", "d"}
+    assert all(h.id != "a" for h in res.hits)
+    res = db.find_similar("c", k=1)
+    assert [h.id for h in res.hits] == ["e"]
+
+
+# --- spelling ------------------------------------------------------------------------
+
+def test_suggest_spelling():
+    db = Database()
+    for i, w in enumerate(["search", "engine", "tensor", "device",
+                           "searched", "sensor"]):
+        db.index_document({"body": f"the {w} works"}, doc_id=str(i))
+    db.commit()
+    assert db.suggest_spelling("serch")[0] == "search"
+    assert db.suggest_spelling("tenzor")[0] == "tensor"
+    assert db.suggest_spelling("engine") == []  # exact word: no suggestion
+    assert "sensor" in db.suggest_spelling("sensr")

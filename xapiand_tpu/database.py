@@ -115,9 +115,12 @@ class Database:
                        commit: bool = False) -> str:
         """Index (upsert) one document; ≙ DatabaseHandler::index
         (handler.h:113)."""
+        if isinstance(obj, dict) and "_script" in obj:
+            obj = self._run_script(dict(obj), doc_id)
         idoc = self.schema.index(obj, doc_id)
         did = idoc.doc_id
         if self.wal is not None and not self._replaying:
+            # the post-script object is logged so replay is deterministic
             self.wal.write_replace_document(did, obj)
         self.delete_document(did, missing_ok=True, _log=False)
         self._builder.add(idoc)
@@ -125,6 +128,22 @@ class Database:
         if commit:
             self.commit()
         return did
+
+    def _run_script(self, obj: dict, doc_id) -> dict:
+        """Execute a `_script` on write with the old + new doc
+        (≙ DatabaseHandler::call_script, handler.h:80-85)."""
+        from xapiand_tpu.utils.scripting import compile_script
+
+        spec = obj.pop("_script")
+        src = spec if isinstance(spec, str) else \
+            (spec or {}).get("_body", "")
+        old = {}
+        if doc_id is not None:
+            try:
+                old = self.get_document(str(doc_id))
+            except DocumentNotFound:
+                old = {}
+        return compile_script(src).run(obj, old)
 
     def delete_document(self, doc_id: str, commit: bool = False,
                         missing_ok: bool = False, _log: bool = True) -> bool:
@@ -436,6 +455,94 @@ class Database:
 
     def count(self, query: Any) -> int:
         return self.search(query, count_only=True).total
+
+    # -- similar-document search (≙ xapian/expand ESet + OP_ELITE_SET requery,
+    #    handler.cc:1273-1278 get_eset -> requery) ---------------------------
+
+    def expand_terms(self, doc_ids, n_terms: int = 20) -> list[str]:
+        """Bo1 term expansion from an RSet of documents
+        (xapian/expand/bo1eweight.cc semantics)."""
+        import math
+
+        from xapiand_tpu.analysis import termgen as tg_mod
+
+        N = max(self.doc_count, 1)
+        rtf: dict[str, int] = {}
+        for did in doc_ids:
+            doc = self.get_document(str(did))
+            idoc = Schema.from_dict(self.schema.to_dict()).index(
+                doc, doc_id=str(did))
+            for term, e in idoc.terms.items():
+                if e.wdf > 0 and not term.startswith("Q") and ":" not in term \
+                        and "#" not in term:
+                    rtf[term] = rtf.get(term, 0) + e.wdf
+        scored = []
+        for term, tf in rtf.items():
+            cf = 0
+            for s in self._searchers:
+                ti = s.segment.get_term(term)
+                if ti:
+                    cf += ti.collfreq
+            lam = max(cf, 1) / N
+            w = tf * math.log2((1 + lam) / lam) + math.log2(1 + lam)
+            scored.append((w, term))
+        scored.sort(reverse=True)
+        return [t for _, t in scored[:n_terms]]
+
+    def find_similar(self, doc_id: str, k: int = 10,
+                     n_terms: int = 20) -> SearchResult:
+        """Documents similar to doc_id (the reference's nearest/fuzzy
+        search: ESet feedback -> elite-set requery)."""
+        terms = self.expand_terms([doc_id], n_terms=n_terms)
+        if not terms:
+            return SearchResult(total=0)
+        res = self.search(Q.or_terms(terms), k=k + 1)
+        res.hits = [h for h in res.hits if h.id != str(doc_id)][:k]
+        res.total = max(res.total - 1, 0)
+        return res
+
+    # -- spelling suggestions (≙ glass_spelling.* trigram tables) --------------
+
+    def _spelling_index(self) -> dict:
+        cache = getattr(self, "_spell_cache", None)
+        if cache is not None and cache[0] == self.revision:
+            return cache[1]
+        tri: dict[str, set] = {}
+        for s in self._searchers:
+            for term in s.segment.terms:
+                if term.startswith(("Q", "Z")) or ":" in term or "#" in term:
+                    continue
+                word = term.split(".")[-1] if "." in term else term
+                w = f"${word}$"
+                for i in range(len(w) - 2):
+                    tri.setdefault(w[i:i + 3], set()).add(word)
+        self._spell_cache = (self.revision, tri)
+        return tri
+
+    def suggest_spelling(self, word: str, max_edit_distance: int = 2,
+                         limit: int = 5) -> list[str]:
+        """≙ Database::get_spelling_suggestion (trigram candidates ranked
+        by edit distance)."""
+        from xapiand_tpu.utils.strmetrics import levenshtein
+
+        word = word.lower()
+        tri = self._spelling_index()
+        w = f"${word}$"
+        cands: dict[str, int] = {}
+        for i in range(len(w) - 2):
+            for c in tri.get(w[i:i + 3], ()):
+                cands[c] = cands.get(c, 0) + 1
+        scored = []
+        for cand, shared in cands.items():
+            if cand == word:
+                continue
+            if abs(len(cand) - len(word)) > max_edit_distance:
+                continue
+            dist = levenshtein(cand, word)
+            if dist <= max_edit_distance:
+                scored.append((dist, -shared, cand))
+        scored.sort()
+        return [c for _, _, c in scored[:limit]]
 
     def expand_prefix(self, prefix: str, limit: int = 256) -> list[str]:
         """All index terms starting with prefix (wildcard expansion,

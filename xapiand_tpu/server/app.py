@@ -255,6 +255,23 @@ class RestServer:
         if cmd == "merge":
             n = self.man.get(index).merge_segments()
             return {"#merged": n}, 200
+        if cmd == "nearest":
+            parts = index.split("/")
+            if len(parts) < 2:
+                raise ApiError(400, ":nearest needs /index/docid/:nearest")
+            db = self.man.get("/".join(parts[:-1]))
+            k = int(request.query.get("limit", 10))
+            res = db.find_similar(parts[-1], k=k)
+            hits = [{**h.data, "_id": h.id, "_score": h.score}
+                    for h in res.hits]
+            return {"total": res.total, "hits": hits}, 200
+        if cmd == "suggest":
+            db = self.man.get(index)
+            word = request.query.get("q", "")
+            if not word:
+                raise ApiError(400, ":suggest needs ?q=word")
+            return {"suggestions": db.suggest_spelling(
+                word, limit=int(request.query.get("limit", 5)))}, 200
         if cmd == "update":
             parts = index.split("/")
             return await self._update_doc(request, "/".join(parts[:-1]),
