@@ -1,0 +1,122 @@
+"""Multi-node cluster tests: discovery, leader election, WAL replication,
+primary failover (single-process multi-node, SURVEY.md §4 'multi-node
+testing without a cluster')."""
+
+import socket
+import time
+
+import pytest
+
+from test_rest import ServerThread
+
+
+def free_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def wait_for(fn, timeout=20.0, interval=0.2, desc="condition"):
+    deadline = time.time() + timeout
+    last = None
+    while time.time() < deadline:
+        last = fn()
+        if last:
+            return last
+        time.sleep(interval)
+    raise AssertionError(f"timeout waiting for {desc}; last={last!r}")
+
+
+@pytest.fixture()
+def two_nodes(tmp_path):
+    pa, pb = free_port(), free_port()
+    ha, hb = free_port(), free_port()
+    a = ServerThread(str(tmp_path / "a"), http_port=ha, cluster_config={
+        "name": "node-a", "port": pa, "http_port": ha,
+        "peers": [("127.0.0.1", pb)], "replication_interval": 1.0})
+    b = ServerThread(str(tmp_path / "b"), http_port=hb, cluster_config={
+        "name": "node-b", "port": pb, "http_port": hb,
+        "peers": [("127.0.0.1", pa)], "replication_interval": 1.0})
+    yield a, b
+    for s in (a, b):
+        try:
+            s.stop()
+        except Exception:
+            pass
+
+
+def test_discovery_election_replication_failover(two_nodes):
+    a, b = two_nodes
+
+    # discovery: both see both nodes
+    def both_discovered():
+        _, na, _ = a.req("GET", "/:nodes")
+        _, nb, _ = b.req("GET", "/:nodes")
+        return (len(na.get("nodes", {})) == 2
+                and len(nb.get("nodes", {})) == 2) and (na, nb)
+
+    wait_for(both_discovered, desc="mutual discovery")
+
+    # election: an agreed leader emerges
+    def leader_agreed():
+        _, na, _ = a.req("GET", "/:nodes")
+        _, nb, _ = b.req("GET", "/:nodes")
+        return (na.get("leader") is not None
+                and na.get("leader") == nb.get("leader")) and na["leader"]
+
+    leader = wait_for(leader_agreed, desc="leader agreement")
+    assert leader in ("node-a", "node-b")
+
+    # write to node a; index becomes a-primary (a holds the only revision)
+    for i in range(5):
+        a.req("PUT", f"/r/{i}", {"n": i, "body": f"replicated doc {i}"})
+    status, out, _ = a.req("POST", "/r/:commit")
+    assert status == 200
+
+    def replicated():
+        status, out, _ = b.req("GET", "/r/:info")
+        return status == 200 and out.get("doc_count") == 5 and out
+
+    wait_for(replicated, desc="replication to node-b")
+    status, out, _ = b.req("POST", "/r/:search", {"_query": {"body": "replicated"}})
+    assert out["total"] == 5
+
+    # primary is node-a; a write to node-b redirects there
+    def primary_known():
+        _, nb, _ = b.req("GET", "/:nodes")
+        return nb.get("primaries", {}).get("r") == "node-a" and nb
+
+    wait_for(primary_known, desc="primary assignment")
+    # a write to the follower redirects to the primary (307 + Location)
+    status, out, ct = b.req("PUT", "/r/99", {"n": 99}, raw=True)
+    assert status == 307
+    status, out, _ = a.req("PUT", "/r/99", {"n": 99})
+    assert status == 200
+
+    # incremental replication of the new doc
+    a.req("POST", "/r/:commit")
+
+    def caught_up():
+        status, out, _ = b.req("GET", "/r/:info")
+        return status == 200 and out.get("doc_count") == 6 and out
+
+    wait_for(caught_up, desc="incremental replication")
+
+    # failover: kill node-a; node-b takes leadership and the primary role
+    a.stop()
+
+    def b_leads():
+        _, nb, _ = b.req("GET", "/:nodes")
+        return (nb.get("leader") == "node-b"
+                and nb.get("primaries", {}).get("r") == "node-b") and nb
+
+    wait_for(b_leads, timeout=30, desc="failover to node-b")
+
+    # node-b now accepts writes for the index
+    status, out, _ = b.req("PUT", "/r/100", {"n": 100})
+    assert status == 200
+    b.req("POST", "/r/:commit")
+    status, out, _ = b.req("GET", "/r/:info")
+    assert out["doc_count"] == 7

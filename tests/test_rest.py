@@ -13,8 +13,10 @@ from xapiand_tpu.server.app import IndexManager, create_app
 
 
 class ServerThread:
-    def __init__(self, data_dir=None):
+    def __init__(self, data_dir=None, http_port=0, cluster_config=None):
         self.data_dir = data_dir
+        self.http_port = http_port
+        self.cluster_config = cluster_config
         self.port = None
         self._loop = None
         self._started = threading.Event()
@@ -26,10 +28,11 @@ class ServerThread:
         from aiohttp import web
 
         async def start():
-            app = create_app(manager=IndexManager(self.data_dir))
+            app = create_app(manager=IndexManager(self.data_dir),
+                             cluster_config=self.cluster_config)
             runner = web.AppRunner(app)
             await runner.setup()
-            site = web.TCPSite(runner, "127.0.0.1", 0)
+            site = web.TCPSite(runner, "127.0.0.1", self.http_port)
             await site.start()
             self.port = runner.addresses[0][1]
             self._runner = runner

@@ -66,6 +66,7 @@ class Database:
         self._blobs: dict[str, list] = {}             # doc_id -> locators
         self.revision = 0
         self._replaying = False
+        self.on_commit = None   # hook: (revision) -> None (cluster broadcast)
         if path is not None:
             os.makedirs(path, exist_ok=True)
             self.wal = DatabaseWAL(os.path.join(path, "wal"))
@@ -202,6 +203,9 @@ class Database:
             self._pending_docs = {}
         self._pending_deletes.clear()
         self.revision += 1
+        if self.on_commit is not None and not self._replaying:
+            # ≙ db_updater debounce -> UDP DB_UPDATED (shard.cc:778)
+            self.on_commit(self.revision)
         return self.revision
 
     # -- stats ----------------------------------------------------------------

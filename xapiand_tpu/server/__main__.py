@@ -21,6 +21,13 @@ def main(argv=None):
                    help="index data directory (WAL + volumes)")
     p.add_argument("--scheme", default="bm25",
                    help="default weighting scheme")
+    p.add_argument("--name", default=None,
+                   help="node name (cluster mode; default: hostname)")
+    p.add_argument("--discovery-port", type=int, default=None,
+                   help="UDP discovery port (enables cluster mode; "
+                        "reference default 58880)")
+    p.add_argument("--peers", default="",
+                   help="comma-separated host:port bootstrap peers")
     p.add_argument("--verbosity", "-v", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -32,7 +39,26 @@ def main(argv=None):
 
     from xapiand_tpu.server.app import IndexManager, create_app
 
-    app = create_app(manager=IndexManager(args.data_dir, scheme=args.scheme))
+    cluster_config = None
+    if args.discovery_port is not None:
+        import socket
+
+        peers = []
+        for item in args.peers.split(","):
+            item = item.strip()
+            if item:
+                host, _, port = item.rpartition(":")
+                peers.append((host or "127.0.0.1", int(port)))
+        cluster_config = {
+            "name": args.name or socket.gethostname(),
+            "host": args.bind if args.bind != "0.0.0.0" else "127.0.0.1",
+            "port": args.discovery_port,
+            "http_port": args.port,
+            "peers": peers,
+        }
+
+    app = create_app(manager=IndexManager(args.data_dir, scheme=args.scheme),
+                     cluster_config=cluster_config)
     web.run_app(app, host=args.bind, port=args.port)
 
 

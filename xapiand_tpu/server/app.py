@@ -52,6 +52,7 @@ class IndexManager:
     def __init__(self, data_dir: Optional[str] = None, scheme: str = "bm25"):
         self.data_dir = data_dir
         self.scheme = scheme
+        self.post_open = None          # hook: (name, db) -> None
         self.indexes: dict[str, Database] = {}
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
@@ -77,6 +78,8 @@ class IndexManager:
                 raise ApiError(404, f"index {name!r} not found")
             db = Database(path=self._path_for(name), scheme=self.scheme)
             self.indexes[name] = db
+            if self.post_open is not None:
+                self.post_open(name, db)
         return db
 
     def exists(self, name: str) -> bool:
@@ -112,8 +115,10 @@ def parse_path(path: str):
 
 
 class RestServer:
-    def __init__(self, manager: IndexManager):
+    def __init__(self, manager: IndexManager, cluster=None, replicator=None):
         self.man = manager
+        self.cluster = cluster
+        self.replicator = replicator
         self.started = time.time()
         if CollectorRegistry is not None:
             self.registry = CollectorRegistry()
@@ -186,6 +191,11 @@ class RestServer:
             raise ApiError(405, "method not allowed on /")
         if not index and cmd == "metrics":
             return await self._metrics(request)
+        if not index and cmd == "nodes":
+            if self.cluster is None:
+                return {"cluster": False,
+                        "nodes": {"localhost": {"state": "alive"}}}, 200
+            return self.cluster.cluster_info(), 200
 
         # command views
         if cmd is not None:
@@ -303,7 +313,24 @@ class RestServer:
         return web.Response(body=body,
                             content_type="text/plain"), 200
 
+    def _check_primary(self, index, request):
+        """Writes must land on the index primary; followers redirect with
+        the full original path (replica write-forwarding analog of
+        shard.cc:272-295 remote open)."""
+        if self.cluster is None:
+            return
+        primary = self.cluster.primary_of(index)
+        if primary is None or primary == self.cluster.me.name:
+            return
+        node = self.cluster.nodes.get(primary)
+        if node is None:
+            return
+        raise web.HTTPTemporaryRedirect(
+            location=f"http://{node.host}:{node.http_port}"
+                     f"{request.rel_url}")
+
     async def _write_doc(self, request, index, doc_id, t0):
+        self._check_primary(index, request)
         body = await self._body(request)
         if not isinstance(body, dict):
             raise ApiError(400, "document body must be an object")
@@ -314,6 +341,7 @@ class RestServer:
         return {"_id": did, "#commit": commit}, 200 if doc_id else 201
 
     async def _patch_doc(self, request, index, doc_id, t0):
+        self._check_primary(index, request)
         patch = await self._body(request)
         db = self.man.get(index)
         doc = db.get_document(doc_id)
@@ -324,6 +352,7 @@ class RestServer:
         return {"_id": doc_id}, 200
 
     async def _update_doc(self, request, index, doc_id, t0):
+        self._check_primary(index, request)
         body = await self._body(request)
         if not isinstance(body, dict):
             raise ApiError(400, "update body must be an object")
@@ -347,6 +376,7 @@ class RestServer:
         return doc, 200
 
     def _delete_doc(self, request, index, doc_id, t0):
+        self._check_primary(index, request)
         db = self.man.get(index)
         db.delete_document(doc_id, commit="commit" in request.query)
         self._observe("delete", t0)
@@ -471,12 +501,51 @@ def _deep_merge(base: dict, update: dict) -> dict:
 
 
 def create_app(data_dir: Optional[str] = None,
-               manager: Optional[IndexManager] = None) -> web.Application:
+               manager: Optional[IndexManager] = None,
+               cluster_config: Optional[dict] = None) -> web.Application:
     man = manager or IndexManager(data_dir)
-    server = RestServer(man)
+    cluster = None
+    replicator = None
+    if cluster_config is not None:
+        from xapiand_tpu.parallel.cluster import ClusterNode
+        from xapiand_tpu.parallel.replication import Replicator
+
+        cluster = ClusterNode(
+            name=cluster_config["name"],
+            host=cluster_config.get("host", "127.0.0.1"),
+            port=cluster_config["port"],
+            http_port=cluster_config["http_port"],
+            peers=cluster_config.get("peers", []),
+        )
+        replicator = Replicator(
+            get_db=lambda idx: man.get(idx, create=True), cluster=cluster,
+            interval=cluster_config.get("replication_interval", 5.0))
+        cluster.on_db_updated = (
+            lambda index, rev, frm: replicator.trigger(index)
+            if frm != cluster.me.name else None)
+
+        def post_open(name, db):
+            db.on_commit = lambda rev, _n=name: cluster.db_updated(_n, rev)
+            if db.revision:
+                cluster.me.revisions[name] = db.revision
+
+        man.post_open = post_open
+    server = RestServer(man, cluster=cluster, replicator=replicator)
     app = web.Application(client_max_size=256 * 1024 * 1024)
     app["manager"] = man
     app["server"] = server
+    if cluster is not None:
+        async def on_startup(app):
+            await cluster.start()
+            await replicator.start()
+
+        app.on_startup.append(on_startup)
+
+        async def on_shutdown(app):
+            await replicator.stop()
+            await cluster.stop()
+
+        app.on_cleanup.append(on_shutdown)
     methods = ["GET", "HEAD", "POST", "PUT", "DELETE", "PATCH"] + \
         list(CUSTOM_METHODS)
     for m in methods:
