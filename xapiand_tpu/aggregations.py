@@ -80,6 +80,18 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
             meta.append({"kind": "histogram", "interval": interval,
                          "shift": shift, "nb": nb,
                          "min_doc_count": int(args.get("_min_doc_count", 1))})
+        elif key == "_cardinality":
+            slot = _slot_of(schema, args)
+            specs.append(("cardinality", slot))
+            meta.append({"kind": "cardinality"})
+        elif key in ("_percentiles", "_percentiles_rank"):
+            slot = _slot_of(schema, args)
+            pcts = [float(p) / 100.0 for p in
+                    args.get("_percentiles", [1, 5, 25, 50, 75, 95, 99])]
+            specs.append(("percentiles", slot))
+            agg_params[i] = np.asarray(pcts, np.float32)
+            meta.append({"kind": "percentiles",
+                         "pcts": [p * 100 for p in pcts]})
         elif key == "_range":
             slot = _slot_of(schema, args)
             rs = args.get("_ranges")
@@ -162,6 +174,25 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
                     "_sum_of_squares": s2, "_variance": var,
                     "_std_deviation": math.sqrt(var) if var is not None else None,
                 }
+        elif kind == "cardinality":
+            # exact within one segment; across segments the sum is an upper
+            # bound (values may repeat across segments) - documented
+            # approximation until sketch merging lands
+            out[name] = {"_cardinality": int(sum(int(p) for p in parts))}
+        elif kind == "percentiles":
+            best, best_n = None, -1.0
+            total_n = 0
+            for p in parts:
+                n = float(p["n"])
+                total_n += n
+                if n > best_n:
+                    best, best_n = p, n
+            vals = [float(v) for v in np.asarray(best["values"])] \
+                if best is not None else []
+            out[name] = {"_percentiles": {
+                (str(int(pct)) if pct == int(pct) else str(pct)):
+                    (v if total_n else None)
+                for pct, v in zip(meta["pcts"], vals)}}
         elif kind == "terms":
             counts: dict[str, int] = {}
             for seg_idx, p in enumerate(parts):

@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
+import numpy as np
+
 from xapiand_tpu.models.builder import SegmentBuilder
 from xapiand_tpu.models.weights import CollectionStats, get_scheme
 from xapiand_tpu.query.dsl import QueryDSL
@@ -504,6 +506,55 @@ class Database:
         res.hits = [h for h in res.hits if h.id != str(doc_id)][:k]
         res.total = max(res.total - 1, 0)
         return res
+
+    # -- MSet clustering / diversification (≙ xapian/cluster, /diversify) -------
+
+    def _doc_vectors(self, doc_ids: list, max_vocab: int = 2048):
+        from xapiand_tpu.ops.cluster import tfidf_vectors
+
+        schema = Schema.from_dict(self.schema.to_dict())
+        term_lists = []
+        df: dict[str, int] = {}
+        for did in doc_ids:
+            idoc = schema.index(self.get_document(str(did)), doc_id=str(did))
+            terms = {t: e.wdf for t, e in idoc.terms.items()
+                     if e.wdf > 0 and not t.startswith("Q")
+                     and ":" not in t and "#" not in t}
+            term_lists.append(terms)
+            for t in terms:
+                if t not in df:
+                    df[t] = self.global_termfreq(t)
+        return tfidf_vectors(term_lists, self.doc_count, df,
+                             max_vocab=max_vocab)
+
+    def cluster_hits(self, doc_ids: list, k: int = 3,
+                     iters: int = 20) -> list[int]:
+        """K-means cluster labels for a result set (Xapian::LCDClusterer /
+        KMeans analog, on-device spherical k-means)."""
+        from xapiand_tpu.ops.cluster import kmeans_cosine
+
+        if not doc_ids:
+            return []
+        X, _ = self._doc_vectors(doc_ids)
+        labels, _ = kmeans_cosine(X, k, iters=iters)
+        return [int(l) for l in labels]
+
+    def diversify(self, result: "SearchResult", k: Optional[int] = None,
+                  lam: float = 0.5) -> "SearchResult":
+        """Reorder hits for diversity (MMR; ≙ xapian/diversify)."""
+        from xapiand_tpu.ops.cluster import diversify_mmr
+
+        if not result.hits:
+            return result
+        ids = [h.id for h in result.hits]
+        X, _ = self._doc_vectors(ids)
+        scores = [h.score for h in result.hits]
+        order = diversify_mmr(np.asarray(scores), X,
+                              k or len(result.hits), lam=lam)
+        result.hits = [result.hits[i] for i in order]
+        for rank, h in enumerate(result.hits):
+            h.rank = rank
+        return result
 
     # -- spelling suggestions (≙ glass_spelling.* trigram tables) --------------
 

@@ -105,6 +105,31 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             inr = (v[:, None] >= bounds[None, :, 0]) \
                 & (v[:, None] < bounds[None, :, 1]) & m[:, None]
             out.append(jnp.sum(inr.astype(jnp.int32), axis=0))
+        elif kind == "cardinality":
+            # exact distinct count of value keys among matched docs
+            # (reference declares _cardinality but leaves it disabled,
+            # aggregations.cc:118-207 - implemented here)
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["hi"].shape[0] - 1)
+            m = mask & col["present"][d]
+            I32MAX = jnp.int32(2**31 - 1)
+            h = jnp.where(m, col["hi"][d], I32MAX)
+            l = jnp.where(m, col["lo"][d], I32MAX)
+            hs, ls = lax.sort((h, l), num_keys=2)
+            valid = ~((hs == I32MAX) & (ls == I32MAX))
+            headd = jnp.concatenate([
+                jnp.ones((1,), bool),
+                (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
+            out.append(jnp.sum((headd & valid).astype(jnp.int32)))
+        elif kind == "percentiles":
+            v, m = _slot_vals(seg, slot, docids, mask)
+            n = jnp.sum(m.astype(jnp.int32))
+            sv = lax.sort(jnp.where(m, v, jnp.inf))
+            pcts = plan["agg_params"][i]          # [P] fractions in [0,1]
+            idx = jnp.clip((pcts * jnp.maximum(
+                n.astype(jnp.float32) - 1, 0)).astype(jnp.int32),
+                0, sv.shape[0] - 1)
+            out.append({"n": n, "values": sv[idx]})
         elif kind == "filter_count":
             # count under an extra value filter; params via agg_ranges
             v, m = _slot_vals(seg, slot, docids, mask)

@@ -445,12 +445,24 @@ class RestServer:
             collapse_slot = spec.slot
         res = db.search(ir, k=k, offset=offset, sort=sort,
                         collapse_slot=collapse_slot, aggs=aggs)
+        div = body.get("_diversify")
+        if div and res.hits:
+            lam = float(div.get("_lambda", 0.5)) if isinstance(div, dict) \
+                else 0.5
+            res = db.diversify(res, lam=lam)
+        labels = None
+        clu = body.get("_cluster")
+        if clu and res.hits:
+            ck = int(clu.get("_k", 3)) if isinstance(clu, dict) else int(clu)
+            labels = db.cluster_hits([h.id for h in res.hits], k=ck)
         hits = []
-        for h in res.hits:
+        for i, h in enumerate(res.hits):
             doc = dict(h.data)
             doc["_id"] = h.id
             doc["_score"] = h.score
             doc["_rank"] = h.rank
+            if labels is not None:
+                doc["_cluster"] = labels[i]
             hits.append(doc)
         out = {"total": res.total, "count": len(hits), "hits": hits}
         if res.aggregations is not None:
