@@ -250,3 +250,27 @@ def test_index_delete(srv):
     assert status == 200
     status, out, _ = srv.req("GET", "/tmp-idx/:info")
     assert status == 404
+
+
+def test_weight_scheme_selection(srv):
+    for i, t in enumerate(["alpha beta gamma", "beta beta delta",
+                           "gamma delta epsilon"]):
+        srv.req("PUT", f"/wsel/{i}", {"text": t})
+    srv.req("POST", "/wsel/:commit")
+    scores = {}
+    for scheme in ("bm25", "tfidf", "pl2", "lm",
+                   {"_scheme": "bm25", "k1": 1.2, "b": 0.75}):
+        status, out, _ = srv.req("POST", "/wsel/:search", {
+            "_query": {"text": "beta"}, "_weight": scheme})
+        assert status == 200 and out["total"] == 2, (scheme, out)
+        key = scheme if isinstance(scheme, str) else "bm25-tuned"
+        scores[key] = {h["_id"]: h["_score"] for h in out["hits"]}
+    # different schemes produce different absolute scores
+    assert scores["bm25"] != scores["tfidf"]
+    # doc 1 has beta twice: must rank first under every scheme
+    for key, sc in scores.items():
+        assert max(sc, key=sc.get) == "1", (key, sc)
+    # bad scheme name is a clean 400
+    status, out, _ = srv.req("POST", "/wsel/:search", {
+        "_query": {"text": "beta"}, "_weight": "nope"})
+    assert status == 400

@@ -224,8 +224,15 @@ class Database:
 
     def stats(self) -> CollectionStats:
         n = self.doc_count
-        avg = (self.total_doclen / n) if n else 0.0
-        return CollectionStats(doc_count=n, avg_doclen=avg, doclen_lower=1.0)
+        total = self.total_doclen
+        avg = (total / n) if n else 0.0
+        upper = 1.0
+        for s in self._searchers:
+            seg = s.segment
+            if seg.num_docs:
+                upper = max(upper, float(seg.doclen[:seg.num_docs].max()))
+        return CollectionStats(doc_count=n, avg_doclen=avg, doclen_lower=1.0,
+                               doclen_upper=upper, total_len=total)
 
     def global_termfreq(self, term: str) -> int:
         tf = 0
@@ -234,6 +241,14 @@ class Database:
             if ti:
                 tf += ti.length
         return tf
+
+    def global_collfreq(self, term: str) -> int:
+        cf = 0
+        for s in self._searchers:
+            ti = s.segment.get_term(term)
+            if ti:
+                cf += ti.collfreq
+        return cf
 
     # -- read path -------------------------------------------------------------
 
@@ -367,14 +382,22 @@ class Database:
     def search(self, query: Any, k: int = 10, offset: int = 0,
                sort: tuple = (), collapse_slot: Optional[int] = None,
                aggs: Optional[dict] = None,
-               count_only: bool = False) -> SearchResult:
+               count_only: bool = False,
+               scheme: Optional[Any] = None) -> SearchResult:
         """query: a Q IR node, or a JSON query-DSL dict/string.
 
         ≙ DatabaseHandler::get_mset (handler.cc:1067,1415): global stats are
         computed across all segments first (two-phase stat merge), then each
         segment executes with those stats and partial top-ks merge by score.
+        scheme overrides the database's default weight scheme per query
+        (Enquire::set_weighting_scheme); a string names a registered scheme.
         """
         from xapiand_tpu import aggregations as aggs_mod
+
+        if scheme is None:
+            scheme = self.scheme
+        elif isinstance(scheme, str):
+            scheme = get_scheme(scheme)
 
         ir = query if isinstance(query, Q) else \
             QueryDSL(self.schema, term_expander=self.expand_prefix).parse(query)
@@ -382,7 +405,9 @@ class Database:
         stats = self.stats()
         stats_d = {"N": float(stats.doc_count),
                    "avg_doclen": float(stats.avg_doclen),
-                   "doclen_lower": float(stats.doclen_lower)}
+                   "doclen_lower": float(stats.doclen_lower),
+                   "doclen_upper": float(stats.doclen_upper),
+                   "total_len": float(stats.total_len)}
         want = k + offset
         total = 0
         merged: list[tuple[float, int, int]] = []  # (-score, seg, docid)
@@ -397,12 +422,13 @@ class Database:
                     j: (searcher.segment.values[spec[1]].cat_names or [])
                     for j, spec in enumerate(specs) if spec[0] == "terms"
                     and spec[1] in searcher.segment.values})
-            bound = bind(cq, searcher.segment, self.scheme, stats,
+            bound = bind(cq, searcher.segment, scheme, stats,
                          global_tf=self.global_termfreq, k=want,
                          sort=sort, collapse_slot=collapse_slot,
                          aggs=specs, agg_arrays=arrays,
-                         count_only=count_only)
-            out = searcher.execute(bound, stats_d)
+                         count_only=count_only,
+                         global_cf=self.global_collfreq)
+            out = searcher.execute(bound, stats_d, scheme=scheme)
             total += int(out["count"])
             if aggs:
                 agg_parts.append(out["aggs"])

@@ -29,6 +29,7 @@ class SegmentBuilder:
         self._geo = defaultdict(dict)        # slot -> {docid: [(s,e)...]}
         self._doc_keys: list[str] = []
         self._collfreq = defaultdict(int)
+        self._uniq: list[int] = []
 
     def __len__(self):
         return len(self._doc_keys)
@@ -36,6 +37,9 @@ class SegmentBuilder:
     def add(self, idoc: IndexedDocument) -> int:
         docid = len(self._doc_keys)
         self._doc_keys.append(idoc.doc_id)
+        # distinct terms incl. the id term (Xapian UNIQUE_TERMS = termlist
+        # entry count; used by dicecoeff / LM absolute-discount smoothing)
+        self._uniq.append(len(idoc.terms) + 1)
         length = 0
         for term, entry in idoc.terms.items():
             self._postings[term].append((docid, entry.wdf))
@@ -104,8 +108,10 @@ class SegmentBuilder:
             off += L
 
         doclen = np.zeros(nd + 1, dtype=np.float32)
+        uniqterms = np.ones(nd + 1, dtype=np.float32)
         if nd:
             doclen[:nd] = np.asarray(self._doclen, dtype=np.float32)
+            uniqterms[:nd] = np.asarray(self._uniq, dtype=np.float32)
         deleted = np.zeros(nd + 1, dtype=bool)
         # denormalised per-posting doclen (see segment.py docstring)
         post_doclen = doclen[np.minimum(post_docids, nd)]
@@ -134,6 +140,7 @@ class SegmentBuilder:
             geo=geo,
             doc_keys=list(self._doc_keys),
             guard=guard,
+            uniqterms=uniqterms,
         )
 
     def _pack_value_column(self, slot, per_doc, nd) -> ValueColumn:

@@ -101,6 +101,8 @@ class Segment:
     geo: dict                          # slot -> GeoColumn
     doc_keys: list                     # docid -> external doc id (str)
     guard: int = 128
+    uniqterms: Optional[np.ndarray] = None  # f32[ND+1] distinct terms/doc
+                                            # (Xapian UNIQUE_TERMS stat)
 
     @property
     def doc_count(self) -> int:
@@ -159,6 +161,9 @@ class DeviceSegment:
         self.positions = put(jnp.asarray(seg.positions, jnp.int32))
         self.doclen = put(jnp.asarray(seg.doclen, jnp.float32))
         self.deleted = put(jnp.asarray(seg.deleted, jnp.bool_))
+        uniq = seg.uniqterms if seg.uniqterms is not None \
+            else np.ones_like(seg.doclen)
+        self.uniqterms = put(jnp.asarray(uniq, jnp.float32))
         self.values = {}
         for slot, col in seg.values.items():
             self.values[slot] = {
@@ -191,6 +196,7 @@ class DeviceSegment:
             "positions": self.positions,
             "doclen": self.doclen,
             "deleted": self.deleted,
+            "uniqterms": self.uniqterms,
             "values": self.values,
             "geo": self.geo,
         }

@@ -307,7 +307,10 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
     cstats = CollectionStats(
         doc_count=stats["N"], avg_doclen=stats["avg_doclen"],
-        doclen_lower=stats["doclen_lower"])
+        doclen_lower=stats["doclen_lower"],
+        doclen_upper=stats.get("doclen_upper", 1.0),
+        total_len=stats.get("total_len", 0.0),
+        query_length=plan.get("qlen", 1.0))
 
     if cfg.dense:
         return _execute_dense(seg, plan, cfg, cstats, scheme)
@@ -324,6 +327,7 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     needs_bits = not (cfg.tree[0] == "G" and not cfg.n_filters
                       and not cfg.geo_specs and not cfg.phrases)
 
+    needs_uniq = getattr(scheme, "needs_uniqterms", False)
     ids_parts, w_parts, bit_parts = [], [], []
     for t in range(T):
         Lt = classes[t]
@@ -332,7 +336,12 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         dlt = lax.dynamic_slice(seg["post_doclen"], (offsets[t],), (Lt,))
         inlen = jnp.arange(Lt) < lens[t]
         idt = jnp.where(inlen, idt, SENTINEL)
-        w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
+        if needs_uniq:
+            # rare schemes (dicecoeff, LM abs-discount) pay a random gather
+            uq = seg["uniqterms"][jnp.minimum(idt, nd1 - 1)]
+            w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats, uniq=uq)
+        else:
+            w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
         w = jnp.where(inlen, w * plan["scoring"][t], 0.0)
         ids_parts.append(idt)
         w_parts.append(w)
@@ -424,7 +433,12 @@ def _execute_dense(seg, plan, cfg: ExecConfig, cstats, scheme):
                                      (plan["offsets"][t],), (Lt,))
             dlt = lax.dynamic_slice(seg["post_doclen"],
                                     (plan["offsets"][t],), (Lt,))
-            w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
+            if getattr(scheme, "needs_uniqterms", False):
+                uq = seg["uniqterms"][idt]
+                w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats,
+                                   uniq=uq)
+            else:
+                w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
             w = jnp.where(inlen, w * plan["scoring"][t], 0.0)
             scores = scores.at[idt].add(w)
         scores = scores.at[nd1 - 1].set(0.0)

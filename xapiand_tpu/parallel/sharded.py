@@ -84,6 +84,9 @@ def _pad_one(s: Segment, nd_pad, p_pad, pp_pad, all_slots, all_geo, gr_pad):
     ns.post_poslen = pad1(s.post_poslen, p_pad, 0)
     ns.positions = pad1(s.positions, pp_pad, 0)
     ns.doclen = pad1(s.doclen, nd_pad + 1, 0.0)
+    uniq = s.uniqterms if s.uniqterms is not None \
+        else np.ones_like(s.doclen)
+    ns.uniqterms = pad1(uniq, nd_pad + 1, 1.0)
     deleted = np.ones(nd_pad + 1, dtype=bool)
     deleted[: s.num_docs] = s.deleted[: s.num_docs]
     deleted[nd_pad] = True
@@ -151,6 +154,9 @@ def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
         "positions": shard_arr([s.positions for s in segments], 1),
         "doclen": shard_arr([s.doclen for s in segments], 1),
         "deleted": shard_arr([s.deleted for s in segments], 1),
+        "uniqterms": shard_arr(
+            [s.uniqterms if s.uniqterms is not None
+             else np.ones_like(s.doclen) for s in segments], 1),
         "values": {}, "geo": {},
     }
     for slot in segments[0].values:
@@ -222,10 +228,12 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
             count = jax.lax.psum(out["count"], "shard")
             return top_docs, top_scores, count
 
+        tconst_spec = P("dp", None) if tconst.ndim == 2 \
+            else P("dp", None, None)   # [Q,T,C] multi-constant schemes
         in_specs = (
             jax.tree.map(lambda _: P("shard"), seg),
             P("dp", "shard", None), P("dp", "shard", None),
-            P("dp", None), P("dp", None), P("dp", None),
+            tconst_spec, P("dp", None), P("dp", None),
             jax.tree.map(lambda _: P(), stats),
             P("dp", None, None),
         )
@@ -287,11 +295,18 @@ class ShardedIndex:
     def stats(self) -> CollectionStats:
         n = sum(s.doc_count for s in self.segments)
         tot = sum(s.total_doclen for s in self.segments)
+        upper = max((float(s.doclen[:s.num_docs].max())
+                     for s in self.segments if s.num_docs), default=1.0)
         return CollectionStats(doc_count=n, avg_doclen=tot / n if n else 0.0,
-                               doclen_lower=1.0)
+                               doclen_lower=1.0, doclen_upper=upper,
+                               total_len=tot)
 
     def global_termfreq(self, term: str) -> int:
         return sum(ti.length for s in self.segments
+                   if (ti := s.get_term(term)) is not None)
+
+    def global_collfreq(self, term: str) -> int:
+        return sum(ti.collfreq for s in self.segments
                    if (ti := s.get_term(term)) is not None)
 
     # -- search ----------------------------------------------------------------
@@ -310,7 +325,9 @@ class ShardedIndex:
         stats = self.stats()
         stats_d = {"N": jnp.float32(stats.doc_count),
                    "avg_doclen": jnp.float32(stats.avg_doclen),
-                   "doclen_lower": jnp.float32(1.0)}
+                   "doclen_lower": jnp.float32(1.0),
+                   "doclen_upper": jnp.float32(stats.doclen_upper),
+                   "total_len": jnp.float32(stats.total_len)}
 
         nq = len(queries)
         q_pad = -(-nq // self.n_dp) * self.n_dp
@@ -321,7 +338,8 @@ class ShardedIndex:
         bounds = []
         for cq in cqs:
             per_shard = [bind(cq, seg, self.scheme, stats,
-                              global_tf=self.global_termfreq, k=k)
+                              global_tf=self.global_termfreq, k=k,
+                              global_cf=self.global_collfreq)
                          for seg in self.segments]
             bounds.append(per_shard)
         cfg = unify_cfgs([b.cfg for per in bounds for b in per], k=k)
@@ -329,7 +347,9 @@ class ShardedIndex:
         S = self.n_shards
         offsets = np.zeros((q_pad, S, T), np.int32)
         lens = np.zeros((q_pad, S, T), np.int32)
-        tconst = np.zeros((q_pad, T), np.float32)
+        C = getattr(self.scheme, "n_constants", 1)
+        tconst = np.zeros((q_pad, T) if C == 1 else (q_pad, T, C),
+                          np.float32)
         scoring = np.zeros((q_pad, T), np.float32)
         gbits = np.zeros((q_pad, T), np.int32)
         n_filters = bounds[0][0].cfg.n_filters

@@ -204,22 +204,28 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
          global_tf: Optional[Callable[[str], int]] = None,
          k: int = 10, sort: tuple = (), collapse_slot: Optional[int] = None,
          aggs: tuple = (), agg_arrays: Optional[dict] = None,
-         count_only: bool = False) -> BoundPlan:
+         count_only: bool = False,
+         global_cf: Optional[Callable[[str], int]] = None) -> BoundPlan:
     """Bind a compiled query to one segment, producing cfg + plan arrays.
 
-    global_tf supplies cross-shard/segment termfreqs for idf (the two-phase
-    global-stats merge of the reference, handler.cc:1532-1538); defaults to
-    this segment's own termfreqs."""
+    global_tf/global_cf supply cross-shard/segment termfreqs and collection
+    freqs for idf (the two-phase global-stats merge of the reference,
+    handler.cc:1532-1538); they default to this segment's own stats."""
     if global_tf is None:
         global_tf = lambda t: (ti.length if (ti := seg.get_term(t)) else 0)
 
+    if global_cf is None:
+        global_cf = lambda t: (ti.collfreq if (ti := seg.get_term(t)) else 0)
+
     T = _t_bucket(max(len(cq.terms), 1))
+    C = getattr(scheme, "n_constants", 1)
     offsets = np.zeros(T, dtype=np.int32)
     lens = np.zeros(T, dtype=np.int32)
-    tconst = np.zeros(T, dtype=np.float32)
+    tconst = np.zeros(T if C == 1 else (T, C), dtype=np.float32)
     scoring = np.zeros(T, dtype=np.float32)
     group_bits = np.zeros(T, dtype=np.int32)
     classes = [128] * T   # per-term posting-gather size class
+    qlen = 0
     for i, pt in enumerate(cq.terms):
         ti = seg.get_term(pt.term)
         if ti is not None:
@@ -227,8 +233,11 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
             lens[i] = ti.length
             classes[i] = size_class(max(ti.length, 1))
         tf = global_tf(pt.term)
+        if pt.scoring:
+            qlen += pt.wqf
         if tf > 0 and pt.scoring:
-            tconst[i] = scheme.term_constant(stats, tf, pt.wqf, pt.factor)
+            tconst[i] = scheme.term_constant(stats, tf, pt.wqf, pt.factor,
+                                             collfreq=global_cf(pt.term))
         scoring[i] = 1.0 if pt.scoring else 0.0
         group_bits[i] = 1 << pt.group
 
@@ -238,6 +247,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
     arrays = {
         "offsets": offsets, "lens": lens, "tconst": tconst,
         "scoring": scoring, "group_bits": group_bits,
+        "qlen": np.float32(max(qlen, 1)),
     }
 
     if cq.filters:

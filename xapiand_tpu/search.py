@@ -33,12 +33,10 @@ class SegmentSearcher:
         self.device_segment.deleted = jax.device_put(
             jnp.asarray(self.segment.deleted, jnp.bool_))
 
-    def _compiled(self, cfg: ExecConfig):
-        key = (cfg, self.scheme.key())
+    def _compiled(self, cfg: ExecConfig, scheme: WeightScheme):
+        key = (cfg, scheme.key())
         fn = self._cache.get(key)
         if fn is None:
-            scheme = self.scheme
-
             def run(seg_arrays, plan_arrays, stats):
                 return execute(seg_arrays, plan_arrays, cfg, stats, scheme)
 
@@ -46,15 +44,14 @@ class SegmentSearcher:
             self._cache[key] = fn
         return fn
 
-    def batched(self, cfg: ExecConfig):
+    def batched(self, cfg: ExecConfig, scheme: Optional[WeightScheme] = None):
         """jit(vmap(execute)) over a leading query axis - the single-chip
         throughput path (one compiled program serves every query of this
         shape class)."""
-        key = ("batched", cfg, self.scheme.key())
+        scheme = scheme or self.scheme
+        key = ("batched", cfg, scheme.key())
         fn = self._cache.get(key)
         if fn is None:
-            scheme = self.scheme
-
             def run(seg_arrays, plan_batch, stats):
                 return jax.vmap(
                     lambda p: execute(seg_arrays, p, cfg, stats, scheme)
@@ -64,9 +61,11 @@ class SegmentSearcher:
             self._cache[key] = fn
         return fn
 
-    def execute(self, bound: BoundPlan, stats: dict) -> dict:
-        """stats: {"N": float, "avg_doclen": float, "doclen_lower": float}."""
-        fn = self._compiled(bound.cfg)
+    def execute(self, bound: BoundPlan, stats: dict,
+                scheme: Optional[WeightScheme] = None) -> dict:
+        """stats: {"N": float, "avg_doclen": float, "doclen_lower": float,
+        "doclen_upper": float, "total_len": float}."""
+        fn = self._compiled(bound.cfg, scheme or self.scheme)
         plan_arrays = jax.tree.map(jnp.asarray, bound.arrays)
         stats_arrays = {k: jnp.float32(v) for k, v in stats.items()}
         out = fn(self.device_segment.arrays_pytree(), plan_arrays,

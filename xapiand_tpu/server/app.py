@@ -443,8 +443,26 @@ class RestServer:
             if spec.slot is None:
                 raise ApiError(400, f"cannot collapse on {field!r}")
             collapse_slot = spec.slot
+        # per-query ranking scheme: {"_weight": "pl2"} or
+        # {"_weight": {"_scheme": "bm25", "k1": 1.2, "b": 0.75}}
+        scheme = None
+        wspec = body.get("_weight")
+        if wspec is not None:
+            from xapiand_tpu.models.weights import get_scheme
+            try:
+                if isinstance(wspec, dict):
+                    params = {k_.lstrip("_"): v for k_, v in wspec.items()
+                              if k_ not in ("_scheme", "_name")}
+                    scheme = get_scheme(
+                        wspec.get("_scheme", wspec.get("_name", "bm25")),
+                        **params)
+                else:
+                    scheme = get_scheme(str(wspec))
+            except (ValueError, TypeError) as exc:
+                raise ApiError(400, f"bad _weight: {exc}")
         res = db.search(ir, k=k, offset=offset, sort=sort,
-                        collapse_slot=collapse_slot, aggs=aggs)
+                        collapse_slot=collapse_slot, aggs=aggs,
+                        scheme=scheme)
         div = body.get("_diversify")
         if div and res.hits:
             lam = float(div.get("_lambda", 0.5)) if isinstance(div, dict) \
