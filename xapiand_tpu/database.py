@@ -21,7 +21,7 @@ from xapiand_tpu.models.builder import SegmentBuilder
 from xapiand_tpu.models.weights import CollectionStats, get_scheme
 from xapiand_tpu.query.dsl import QueryDSL
 from xapiand_tpu.query.ir import Q
-from xapiand_tpu.query.plan import bind, compile_ir
+from xapiand_tpu.query.plan import bind, compile_ir, resolve_special
 from xapiand_tpu.schema import Schema
 from xapiand_tpu.search import SegmentSearcher
 
@@ -401,8 +401,10 @@ class Database:
 
         ir = query if isinstance(query, Q) else \
             QueryDSL(self.schema, term_expander=self.expand_prefix).parse(query)
-        cq = compile_ir(ir)
         stats = self.stats()
+        ir = resolve_special(ir, scheme, stats, self.global_termfreq,
+                             self.global_collfreq)
+        cq = compile_ir(ir)
         stats_d = {"N": float(stats.doc_count),
                    "avg_doclen": float(stats.avg_doclen),
                    "doclen_lower": float(stats.doclen_lower),

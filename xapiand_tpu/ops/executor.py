@@ -67,6 +67,8 @@ class ExecConfig:
     dense: bool = False          # dense all-docs path (match_all root)
     unweighted: bool = False     # bool scheme / all-filter: docid ordering
     has_deletes: bool = False    # segment has delete-bitmap entries
+    syn_groups: tuple = ()       # group-bit mask per OP_SYNONYM pseudo-term
+    max_specs: tuple = ()        # per OP_MAX node: tuple of branch masks
 
     def term_classes(self) -> tuple:
         return self.classes if self.classes else (self.L,) * self.T
@@ -325,10 +327,13 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     # elementwise weight math, one docid sort, one segmented scan. TPU
     # random gathers serialise; sorts and scans stream through the VPU.
     needs_bits = not (cfg.tree[0] == "G" and not cfg.n_filters
-                      and not cfg.geo_specs and not cfg.phrases)
+                      and not cfg.geo_specs and not cfg.phrases) \
+        or bool(cfg.syn_groups) or bool(cfg.max_specs)
+    needs_wdf = bool(cfg.syn_groups)   # synonym merge sums raw wdf per doc
 
     needs_uniq = getattr(scheme, "needs_uniqterms", False)
     ids_parts, w_parts, bit_parts = [], [], []
+    wdf_parts, dl_parts = [], []
     for t in range(T):
         Lt = classes[t]
         idt = lax.dynamic_slice(seg["post_docids"], (offsets[t],), (Lt,))
@@ -347,19 +352,72 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         w_parts.append(w)
         if needs_bits:
             bit_parts.append(jnp.where(inlen, plan["group_bits"][t], 0))
+        if needs_wdf:
+            wdf_parts.append(jnp.where(inlen, wdft, 0.0))
+            dl_parts.append(jnp.where(inlen, dlt, 0.0))
 
     ids_flat = jnp.concatenate(ids_parts)
     w_flat = jnp.concatenate(w_parts)
 
-    # merge rows of the same doc: docid sort + segmented scan
-    if needs_bits:
-        d, wv, bv = lax.sort((ids_flat, w_flat,
-                              jnp.concatenate(bit_parts)), num_keys=1)
+    # OP_MAX branches: their terms' weights leave the base sum (they enter
+    # via the per-branch max below); per-row bits are still single-term here
+    if cfg.max_specs and needs_bits:
+        bits_flat = jnp.concatenate(bit_parts)
+        excl = 0
+        for branches in cfg.max_specs:
+            for m in branches:
+                excl |= m
+        base_w = jnp.where((bits_flat & excl) == 0, w_flat, 0.0)
     else:
-        d, wv = lax.sort((ids_flat, w_flat), num_keys=1)
+        base_w = w_flat
+
+    # merge rows of the same doc: docid sort + segmented scan
+    extra = []
+    if cfg.max_specs:
+        extra.append(w_flat)
+    if needs_wdf:
+        extra.append(jnp.concatenate(wdf_parts))
+        extra.append(jnp.concatenate(dl_parts))
+    if needs_bits:
+        sorted_ = lax.sort(
+            (ids_flat, base_w, jnp.concatenate(bit_parts)) + tuple(extra),
+            num_keys=1)
+        d, wv, bv = sorted_[:3]
+        rest = sorted_[3:]
+    else:
+        sorted_ = lax.sort((ids_flat, base_w) + tuple(extra), num_keys=1)
+        d, wv = sorted_[:2]
         bv = None
+        rest = sorted_[2:]
     tail = jnp.concatenate([d[1:] != d[:-1], jnp.ones((1,), bool)])
     sums, orbits = _merge_runs(d, wv, bv, T)
+
+    ri = 0
+    if cfg.max_specs:
+        wv_all = rest[ri]; ri += 1
+        for branches in cfg.max_specs:
+            best = None
+            for m in branches:
+                bw = jnp.where((bv & m) != 0, wv_all, 0.0)
+                bsum, _ = _merge_runs(d, bw, None, T)
+                best = bsum if best is None else jnp.maximum(best, bsum)
+            if best is not None:
+                sums = sums + best
+    if needs_wdf:
+        # rows of one run share a doc, so the (tail) row's denormalised
+        # doclen is the doc's; scores are only read at run tails
+        wdfv, dlv = rest[ri], rest[ri + 1]; ri += 2
+        for i, m in enumerate(cfg.syn_groups):
+            swdf = jnp.where((bv & m) != 0, wdfv, 0.0)
+            ssum, _ = _merge_runs(d, swdf, None, T)
+            tc = plan["syn_tconst"][i]
+            dl = jnp.where(dlv > 0, dlv, 1.0)
+            if getattr(scheme, "needs_uniqterms", False):
+                uq = seg["uniqterms"][jnp.minimum(d, nd1 - 1)]
+                sw = scheme.sumpart(ssum, dl, tc, cstats, uniq=uq)
+            else:
+                sw = scheme.sumpart(ssum, dl, tc, cstats)
+            sums = sums + jnp.where(ssum > 0, sw, 0.0)
 
     real = d != SENTINEL
     first = tail & real

@@ -196,21 +196,23 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
     from jax import shard_map
 
     def step(seg, offsets, lens, tconst, scoring, group_bits, stats,
-             fparams):
+             fparams, syn_tconst):
         def per_shard(seg_blk, off_blk, len_blk, tconst_blk, scoring_blk,
-                      bits_blk, stats_blk, fp_blk):
+                      bits_blk, stats_blk, fp_blk, syn_blk):
             seg1 = jax.tree.map(lambda a: a[0], seg_blk)
             my_shard = jax.lax.axis_index("shard")
 
-            def one_query(off, ln, tc, sc, gb, fp):
+            def one_query(off, ln, tc, sc, gb, fp, syn):
                 plan = {"offsets": off[0], "lens": ln[0], "tconst": tc,
                         "scoring": sc, "group_bits": gb}
                 if cfg.n_filters:
                     plan["fparams"] = fp
+                if cfg.syn_groups:
+                    plan["syn_tconst"] = syn
                 return execute(seg1, plan, cfg, stats_blk, scheme)
 
             out = jax.vmap(one_query)(off_blk, len_blk, tconst_blk,
-                                      scoring_blk, bits_blk, fp_blk)
+                                      scoring_blk, bits_blk, fp_blk, syn_blk)
             # local -> global docids (docid striping, handler.cc:835)
             gdoc = out["docids"] * n_shards + my_shard
             invalid = jnp.isinf(out["scores"]) & (out["scores"] < 0)
@@ -230,18 +232,20 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
 
         tconst_spec = P("dp", None) if tconst.ndim == 2 \
             else P("dp", None, None)   # [Q,T,C] multi-constant schemes
+        syn_spec = P("dp", None) if syn_tconst.ndim == 2 \
+            else P("dp", None, None)
         in_specs = (
             jax.tree.map(lambda _: P("shard"), seg),
             P("dp", "shard", None), P("dp", "shard", None),
             tconst_spec, P("dp", None), P("dp", None),
             jax.tree.map(lambda _: P(), stats),
-            P("dp", None, None),
+            P("dp", None, None), syn_spec,
         )
         out_specs = (P("dp", None), P("dp", None), P("dp"))
         fn = shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
         return fn(seg, offsets, lens, tconst, scoring, group_bits, stats,
-                  fparams)
+                  fparams, syn_tconst)
 
     return jax.jit(step)
 
@@ -316,13 +320,17 @@ class ShardedIndex:
         shape (same signature) - callers bucket them (SURVEY §7)."""
         if self._stacked is None:
             raise RuntimeError("commit() before searching")
+        from xapiand_tpu.query.plan import resolve_special
+
         dsl = QueryDSL(self.schema)
-        irs = [q if isinstance(q, Q) else dsl.parse(q) for q in queries]
+        stats = self.stats()
+        irs = [resolve_special(q if isinstance(q, Q) else dsl.parse(q),
+                               self.scheme, stats, self.global_termfreq,
+                               self.global_collfreq) for q in queries]
         cqs = [compile_ir(ir) for ir in irs]
         sigs = {ir.signature() for ir in irs}
         if len(sigs) != 1:
             raise ValueError("search_batch requires same-shape queries")
-        stats = self.stats()
         stats_d = {"N": jnp.float32(stats.doc_count),
                    "avg_doclen": jnp.float32(stats.avg_doclen),
                    "doclen_lower": jnp.float32(1.0),
@@ -375,9 +383,18 @@ class ShardedIndex:
             self._step_cache[key] = step
         if fparams is None:
             fparams = np.zeros((q_pad, 1, 4), np.int32)
+        n_syn = len(cfg.syn_groups)
+        syn = np.zeros((q_pad, max(n_syn, 1)) if C == 1
+                       else (q_pad, max(n_syn, 1), C), np.float32)
+        if n_syn:
+            for qi, per_shard in enumerate(bounds):
+                st = per_shard[0].arrays.get("syn_tconst")
+                if st is not None:
+                    syn[qi, : st.shape[0]] = st
         args = [self._stacked, jnp.asarray(offsets), jnp.asarray(lens),
                 jnp.asarray(tconst), jnp.asarray(scoring),
-                jnp.asarray(gbits), stats_d, jnp.asarray(fparams)]
+                jnp.asarray(gbits), stats_d, jnp.asarray(fparams),
+                jnp.asarray(syn)]
         top_docs, top_scores, counts = step(*args)
         top_docs = np.asarray(top_docs)[:nq]
         top_scores = np.asarray(top_scores)[:nq]

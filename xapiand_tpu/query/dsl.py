@@ -65,6 +65,42 @@ class QueryDSL:
                 sub = self.parse(val if not isinstance(val, list)
                                  else {"_or": val})
                 parts.append(Q.and_not(Q.match_all(), sub))
+            elif key == "_max":
+                if not isinstance(val, list) or not val:
+                    raise QueryDSLError("_max expects a non-empty list")
+                parts.append(Q.max_(*[self.parse(v) for v in val]))
+            elif key == "_elite_set":
+                n = 10
+                if isinstance(val, dict):
+                    n = int(val.get("_n", val.get("_set_size", 10)))
+                    val = val.get("_value", val.get("_queries"))
+                if not isinstance(val, list) or not val:
+                    raise QueryDSLError("_elite_set expects a list of "
+                                        "subqueries")
+                parts.append(Q.elite_set([self.parse(v) for v in val], n=n))
+            elif key == "_synonym":
+                if not isinstance(val, list) or not val:
+                    raise QueryDSLError("_synonym expects a non-empty list")
+                kids = [self.parse(v) for v in val]
+                terms: list[str] = []
+                plain = all(k.op in ("term", "or_terms") for k in kids)
+                if plain:
+                    for k_ in kids:
+                        terms.extend(k_.terms)
+                    parts.append(Q.synonym(terms))
+                else:
+                    # non-term children degrade to OR (documented deviation:
+                    # OP_SYNONYM over complex subqueries)
+                    parts.append(self._combine(kids, "or"))
+            elif key == "_scale_weight":
+                if not isinstance(val, dict):
+                    raise QueryDSLError("_scale_weight expects an object")
+                factor = float(val.get("_factor", 1.0))
+                sub = val.get("_query")
+                if sub is None:
+                    sub = {k_: v_ for k_, v_ in val.items()
+                           if k_ != "_factor"}
+                parts.append(Q.scale(factor, self.parse(sub)))
             elif key == "_match_all":
                 parts.append(Q.match_all())
             elif key == "_match_none":
@@ -148,10 +184,25 @@ class QueryDSL:
                 return self._positional(spec, str(value["_near"]),
                                         int(value.get("_window", 0)),
                                         False, factor)
-            if "_wildcard" in value:
-                pre = spec.prefix + str(value["_wildcard"]).lower()
+            if "_wildcard" in value or "_partial" in value:
+                pre = spec.prefix + str(value.get(
+                    "_wildcard", value.get("_partial"))).lower()
                 terms = self.expand(pre)
                 return Q.or_terms(terms, factor=factor)
+            if "_edit_distance" in value or "_fuzzy" in value:
+                word = str(value.get("_edit_distance",
+                                     value.get("_fuzzy"))).lower()
+                edits = int(value.get("_edits",
+                                      value.get("_max_edits", 2)))
+                return self._fuzzy_query(spec, word, edits, factor)
+            if "_synonym" in value:
+                terms = self._text_terms(spec, str(value["_synonym"]))
+                return Q.synonym(terms, factor=factor)
+            if "_elite_set" in value:
+                terms = self._text_terms(spec, str(value["_elite_set"]))
+                n = int(value.get("_n", value.get("_set_size", 10)))
+                return Q.elite_set([Q.term(t, factor=factor) for t in terms],
+                                   n=n)
             if "_value" in value:
                 return self.field_query(path, value["_value"], factor)
             raise QueryDSLError(f"cannot parse field query {path}: {value!r}")
@@ -160,6 +211,42 @@ class QueryDSL:
                 [self.field_query(path, v, factor) for v in value],
                 self.default_op)
         return self._scalar_query(spec, path, value, factor)
+
+    def _text_terms(self, spec, text: str) -> list[str]:
+        """Field-prefixed query terms for a text value (stem-aware)."""
+        if spec.type == FieldType.KEYWORD:
+            return [spec.prefix + w for w in str(text).split()]
+        tg = tg_mod.TermGenerator(spec.language,
+                                  stem_strategy=spec.stem_strategy,
+                                  stop_strategy=spec.stop_strategy)
+        out = []
+        for t in tg.index_query_text(str(text)):
+            if t.startswith("Z"):
+                out.append("Z" + spec.prefix + t[1:])
+            else:
+                out.append(spec.prefix + t)
+        return out
+
+    def _fuzzy_query(self, spec, word: str, edits: int, factor: float) -> Q:
+        """_edit_distance / _fuzzy: expand dictionary terms of this field
+        within `edits` Levenshtein distance (OP_EDIT_DISTANCE,
+        query_dsl.cc DEFAULT_FUZZY_EDIT_DISTANCE 2)."""
+        from xapiand_tpu.utils.strmetrics import levenshtein
+
+        pfx = spec.prefix
+        plen = len(pfx)
+        matches = []
+        for t in self.expand(pfx):
+            suffix = t[plen:]
+            if suffix.startswith("\x00") or not suffix:
+                continue
+            if abs(len(suffix) - len(word)) > edits:
+                continue
+            if levenshtein(suffix, word) <= edits:
+                matches.append(t)
+        if not matches:
+            return Q.match_none()
+        return Q.or_terms(matches, factor=factor)
 
     def _scalar_query(self, spec, path, value, factor) -> Q:
         ftype = spec.type

@@ -102,11 +102,36 @@ class Q:
     def scale(factor: float, child: "Q") -> "Q":
         return Q("scale", children=(child,), factor=factor)
 
+    @staticmethod
+    def max_(*cs) -> "Q":
+        """OP_MAX: matches like OR but scores the max of children's
+        weights instead of their sum (xapian/matcher/maxpostlist.h)."""
+        return Q("max", children=tuple(cs))
+
+    @staticmethod
+    def synonym(ts, wqf: int = 1, factor: float = 1.0) -> "Q":
+        """OP_SYNONYM: children act as one term - wdf summed per doc,
+        weighted once (xapian/matcher/synonympostlist.h)."""
+        ts = tuple(ts)
+        if not ts:
+            return Q("match_none")
+        return Q("synonym", terms=ts, wqf=wqf, factor=factor)
+
+    @staticmethod
+    def elite_set(cs, n: int = 10) -> "Q":
+        """OP_ELITE_SET: keep only the n highest-impact subqueries, then
+        act as OR (docs compound-queries/elite-set-operator.md). Resolution
+        happens against collection stats (resolve_special in query/plan.py);
+        unresolved nodes compile as plain OR."""
+        return Q("elite_set", children=tuple(cs), window=n)
+
     def signature(self) -> str:
         """Structural signature (shape of the compiled program, ignoring
         which concrete terms/values are used) - part of the jit cache key."""
         if self.op in ("term", "or_terms"):
             return "T"
+        if self.op == "synonym":
+            return "SYN"
         if self.op in ("phrase", "near"):
             return f"{self.op}{len(self.terms)}w{self.window}"
         if self.op == "value_range":

@@ -54,6 +54,8 @@ class CompiledQuery:
     phrases: list = field(default_factory=list)  # (tidxs, gidxs, win, exact)
     n_groups: int = 0
     dense: bool = False
+    synonyms: list = field(default_factory=list)  # (group, terms, wqf, factor)
+    max_specs: list = field(default_factory=list)  # tuple of branch gr-masks
 
     def _new_group(self) -> int:
         if self.n_groups >= MAX_GROUPS:
@@ -161,6 +163,35 @@ def _walk(cq: CompiledQuery, node: Q, scoring: bool, generative: bool,
     if op == "scale":
         return _walk(cq, node.children[0], scoring, generative,
                      factor * node.factor)
+    if op == "synonym":
+        # one group, terms non-scoring; the executor sums wdf per doc and
+        # weights the merged pseudo-term once (synonympostlist.h semantics)
+        g = cq._new_group()
+        for t in node.terms:
+            cq.terms.append(PlanTerm(t, g, False, node.wqf,
+                                     factor * node.factor))
+        if scoring:
+            cq.synonyms.append((g, tuple(node.terms), node.wqf,
+                                factor * node.factor))
+        return ("G", g)
+    if op == "max":
+        subs, masks = [], []
+        for k in node.children:
+            g0 = cq.n_groups
+            subs.append(_walk(cq, k, scoring, generative, factor))
+            g1 = cq.n_groups
+            mask = 0
+            for g in range(g0, g1):
+                mask |= 1 << g
+            masks.append(mask)
+        if scoring:
+            cq.max_specs.append(tuple(masks))
+        return ("OR",) + tuple(subs)
+    if op == "elite_set":
+        # unresolved elite set degrades to OR (exact when n >= children;
+        # resolve_special() prunes against stats before compile otherwise)
+        return ("OR",) + tuple(
+            _walk(cq, k, scoring, generative, factor) for k in node.children)
     if op in ("and", "filter"):
         kids = node.children
         term_kids = [k for k in kids if _has_terms(k)]
@@ -278,9 +309,25 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
             geo_specs.append((slot, QR, rmax))
         arrays["geo_queries"] = gq
 
+    if cq.synonyms:
+        # one pseudo-term constant per synonym group: termfreq estimated as
+        # min(sum of child tfs, N) (xapian OP_SYNONYM freq estimation)
+        syn_tconst = np.zeros(
+            len(cq.synonyms) if C == 1 else (len(cq.synonyms), C),
+            dtype=np.float32)
+        for i, (g, syn_terms, wqf, fac) in enumerate(cq.synonyms):
+            tf = min(sum(global_tf(t) for t in syn_terms),
+                     max(int(stats.doc_count), 1))
+            cf = sum(global_cf(t) for t in syn_terms)
+            if tf > 0:
+                syn_tconst[i] = scheme.term_constant(stats, tf, wqf, fac,
+                                                     collfreq=cf)
+        arrays["syn_tconst"] = syn_tconst
+
     rows = nd1 if cq.dense else sum(classes)
     unweighted = (getattr(scheme, "name", "") == "bool"
-                  or not any(pt.scoring for pt in cq.terms))
+                  or not (any(pt.scoring for pt in cq.terms)
+                          or cq.synonyms))
     cfg = ExecConfig(
         T=T, L=L, k=min(k, rows),
         tree=cq.tree,
@@ -298,10 +345,57 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         dense=cq.dense,
         unweighted=unweighted,
         has_deletes=bool(seg.deleted.any()),
+        syn_groups=tuple(1 << g for g, _, _, _ in cq.synonyms),
+        max_specs=tuple(cq.max_specs),
     )
     if agg_arrays:
         arrays.update(agg_arrays)
     return BoundPlan(cfg=cfg, arrays=arrays)
+
+
+def resolve_special(ir: Q, scheme, stats, global_tf, global_cf=None) -> Q:
+    """IR -> IR transform run against collection stats before compile:
+    prunes _elite_set nodes to their n highest-impact subqueries
+    (OP_ELITE_SET picks by estimated max term weights; we estimate each
+    child by the max term_constant over its terms)."""
+    if global_cf is None:
+        global_cf = lambda t: 0
+
+    def child_estimate(node: Q) -> float:
+        if node.op in ("term", "or_terms", "synonym", "phrase", "near"):
+            best = 0.0
+            for t in node.terms:
+                tf = global_tf(t)
+                if tf > 0:
+                    try:
+                        tc = scheme.term_constant(
+                            stats, tf, node.wqf, node.factor,
+                            collfreq=global_cf(t))
+                    except Exception:
+                        tc = 0.0
+                    t0 = tc[0] if isinstance(tc, tuple) else tc
+                    best = max(best, abs(float(t0)))
+            return best
+        return max((child_estimate(c) for c in node.children), default=0.0)
+
+    def walk(node: Q) -> Q:
+        kids = tuple(walk(c) for c in node.children)
+        if node.op == "elite_set":
+            n = max(int(node.window), 1)
+            if len(kids) > n:
+                ranked = sorted(kids, key=child_estimate, reverse=True)
+                kids = tuple(ranked[:n])
+            return Q("or", children=kids) if len(kids) > 1 else \
+                (kids[0] if kids else Q.match_none())
+        if kids != node.children:
+            return Q(node.op, children=kids, terms=node.terms, wqf=node.wqf,
+                     factor=node.factor, window=node.window, slot=node.slot,
+                     lo_key=node.lo_key, hi_key=node.hi_key,
+                     cover_terms=node.cover_terms,
+                     geo_ranges=node.geo_ranges)
+        return node
+
+    return walk(ir)
 
 
 def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
