@@ -1,0 +1,146 @@
+"""Nested sub-aggregations, _filter/_missing buckets, _date_histogram,
+_date_range, and bucket _sort (reference: src/aggregations/ bucket.h +
+docs aggregations/bucket.md; date/missing variants are declared but
+disabled in the reference - implemented here).
+"""
+
+import math
+
+import pytest
+
+from xapiand_tpu.database import Database
+
+DOCS = [
+    {"fruit": "apple", "balance": 100.0, "state": "WA",
+     "opened": "2021-01-15T10:00:00"},
+    {"fruit": "apple", "balance": 300.0, "state": "OR",
+     "opened": "2021-02-10T09:00:00"},
+    {"fruit": "banana", "balance": 50.0, "state": "WA",
+     "opened": "2021-02-20T12:00:00"},
+    {"fruit": "cherry", "balance": 700.0, "state": "CA",
+     "opened": "2022-03-01T00:00:00"},
+    {"fruit": "apple", "balance": 200.0, "state": "CA",
+     "opened": "2022-07-04T18:30:00"},
+    {"balance": 999.0, "state": "NV",
+     "opened": "2022-08-01T00:00:00"},           # no fruit (missing)
+]
+
+
+@pytest.fixture(scope="module")
+def adb():
+    db = Database()
+    for i, d in enumerate(DOCS):
+        db.index_document(dict(d), doc_id=f"d{i}")
+    db.commit()
+    return db
+
+
+def aggs_for(db, aggs, query=None):
+    res = db.search(query or {"_match_all": {}}, k=0, aggs=aggs)
+    return res.aggregations
+
+
+def test_terms_with_sub_aggs(adb):
+    out = aggs_for(adb, {"fruits": {
+        "_terms": {"_field": "fruit"},
+        "_aggs": {"avg_balance": {"_avg": {"_field": "balance"}},
+                  "max_balance": {"_max": {"_field": "balance"}}}}})
+    buckets = {b["_key"]: b for b in out["fruits"]}
+    assert buckets["apple"]["_doc_count"] == 3
+    assert buckets["apple"]["avg_balance"]["_avg"] == pytest.approx(200.0)
+    assert buckets["apple"]["max_balance"]["_max"] == pytest.approx(300.0)
+    assert buckets["banana"]["avg_balance"]["_avg"] == pytest.approx(50.0)
+    assert buckets["cherry"]["_doc_count"] == 1
+
+
+def test_filter_bucket_with_subs(adb):
+    out = aggs_for(adb, {"apple_lovers": {
+        "_filter": {"_term": {"fruit": "apple"}},
+        "_aggs": {"avg_balance": {"_avg": {"_field": "balance"}}}}})
+    assert out["apple_lovers"]["_doc_count"] == 3
+    assert out["apple_lovers"]["avg_balance"]["_avg"] == pytest.approx(200.0)
+
+
+def test_filter_bucket_respects_query_context(adb):
+    out = aggs_for(adb, {"apple_lovers": {
+        "_filter": {"_term": {"fruit": "apple"}}}},
+        query={"state": "WA"})
+    assert out["apple_lovers"]["_doc_count"] == 1
+
+
+def test_missing_bucket(adb):
+    out = aggs_for(adb, {"no_fruit": {
+        "_missing": {"_field": "fruit"},
+        "_aggs": {"sum_balance": {"_sum": {"_field": "balance"}}}}})
+    assert out["no_fruit"]["_doc_count"] == 1
+    assert out["no_fruit"]["sum_balance"]["_sum"] == pytest.approx(999.0)
+
+
+def test_histogram_with_subs(adb):
+    out = aggs_for(adb, {"hist": {
+        "_histogram": {"_field": "balance", "_interval": 500},
+        "_aggs": {"mx": {"_max": {"_field": "balance"}}}}})
+    b0 = [b for b in out["hist"] if b["_key"] == 0.0][0]
+    assert b0["_doc_count"] == 4
+    assert b0["mx"]["_max"] == pytest.approx(300.0)
+    b1 = [b for b in out["hist"] if b["_key"] == 500.0][0]
+    assert b1["_doc_count"] == 2
+    assert b1["mx"]["_max"] == pytest.approx(999.0)
+
+
+def test_date_histogram_month(adb):
+    out = aggs_for(adb, {"by_month": {
+        "_date_histogram": {"_field": "opened", "_interval": "month"}}})
+    keys = {b["_key"]: b["_doc_count"] for b in out["by_month"]}
+    assert keys == {"2021-01": 1, "2021-02": 2, "2022-03": 1,
+                    "2022-07": 1, "2022-08": 1}
+
+
+def test_date_histogram_year_with_subs(adb):
+    out = aggs_for(adb, {"by_year": {
+        "_date_histogram": {"_field": "opened", "_interval": "year"},
+        "_aggs": {"avg_b": {"_avg": {"_field": "balance"}}}}})
+    keys = {b["_key"]: b for b in out["by_year"]}
+    assert keys["2021"]["_doc_count"] == 3
+    assert keys["2021"]["avg_b"]["_avg"] == pytest.approx(150.0)
+    assert keys["2022"]["_doc_count"] == 3
+    assert keys["2022"]["avg_b"]["_avg"] == pytest.approx(
+        (700 + 200 + 999) / 3)
+
+
+def test_date_range(adb):
+    out = aggs_for(adb, {"eras": {
+        "_date_range": {"_field": "opened", "_ranges": [
+            {"_key": "before_2022", "_to": "2022-01-01T00:00:00Z"},
+            {"_key": "since_2022", "_from": "2022-01-01T00:00:00Z"}]}}})
+    by_key = {b["_key"]: b["_doc_count"] for b in out["eras"]}
+    assert by_key == {"before_2022": 3, "since_2022": 3}
+
+
+def test_bucket_sort_by_doc_count_asc(adb):
+    out = aggs_for(adb, {"fruits": {
+        "_terms": {"_field": "fruit", "_sort": {"_doc_count": "asc"}}}})
+    counts = [b["_doc_count"] for b in out["fruits"]]
+    assert counts == sorted(counts)
+
+
+def test_bucket_sort_by_sub_agg(adb):
+    out = aggs_for(adb, {"fruits": {
+        "_terms": {"_field": "fruit", "_sort": {"mx._max": "desc"}},
+        "_aggs": {"mx": {"_max": {"_field": "balance"}}}}})
+    maxes = [b["mx"]["_max"] for b in out["fruits"]]
+    assert maxes == sorted(maxes, reverse=True)
+    assert out["fruits"][0]["_key"] == "cherry"      # 700
+
+
+def test_range_with_subs(adb):
+    out = aggs_for(adb, {"tiers": {
+        "_range": {"_field": "balance",
+                   "_ranges": [{"_key": "low", "_to": 250},
+                               {"_key": "high", "_from": 250}]},
+        "_aggs": {"st": {"_stats": {"_field": "balance"}}}}})
+    by_key = {b["_key"]: b for b in out["tiers"]}
+    assert by_key["low"]["_doc_count"] == 3
+    assert by_key["low"]["st"]["_min"] == pytest.approx(50.0)
+    assert by_key["high"]["st"]["_max"] == pytest.approx(999.0)
+    assert by_key["high"]["st"]["_sum"] == pytest.approx(300 + 700 + 999)

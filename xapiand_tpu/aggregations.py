@@ -4,10 +4,22 @@ response shaping.
 Reference parity target: src/aggregations/ DSL (reserved/aggregations.h):
 
   {"my_agg": {"_sum": {"_field": "price"}},
-   "cats":   {"_terms": {"_field": "category", "_size": 10}},
+   "cats":   {"_terms": {"_field": "category", "_size": 10,
+                         "_sort": {"_doc_count": "desc"}},
+              "_aggs": {"avg_price": {"_avg": {"_field": "price"}}}},
    "hist":   {"_histogram": {"_field": "price", "_interval": 100}},
+   "lovers": {"_filter": {"_term": {"fruit": "strawberry"}},
+              "_aggs": {...}},
    "ranges": {"_range": {"_field": "age",
                          "_ranges": [{"_to": 30}, {"_from": 30}]}}}
+
+Bucket aggregations (_terms/_values, _histogram, _range, _date_histogram,
+_date_range, _filter, _missing) support metric sub-aggregations via the
+sibling "_aggs" key and ordering via "_sort" ({"_doc_count"|"_key"|
+"<sub>._max": "asc"|"desc"}), mirroring
+docs/_docs/reference-guide/search/aggregations/bucket.md. The reference
+declares _date_histogram/_date_range/_missing/_cardinality/_percentiles
+but leaves them disabled (aggregations.cc:118-207) - implemented here.
 
 Device kernels (ops/aggs.py) return sufficient statistics; partials from
 segments/shards merge exactly here (≙ AggregationMatchSpy::merge_results,
@@ -19,6 +31,7 @@ deviation).
 from __future__ import annotations
 
 import math
+from datetime import datetime, timezone
 
 import numpy as np
 
@@ -27,9 +40,14 @@ METRICS = {"_count": "count", "_sum": "sum", "_avg": "avg", "_min": "min",
            "_std_deviation": "std_deviation", "_std": "std_deviation",
            "_median": "median", "_mode": "mode", "_stats": "stats",
            "_extended_stats": "extended_stats"}
-BUCKETS = {"_terms", "_values", "_value", "_histogram", "_range"}
+BUCKETS = {"_terms", "_values", "_value", "_histogram", "_range",
+           "_date_histogram", "_date_range", "_filter", "_missing"}
 
 _CAT_BUCKETS = (16, 64, 256, 1024, 4096)
+
+# calendar intervals in seconds (month/year roll up from days host-side)
+_CAL_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                "week": 7 * 86400}
 
 
 class AggError(ValueError):
@@ -43,14 +61,68 @@ def _cat_bucket(n: int) -> int:
     raise AggError(f"too many facet categories: {n}")
 
 
+def _parse_interval(iv) -> tuple[float, str | None]:
+    """-> (device interval seconds, calendar rollup or None)."""
+    if isinstance(iv, (int, float)):
+        return float(iv), None
+    s = str(iv).strip().lower()
+    if s in ("month", "year"):
+        return 86400.0, s            # daily histogram, host rollup
+    if s in _CAL_SECONDS:
+        return float(_CAL_SECONDS[s]), None
+    # "15m" / "2h" / "7d" style
+    try:
+        num, unit = float(s[:-1]), s[-1]
+        mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}[unit]
+        return num * mult, None
+    except (ValueError, KeyError, IndexError):
+        raise AggError(f"bad _interval {iv!r}")
+
+
+def _compile_subs(schema, sub_dsl: dict):
+    """Metric sub-aggregations of a bucket -> (names, spec tuple, metas)."""
+    names, specs, metas = [], [], []
+    for name, body in (sub_dsl or {}).items():
+        if not isinstance(body, dict) or len(body) != 1:
+            raise AggError(f"sub-aggregation {name!r} must have one type")
+        key, args = next(iter(body.items()))
+        kind = METRICS.get(key)
+        if kind is None:
+            raise AggError(
+                f"sub-aggregation {name!r}: only metric sub-aggregations "
+                f"are supported inside buckets (got {key!r})")
+        if kind in ("median", "mode"):
+            raise AggError(f"{key} is not supported as a bucket "
+                           "sub-aggregation")
+        if kind == "count":
+            specs.append(("count", -1))
+        else:
+            specs.append((kind, _slot_of(schema, args)))
+        names.append(name)
+        metas.append({"kind": kind})
+    return names, tuple(specs), metas
+
+
 def compile_for_segment(schema, segment, aggs_dsl: dict):
     """-> (names, specs tuple, agg_arrays dict, meta per agg)."""
     names, specs, meta = [], [], []
-    agg_params, agg_ranges = {}, {}
+    agg_params, agg_ranges, agg_filters = {}, {}, {}
     for i, (name, body) in enumerate(aggs_dsl.items()):
-        if not isinstance(body, dict) or len(body) != 1:
+        if not isinstance(body, dict):
+            raise AggError(f"aggregation {name!r} must be an object")
+        sub_dsl = body.get("_aggs", body.get("_aggregations"))
+        tkeys = [k for k in body if k not in ("_aggs", "_aggregations",
+                                              "_meta")]
+        if len(tkeys) != 1:
             raise AggError(f"aggregation {name!r} must have exactly one type")
-        key, args = next(iter(body.items()))
+        key = tkeys[0]
+        args = body[key]
+        if sub_dsl and key in METRICS:
+            raise AggError(f"metric aggregation {name!r} cannot hold _aggs")
+        sub_names, sub_specs, sub_metas = _compile_subs(schema, sub_dsl) \
+            if sub_dsl else ([], (), [])
+        sort = args.get("_sort") if isinstance(args, dict) else None
+
         if key in METRICS:
             kind = METRICS[key]
             if kind == "count":
@@ -65,21 +137,40 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
             col = segment.values.get(slot)
             cat_names = (col.cat_names or []) if col is not None else []
             ncats = _cat_bucket(max(len(cat_names), 1))
-            specs.append(("terms", slot, ncats))
+            specs.append(("terms", slot, ncats, sub_specs))
             meta.append({"kind": "terms", "cat_names": list(cat_names),
-                         "size": int(args.get("_size", 10)),
+                         "size": int(args.get("_size",
+                                              args.get("_limit", 10))),
                          "keyed": bool(args.get("_keyed", False)),
-                         "min_doc_count": int(args.get("_min_doc_count", 1))})
-        elif key == "_histogram":
+                         "min_doc_count": int(args.get("_min_doc_count", 1)),
+                         "sort": sort,
+                         "sub_names": sub_names, "sub_metas": sub_metas})
+        elif key in ("_histogram", "_date_histogram"):
             slot = _slot_of(schema, args)
-            interval = float(args["_interval"])
-            shift = float(args.get("_shift", 0.0))
-            nb = int(args.get("_buckets", 64))
-            specs.append(("histogram", slot, nb))
+            calendar = None
+            if key == "_date_histogram":
+                interval, calendar = _parse_interval(args["_interval"])
+                col = segment.values.get(slot)
+                # anchor at the column's min so the bucket range is data-
+                # bounded (host knows it; the device histogram is dense)
+                vmin = 0.0
+                if col is not None and col.present.any():
+                    vmin = float(col.fval[col.present].min())
+                shift = math.floor(vmin / interval) * interval
+                nb = 4096
+            else:
+                interval = float(args["_interval"])
+                shift = float(args.get("_shift", 0.0))
+                nb = int(args.get("_buckets", 64))
+            specs.append(("histogram", slot, nb, sub_specs))
             agg_params[i] = np.asarray([interval, shift], np.float32)
             meta.append({"kind": "histogram", "interval": interval,
-                         "shift": shift, "nb": nb,
-                         "min_doc_count": int(args.get("_min_doc_count", 1))})
+                         "shift": shift, "nb": nb, "calendar": calendar,
+                         "dates": key == "_date_histogram",
+                         "min_doc_count": int(args.get("_min_doc_count", 1)),
+                         "sort": sort, "keyed": bool(args.get("_keyed",
+                                                              False)),
+                         "sub_names": sub_names, "sub_metas": sub_metas})
         elif key == "_cardinality":
             slot = _slot_of(schema, args)
             specs.append(("cardinality", slot))
@@ -92,21 +183,51 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
             agg_params[i] = np.asarray(pcts, np.float32)
             meta.append({"kind": "percentiles",
                          "pcts": [p * 100 for p in pcts]})
-        elif key == "_range":
+        elif key in ("_range", "_date_range"):
             slot = _slot_of(schema, args)
             rs = args.get("_ranges")
             if not rs:
-                raise AggError(f"_range aggregation {name!r} needs _ranges")
+                raise AggError(f"{key} aggregation {name!r} needs _ranges")
+            is_date = key == "_date_range"
             bounds = np.zeros((len(rs), 2), np.float32)
             labels = []
             for j, r in enumerate(rs):
-                lo = float(r.get("_from", -math.inf))
-                hi = float(r.get("_to", math.inf))
+                if is_date:
+                    from xapiand_tpu.utils import dtutils
+                    lo = dtutils.parse_datetime(r["_from"]) \
+                        if "_from" in r else -math.inf
+                    hi = dtutils.parse_datetime(r["_to"]) \
+                        if "_to" in r else math.inf
+                else:
+                    lo = float(r.get("_from", -math.inf))
+                    hi = float(r.get("_to", math.inf))
                 bounds[j, 0], bounds[j, 1] = lo, hi
                 labels.append(r.get("_key", f"{lo}..{hi}"))
-            specs.append(("range", slot, len(rs)))
+            specs.append(("range", slot, len(rs), sub_specs))
             agg_ranges[i] = bounds
-            meta.append({"kind": "range", "labels": labels})
+            meta.append({"kind": "range", "labels": labels, "sort": sort,
+                         "sub_names": sub_names, "sub_metas": sub_metas})
+        elif key == "_filter":
+            terms_obj = args.get("_term") if isinstance(args, dict) else None
+            if not isinstance(terms_obj, dict) or not terms_obj:
+                raise AggError(f"_filter aggregation {name!r} needs _term")
+            term_spans = []
+            for fld, val in terms_obj.items():
+                term_spans.append(_filter_term_span(schema, segment,
+                                                    fld, val))
+            Lf = 128
+            for _, ln in term_spans:
+                while ln > Lf:
+                    Lf *= 4
+            specs.append(("filter", len(term_spans), Lf, sub_specs))
+            agg_filters[i] = np.asarray(term_spans, np.int32)
+            meta.append({"kind": "filter",
+                         "sub_names": sub_names, "sub_metas": sub_metas})
+        elif key == "_missing":
+            slot = _slot_of(schema, args)
+            specs.append(("missing", slot, sub_specs))
+            meta.append({"kind": "missing",
+                         "sub_names": sub_names, "sub_metas": sub_metas})
         else:
             raise AggError(f"unknown aggregation type {key!r}")
         names.append(name)
@@ -115,7 +236,24 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
         arrays["agg_params"] = agg_params
     if agg_ranges:
         arrays["agg_ranges"] = agg_ranges
+    if agg_filters:
+        arrays["agg_filters"] = agg_filters
     return names, tuple(specs), arrays, meta
+
+
+def _filter_term_span(schema, segment, field, value) -> tuple[int, int]:
+    """(offset, length) of the filter term's postings in this segment."""
+    from xapiand_tpu.query.dsl import QueryDSL
+
+    q = QueryDSL(schema).field_query(str(field), value)
+    # a filter must be a single concrete term (docs filter-aggregation.md)
+    if q.op not in ("term", "or_terms") or len(q.terms) != 1:
+        raise AggError(f"_filter._term on {field!r} must resolve to one "
+                       f"term (got {q.op})")
+    ti = segment.get_term(q.terms[0])
+    if ti is None:
+        return (0, 0)
+    return (ti.offset, ti.length)
 
 
 def _slot_of(schema, args) -> int:
@@ -126,6 +264,99 @@ def _slot_of(schema, args) -> int:
     if spec.slot is None:
         raise AggError(f"field {field!r} has no value slot")
     return spec.slot
+
+
+# ---------------------------------------------------------------------------
+# merge + shape
+# ---------------------------------------------------------------------------
+
+def _merge_sub_parts(sub_parts_per_segment):
+    """Merge per-bucket sufficient stats across segments.
+
+    each part: {"n": [nb], "s": [nb], "s2": [nb], "min": [nb], "max": [nb]}
+    """
+    out = None
+    for p in sub_parts_per_segment:
+        p = {k: np.asarray(v, np.float64) for k, v in p.items()}
+        if out is None:
+            out = dict(p)
+        else:
+            out["n"] = out["n"] + p["n"]
+            out["s"] = out["s"] + p["s"]
+            out["s2"] = out["s2"] + p["s2"]
+            out["min"] = np.minimum(out["min"], p["min"])
+            out["max"] = np.maximum(out["max"], p["max"])
+    return out
+
+
+def _shape_metric(kind, n, s, s2, vmin, vmax):
+    mean = s / n if n else None
+    var = max(s2 / n - mean * mean, 0.0) if n else None
+    if kind == "count":
+        return {"_count": int(n)}
+    if kind == "sum":
+        return {"_sum": s}
+    if kind == "avg":
+        return {"_avg": mean}
+    if kind == "min":
+        return {"_min": vmin if n else None}
+    if kind == "max":
+        return {"_max": vmax if n else None}
+    if kind == "variance":
+        return {"_variance": var}
+    if kind == "std_deviation":
+        return {"_std_deviation": math.sqrt(var) if var is not None
+                else None}
+    if kind == "stats":
+        return {"_count": int(n), "_min": vmin if n else None,
+                "_max": vmax if n else None, "_avg": mean, "_sum": s}
+    if kind == "extended_stats":
+        return {"_count": int(n), "_min": vmin if n else None,
+                "_max": vmax if n else None, "_avg": mean, "_sum": s,
+                "_sum_of_squares": s2, "_variance": var,
+                "_std_deviation": math.sqrt(var) if var is not None
+                else None}
+    raise AggError(f"unshapeable metric {kind!r}")
+
+
+def _shape_subs(meta, merged_subs, b):
+    """Shape bucket b's sub-aggregation values."""
+    out = {}
+    for sub_name, sub_meta, ms in zip(meta["sub_names"], meta["sub_metas"],
+                                      merged_subs):
+        out[sub_name] = _shape_metric(
+            sub_meta["kind"], float(ms["n"][b]), float(ms["s"][b]),
+            float(ms["s2"][b]), float(ms["min"][b]), float(ms["max"][b]))
+    return out
+
+
+def _bucket_sort_key(meta, merged_subs):
+    """-> (key_fn over bucket dicts, reverse) honoring _sort."""
+    sort = meta.get("sort")
+    if not sort:
+        return None, False
+    if not isinstance(sort, dict) or len(sort) != 1:
+        raise AggError(f"bad _sort {sort!r}")
+    field, order = next(iter(sort.items()))
+    reverse = str(order).lower() == "desc"
+    if field == "_doc_count":
+        return (lambda b: b["_doc_count"]), reverse
+    if field == "_key":
+        return (lambda b: b["_key"]), reverse
+    # "<sub_name>._max" style
+    sub, _, metric = field.partition(".")
+    if not metric:
+        raise AggError(f"bad _sort field {field!r}")
+
+    def key(b):
+        v = b.get(sub, {}).get(metric)
+        return (v is None, v if v is not None else 0.0)
+    return key, reverse
+
+
+def _iso(ts: float) -> str:
+    return datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S")
 
 
 def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
@@ -144,36 +375,12 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
             s2 = sum(float(p["s2"]) for p in parts)
             vmin = min((float(p["min"]) for p in parts), default=math.inf)
             vmax = max((float(p["max"]) for p in parts), default=-math.inf)
-            mean = s / n if n else None
-            var = max(s2 / n - mean * mean, 0.0) if n else None
-            if kind == "sum":
-                out[name] = {"_sum": s}
-            elif kind == "avg":
-                out[name] = {"_avg": mean}
-            elif kind == "min":
-                out[name] = {"_min": vmin if n else None}
-            elif kind == "max":
-                out[name] = {"_max": vmax if n else None}
-            elif kind == "variance":
-                out[name] = {"_variance": var}
-            elif kind == "std_deviation":
-                out[name] = {"_std_deviation": math.sqrt(var) if var is not None else None}
-            elif kind == "median":
-                med = _weighted_pick(parts, "median")
-                out[name] = {"_median": med}
+            if kind == "median":
+                out[name] = {"_median": _weighted_pick(parts, "median")}
             elif kind == "mode":
                 out[name] = {"_mode": _weighted_pick(parts, "mode")}
-            elif kind == "stats":
-                out[name] = {"_count": int(n), "_min": vmin if n else None,
-                             "_max": vmax if n else None, "_avg": mean,
-                             "_sum": s}
-            else:  # extended_stats
-                out[name] = {
-                    "_count": int(n), "_min": vmin if n else None,
-                    "_max": vmax if n else None, "_avg": mean, "_sum": s,
-                    "_sum_of_squares": s2, "_variance": var,
-                    "_std_deviation": math.sqrt(var) if var is not None else None,
-                }
+            else:
+                out[name] = _shape_metric(kind, n, s, s2, vmin, vmax)
         elif kind == "cardinality":
             # exact within one segment; across segments the sum is an upper
             # bound (values may repeat across segments) - documented
@@ -183,10 +390,10 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
             best, best_n = None, -1.0
             total_n = 0
             for p in parts:
-                n = float(p["n"])
-                total_n += n
-                if n > best_n:
-                    best, best_n = p, n
+                pn = float(p["n"])
+                total_n += pn
+                if pn > best_n:
+                    best, best_n = p, pn
             vals = [float(v) for v in np.asarray(best["values"])] \
                 if best is not None else []
             out[name] = {"_percentiles": {
@@ -194,40 +401,144 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
                     (v if total_n else None)
                 for pct, v in zip(meta["pcts"], vals)}}
         elif kind == "terms":
+            has_subs = bool(meta.get("sub_names"))
             counts: dict[str, int] = {}
+            sub_by_key: dict[str, list] = {}
             for seg_idx, p in enumerate(parts):
                 seg_cats = cat_names_per_segment[seg_idx].get(i, [])
-                arr = np.asarray(p)
+                arr = np.asarray(p["counts"] if has_subs else p)
+                subs = p.get("subs") if has_subs else None
                 for code, c in enumerate(arr):
                     if c > 0 and code < len(seg_cats):
                         key = seg_cats[code]
                         counts[key] = counts.get(key, 0) + int(c)
-            items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            mdc = meta.get("min_doc_count", 1)
-            items = [(k, v) for k, v in items if v >= mdc]
-            items = items[: meta.get("size", 10)]
-            if meta.get("keyed"):
-                out[name] = {k: {"_doc_count": v} for k, v in items}
+                        if has_subs:
+                            sub_by_key.setdefault(key, []).append(
+                                [{kk: np.asarray(vv)[code]
+                                  for kk, vv in sm.items()}
+                                 for sm in subs])
+            buckets = []
+            for k, v in counts.items():
+                b = {"_key": k, "_doc_count": v}
+                if has_subs:
+                    # merge this key's per-segment scalar sub stats
+                    merged = []
+                    for si in range(len(meta["sub_names"])):
+                        merged.append(_merge_sub_parts(
+                            [{kk: np.asarray([vv]) for kk, vv in seg[si].items()}
+                             for seg in sub_by_key.get(k, [])]))
+                    b.update(_shape_subs(meta, merged, 0))
+                buckets.append(b)
+            key_fn, reverse = _bucket_sort_key(meta, None)
+            if key_fn is None:
+                buckets.sort(key=lambda b: (-b["_doc_count"], b["_key"]))
             else:
-                out[name] = [{"_key": k, "_doc_count": v} for k, v in items]
+                buckets.sort(key=key_fn, reverse=reverse)
+            mdc = meta.get("min_doc_count", 1)
+            buckets = [b for b in buckets if b["_doc_count"] >= mdc]
+            buckets = buckets[: meta.get("size", 10)]
+            if meta.get("keyed"):
+                out[name] = {b.pop("_key"): b for b in buckets}
+            else:
+                out[name] = buckets
         elif kind == "histogram":
-            total = np.zeros_like(np.asarray(parts[0]))
+            has_subs = bool(meta.get("sub_names"))
+            total = None
+            merged_subs = None
             for p in parts:
-                total = total + np.asarray(p)
+                c = np.asarray(p["counts"] if has_subs else p, np.int64)
+                total = c if total is None else total + c
+            if has_subs:
+                merged_subs = [
+                    _merge_sub_parts([p["subs"][si] for p in parts])
+                    for si in range(len(meta["sub_names"]))]
             interval, shift = meta["interval"], meta["shift"]
+            calendar = meta.get("calendar")
+            if calendar:
+                out[name] = _calendar_rollup(meta, total, merged_subs)
+                continue
             buckets = []
             for b, c in enumerate(total):
                 if int(c) >= meta.get("min_doc_count", 1):
-                    buckets.append({"_key": b * interval + shift,
-                                    "_doc_count": int(c)})
-            out[name] = buckets
+                    key = b * interval + shift
+                    bd = {"_key": _iso(key) if meta.get("dates") else key,
+                          "_doc_count": int(c)}
+                    if has_subs:
+                        bd.update(_shape_subs(meta, merged_subs, b))
+                    buckets.append(bd)
+            key_fn, reverse = _bucket_sort_key(meta, None)
+            if key_fn is not None:
+                buckets.sort(key=key_fn, reverse=reverse)
+            if meta.get("keyed"):
+                out[name] = {str(b.pop("_key")): b for b in buckets}
+            else:
+                out[name] = buckets
         elif kind == "range":
-            total = np.zeros_like(np.asarray(parts[0]))
+            has_subs = bool(meta.get("sub_names"))
+            total = None
             for p in parts:
-                total = total + np.asarray(p)
-            out[name] = [{"_key": lbl, "_doc_count": int(c)}
-                         for lbl, c in zip(meta["labels"], total)]
+                c = np.asarray(p["counts"] if has_subs else p, np.int64)
+                total = c if total is None else total + c
+            merged_subs = [
+                _merge_sub_parts([p["subs"][si] for p in parts])
+                for si in range(len(meta["sub_names"]))] if has_subs else None
+            buckets = []
+            for b, (lbl, c) in enumerate(zip(meta["labels"], total)):
+                bd = {"_key": lbl, "_doc_count": int(c)}
+                if has_subs:
+                    bd.update(_shape_subs(meta, merged_subs, b))
+                buckets.append(bd)
+            out[name] = buckets
+        elif kind in ("filter", "missing"):
+            n = sum(int(np.asarray(p["count"])) for p in parts)
+            bd = {"_doc_count": n}
+            if meta.get("sub_names"):
+                merged_subs = [
+                    _merge_sub_parts([p["subs"][si] for p in parts])
+                    for si in range(len(meta["sub_names"]))]
+                bd.update(_shape_subs(meta, merged_subs, 0))
+            out[name] = bd
     return out
+
+
+def _calendar_rollup(meta, daily_counts, merged_subs):
+    """Roll daily device buckets into exact calendar months/years."""
+    interval, shift = meta["interval"], meta["shift"]
+    calendar = meta["calendar"]
+    has_subs = bool(meta.get("sub_names"))
+    groups: dict[str, dict] = {}
+    for b, c in enumerate(daily_counts):
+        if int(c) == 0 and not has_subs:
+            continue
+        ts = b * interval + shift
+        dt = datetime.fromtimestamp(ts, tz=timezone.utc)
+        key = f"{dt.year:04d}-{dt.month:02d}" if calendar == "month" \
+            else f"{dt.year:04d}"
+        g = groups.setdefault(key, {"_doc_count": 0, "_subs": None})
+        g["_doc_count"] += int(c)
+        if has_subs:
+            if g["_subs"] is None:
+                g["_subs"] = [
+                    {kk: np.asarray([vv[b]], np.float64)
+                     for kk, vv in ms.items()} for ms in merged_subs]
+            else:
+                for si, ms in enumerate(merged_subs):
+                    cur = g["_subs"][si]
+                    cur["n"][0] += float(ms["n"][b])
+                    cur["s"][0] += float(ms["s"][b])
+                    cur["s2"][0] += float(ms["s2"][b])
+                    cur["min"][0] = min(cur["min"][0], float(ms["min"][b]))
+                    cur["max"][0] = max(cur["max"][0], float(ms["max"][b]))
+    buckets = []
+    for key in sorted(groups):
+        g = groups[key]
+        if g["_doc_count"] < meta.get("min_doc_count", 1):
+            continue
+        bd = {"_key": key, "_doc_count": g["_doc_count"]}
+        if has_subs and g["_subs"] is not None:
+            bd.update(_shape_subs(meta, g["_subs"], 0))
+        buckets.append(bd)
+    return buckets
 
 
 def _weighted_pick(parts, field):

@@ -10,10 +10,17 @@ Static spec forms (cfg.with_aggs entries):
   ("count",)
   ("sum"|"avg"|"min"|"max"|"variance"|"std_deviation"|"median"|"mode", slot)
   ("stats"|"extended_stats", slot)
-  ("terms", slot, ncats)            - facet counts over category codes
-  ("histogram", slot, nbuckets)     - interval/offset passed dynamically via
-                                      plan["agg_params"][i] = (interval, shift)
-  ("range", slot, nranges)          - bounds via plan["agg_ranges"][i][nr, 2]
+  ("terms", slot, ncats, sub_specs)   - facet counts over category codes
+  ("histogram", slot, nb, sub_specs)  - interval/offset via
+                                        plan["agg_params"][i]
+  ("range", slot, nr, sub_specs)      - bounds via plan["agg_ranges"][i]
+  ("filter", n_terms, Lf, sub_specs)  - posting-membership filter bucket;
+                                        term spans via plan["agg_filters"][i]
+  ("missing", slot, sub_specs)        - docs lacking the field
+
+sub_specs: tuple of metric specs (kind, slot) computed per bucket as
+sufficient statistics via one-hot matmuls (n/s/s2 on the MXU, min/max as
+masked broadcast reductions XLA fuses without materialising [rows, nb]).
 Results are raw arrays; host-side shaping into the reference's response
 format happens in xapiand_tpu.aggregations.
 """
@@ -32,12 +39,78 @@ def _slot_vals(seg, slot, docids, mask):
     return v, m
 
 
+def _sub_stats_bucketed(seg, sub_specs, docids, oh_bool):
+    """Per-bucket sufficient stats for metric sub-aggregations.
+
+    oh_bool: [rows, nb] bucket membership (already ANDed with the match
+    mask). Returns a list of {"n","s","s2","min","max"} arrays [nb].
+    """
+    out = []
+    ohf = oh_bool.astype(jnp.float32)
+    for kind, slot in sub_specs:
+        if kind == "count" or slot < 0:
+            n = jnp.sum(ohf, axis=0)
+            z = jnp.zeros_like(n)
+            out.append({"n": n, "s": z, "s2": z,
+                        "min": jnp.full_like(n, jnp.inf),
+                        "max": jnp.full_like(n, -jnp.inf)})
+            continue
+        col = seg["values"][slot]
+        d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+        v = col["fval"][d]
+        present = col["present"][d]
+        both = oh_bool & present[:, None]
+        bf = both.astype(jnp.float32)
+        n = jnp.sum(bf, axis=0)
+        s = jnp.einsum("r,rb->b", v, bf, preferred_element_type=jnp.float32)
+        s2 = jnp.einsum("r,rb->b", v * v, bf,
+                        preferred_element_type=jnp.float32)
+        vmin = jnp.min(jnp.where(both, v[:, None], jnp.inf), axis=0)
+        vmax = jnp.max(jnp.where(both, v[:, None], -jnp.inf), axis=0)
+        out.append({"n": n, "s": s, "s2": s2, "min": vmin, "max": vmax})
+    return out
+
+
+def _sub_stats_single(seg, sub_specs, docids, m):
+    """Single-bucket (filter/missing) sufficient stats; arrays of size 1."""
+    return _sub_stats_bucketed(seg, sub_specs, docids, m[:, None])
+
+
 def compute_aggs(seg, specs, docids, mask, scores, plan=None):
+    from xapiand_tpu.ops.executor import lower_bound
+
     out = []
     for i, spec in enumerate(specs):
         kind = spec[0]
         if kind == "count":
             out.append(jnp.sum(mask.astype(jnp.int32)))
+            continue
+        if kind == "filter":
+            n_terms, Lf, sub_specs = spec[1], spec[2], spec[3]
+            spans = plan["agg_filters"][i]          # [n_terms, 2]
+            m = mask
+            for t in range(n_terms):
+                span = lax.dynamic_slice(seg["post_docids"],
+                                         (spans[t, 0],), (Lf,))
+                inlen = jnp.arange(Lf) < spans[t, 1]
+                span = jnp.where(inlen, span, jnp.int32(2**31 - 1))
+                pos = lower_bound(span, docids, Lf)
+                found = span[jnp.minimum(pos, Lf - 1)] == docids
+                m = m & found & (spans[t, 1] > 0)
+            res = {"count": jnp.sum(m.astype(jnp.int32))}
+            if sub_specs:
+                res["subs"] = _sub_stats_single(seg, sub_specs, docids, m)
+            out.append(res)
+            continue
+        if kind == "missing":
+            slot, sub_specs = spec[1], spec[2]
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["present"].shape[0] - 1)
+            m = mask & ~col["present"][d]
+            res = {"count": jnp.sum(m.astype(jnp.int32))}
+            if sub_specs:
+                res["subs"] = _sub_stats_single(seg, sub_specs, docids, m)
+            out.append(res)
             continue
         slot = spec[1]
         if kind in ("sum", "avg", "min", "max", "variance", "std_deviation",
@@ -76,35 +149,53 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             out.append(res)
         elif kind == "terms":
             ncats = spec[2]
+            sub_specs = spec[3] if len(spec) > 3 else ()
             col = seg["values"][slot]
             d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             codes = col["cats"][d]
             m = mask & (codes >= 0)
-            oh = jnp.asarray(codes[:, None] == jnp.arange(ncats)[None, :],
-                             jnp.float32)
-            counts = jnp.dot(m.astype(jnp.float32), oh,
-                             preferred_element_type=jnp.float32)
-            out.append(counts.astype(jnp.int32))
+            in_bucket = (codes[:, None] == jnp.arange(ncats)[None, :]) \
+                & m[:, None]
+            counts = jnp.sum(in_bucket.astype(jnp.int32), axis=0)
+            if sub_specs:
+                out.append({"counts": counts,
+                            "subs": _sub_stats_bucketed(seg, sub_specs, d,
+                                                        in_bucket)})
+            else:
+                out.append(counts)
         elif kind == "histogram":
             nb = spec[2]
+            sub_specs = spec[3] if len(spec) > 3 else ()
             v, m = _slot_vals(seg, slot, docids, mask)
             interval = plan["agg_params"][i][0]
             shift = plan["agg_params"][i][1]
             b = jnp.floor((v - shift) / interval).astype(jnp.int32)
             inb = m & (b >= 0) & (b < nb)
             bc = jnp.clip(b, 0, nb - 1)
-            oh = jnp.asarray(bc[:, None] == jnp.arange(nb)[None, :],
-                             jnp.float32)
-            counts = jnp.dot(inb.astype(jnp.float32), oh,
-                             preferred_element_type=jnp.float32)
-            out.append(counts.astype(jnp.int32))
+            in_bucket = (bc[:, None] == jnp.arange(nb)[None, :]) \
+                & inb[:, None]
+            oh = in_bucket.astype(jnp.float32)
+            counts = jnp.sum(oh, axis=0).astype(jnp.int32)
+            if sub_specs:
+                out.append({"counts": counts,
+                            "subs": _sub_stats_bucketed(seg, sub_specs,
+                                                        docids, in_bucket)})
+            else:
+                out.append(counts)
         elif kind == "range":
             nr = spec[2]
+            sub_specs = spec[3] if len(spec) > 3 else ()
             v, m = _slot_vals(seg, slot, docids, mask)
             bounds = plan["agg_ranges"][i]          # [nr, 2]
             inr = (v[:, None] >= bounds[None, :, 0]) \
                 & (v[:, None] < bounds[None, :, 1]) & m[:, None]
-            out.append(jnp.sum(inr.astype(jnp.int32), axis=0))
+            counts = jnp.sum(inr.astype(jnp.int32), axis=0)
+            if sub_specs:
+                out.append({"counts": counts,
+                            "subs": _sub_stats_bucketed(seg, sub_specs,
+                                                        docids, inr)})
+            else:
+                out.append(counts)
         elif kind == "cardinality":
             # exact distinct count of value keys among matched docs
             # (reference declares _cardinality but leaves it disabled,
@@ -130,12 +221,6 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
                 n.astype(jnp.float32) - 1, 0)).astype(jnp.int32),
                 0, sv.shape[0] - 1)
             out.append({"n": n, "values": sv[idx]})
-        elif kind == "filter_count":
-            # count under an extra value filter; params via agg_ranges
-            v, m = _slot_vals(seg, slot, docids, mask)
-            bounds = plan["agg_ranges"][i]
-            inr = (v >= bounds[0, 0]) & (v < bounds[0, 1]) & m
-            out.append(jnp.sum(inr.astype(jnp.int32)))
         else:
             raise ValueError(f"unknown aggregation {kind!r}")
     return tuple(out)
