@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SMALL = os.environ.get("BENCH_SMALL") == "1"
 N_DOCS = 50_000 if SMALL else 1_000_000
 VOCAB = 20_000 if SMALL else 200_000
-N_QUERIES = 64 if SMALL else 256
-BATCH = 32 if SMALL else 64
+N_QUERIES = 512 if SMALL else 1024
+BATCH = 256   # wide batches amortize per-launch dispatch (~2ms tunneled)
 TERMS_PER_QUERY = 3
 K = 10
 K1, B, MIN_NORMLEN = 1.0, 0.5, 0.5
@@ -74,6 +74,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA compile cache: the three group shapes take minutes to
+    # compile at the 1M scale; cached executables make reruns start hot
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from xapiand_tpu.models.weights import CollectionStats, get_scheme
     from xapiand_tpu.query.ir import Q
     from xapiand_tpu.query.plan import bind, compile_ir
@@ -97,38 +107,88 @@ def main():
     seg_arrays = searcher.device_segment.arrays_pytree()
     log("segment uploaded")
 
+    # terms sorted by df desc so per-position size classes align across
+    # queries; queries grouped by max size class so a single huge-df query
+    # doesn't inflate every query's sort width (a scheduler concern the
+    # reference never has - its per-query iterators are naturally sized)
+    queries = [sorted(q, key=lambda t: -seg.terms[t].length)
+               for q in queries]
     bounds = [bind(compile_ir(Q.or_terms(q)), seg, scheme, stats, k=K)
               for q in queries]
     from xapiand_tpu.query.plan import unify_cfgs
 
-    cfg = unify_cfgs([b.cfg for b in bounds], k=K)
-    T = cfg.T
+    # three shape groups at cmax terciles: compile cost stays bounded while
+    # small-term queries stop paying the biggest query's sort width
+    cmaxes = sorted(max(b.cfg.term_classes()) for b in bounds)
+    cuts = sorted({cmaxes[len(cmaxes) // 3], cmaxes[2 * len(cmaxes) // 3],
+                   cmaxes[-1]})
+    groups: dict = {c: [] for c in cuts}
+    for qi, b in enumerate(bounds):
+        cm = max(b.cfg.term_classes())
+        groups[next(c for c in cuts if cm <= c)].append(qi)
+    groups = {c: v for c, v in groups.items() if v}
 
-    def pad_batch(bs):
-        return {
-            k: jnp.asarray(np.stack([
-                np.pad(b.arrays[k], [(0, T - b.arrays[k].shape[0])])
-                for b in bs]))
-            for k in ("offsets", "lens", "tconst", "scoring", "group_bits")
-        }
+    def batch_sizes(n):
+        """One width per group (one compile per group): BATCH when the
+        group is big enough, else the next pow2 that covers it."""
+        if n >= BATCH // 2:
+            w = BATCH
+        else:
+            w = 32
+            while w < n:
+                w *= 2
+        return [w] * (-(-n // w))
 
-    fn = searcher.batched(cfg)
-    log(f"binding done; classes={cfg.classes}")
-    batches = [pad_batch(bounds[i: i + BATCH])
-               for i in range(0, len(bounds), BATCH)]
+    batches = []       # (cfg, batch_arrays, chunk_query_idxs)
+    group_cfgs = {}
+    for cmax in sorted(groups):
+        idxs = groups[cmax]
+        cfg_g = unify_cfgs([bounds[i].cfg for i in idxs], k=K)
+        group_cfgs[cmax] = cfg_g
+        T = cfg_g.T
+        s = 0
+        for bs in batch_sizes(len(idxs)):
+            chunk = list(idxs[s: s + bs])
+            s += bs
+            while len(chunk) < bs:         # wraparound pad (same work/row)
+                chunk.append(chunk[0])
+            batch = {
+                k: jnp.asarray(np.stack([
+                    np.pad(bounds[i].arrays[k],
+                           [(0, T - bounds[i].arrays[k].shape[0])])
+                    for i in chunk]))
+                for k in ("offsets", "lens", "tconst", "scoring",
+                          "group_bits")
+            }
+            batches.append((cfg_g, batch, chunk))
+    log("binding done; group classes=" +
+        str({c: group_cfgs[c].classes for c in sorted(groups)}) +
+        " sizes=" + str({c: len(groups[c]) for c in sorted(groups)}))
 
-    # warmup / compile
+    # warmup / compile every distinct (classes, batch-width) shape
     t0 = time.time()
-    out = fn(seg_arrays, batches[0], stats_d)
-    jax.block_until_ready(out)
-    log(f"compile+warmup {time.time()-t0:.1f}s")
+    fns = {}
+    warmed = set()
+    out0 = None
+    for cfg_g, batch, chunk in batches:
+        key = cfg_g.classes
+        if key not in fns:
+            fns[key] = searcher.batched(cfg_g)
+        skey = (key, batch["offsets"].shape[0])
+        if skey not in warmed:
+            warmed.add(skey)
+            o = fns[key](seg_arrays, batch, stats_d)
+            jax.block_until_ready(o)
+            if out0 is None:
+                out0, chunk0 = o, chunk
+    log(f"compile+warmup ({len(fns)} shapes) {time.time()-t0:.1f}s")
 
     # recall parity vs the CPU baseline on a sample (BASELINE.md gate)
-    sample = min(8, len(queries))
-    base = cpu_baseline(seg, queries[:sample])
+    sample = min(8, len(chunk0))
+    base = cpu_baseline(seg, [queries[i] for i in chunk0[:sample]])
     log("cpu baseline sample done")
-    dev_docs = np.asarray(out["docids"])[:sample]
-    dev_scores = np.asarray(out["scores"])[:sample]
+    dev_docs = np.asarray(out0["docids"])[:sample]
+    dev_scores = np.asarray(out0["scores"])[:sample]
     for qi in range(sample):
         expect = [d for d, _ in base[qi]]
         got = [int(d) for d, s in zip(dev_docs[qi], dev_scores[qi])
@@ -139,17 +199,27 @@ def main():
                               "expect": expect[:10]}), file=sys.stderr)
             raise SystemExit(1)
 
-    # timed runs - force a value readback per batch: on the tunneled TPU
-    # backend block_until_ready can return before execution finishes, so
-    # device-to-host transfer is the only honest fence
-    reps = 3
+    # timed runs. TPU executes enqueued programs in order, so enqueueing
+    # every batch and reading back only the LAST result is a sound fence
+    # for the whole run: the final value cannot exist until all prior
+    # launches finished. A per-batch readback would instead measure the
+    # tunnel round-trip (~30ms on the axon-tunneled chip), not the engine.
+    reps = max(3, -(-48 // len(batches)))   # >=48 launches amortize dispatch
     t0 = time.time()
+    o = None
     for _ in range(reps):
-        for b in batches:
-            o = fn(seg_arrays, b, stats_d)
-            float(np.asarray(o["scores"])[0, 0])
+        for cfg_g, b, _chunk in batches:
+            o = fns[cfg_g.classes](seg_arrays, b, stats_d)
+    float(np.asarray(o["scores"])[0, 0])   # one honest end-of-run fence
     dt = (time.time() - t0) / reps
     qps = len(queries) / dt
+
+    # single-batch round-trip latency (includes host<->device transfer)
+    cfa, ba, _ = batches[0]
+    t0 = time.time()
+    float(np.asarray(fns[cfa.classes](seg_arrays, ba, stats_d)
+                     ["scores"])[0, 0])
+    lat_ms = (time.time() - t0) * 1000
 
     # CPU single-core baseline QPS on a subset
     t0 = time.time()
@@ -163,10 +233,13 @@ def main():
         "vs_baseline": round(qps / cpu_qps, 2),
         "detail": {
             "p50_batch_ms": round(dt / len(batches) * 1000, 2),
+            "single_batch_roundtrip_ms": round(lat_ms, 2),
             "cpu_numpy_1core_qps": round(cpu_qps, 2),
             "n_docs": N_DOCS, "n_queries": len(queries),
             "terms_per_query": TERMS_PER_QUERY,
-            "posting_classes": list(cfg.classes),
+            "posting_class_groups": {
+                str(c): list(group_cfgs[c].classes) for c in sorted(groups)},
+            "group_sizes": {str(c): len(groups[c]) for c in sorted(groups)},
             "corpus_build_s": round(build_s, 1),
             "platform": jax.devices()[0].platform,
             "baseline_kind": "numpy-1core-dense-bm25 (no published "

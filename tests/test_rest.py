@@ -274,3 +274,78 @@ def test_weight_scheme_selection(srv):
     status, out, _ = srv.req("POST", "/wsel/:search", {
         "_query": {"text": "beta"}, "_weight": "nope"})
     assert status == 400
+
+
+def test_versioning_optimistic_concurrency(srv):
+    # ≙ docs/_docs/reference-guide/documents/versioning.md
+    status, out, _ = srv.req("PUT", "/vc/1", {"title": "first"})
+    assert out["_version"] == 1
+    status, out, _ = srv.req("GET", "/vc/1")
+    assert out["_version"] == 1
+    # matching version succeeds and bumps
+    status, out, _ = srv.req("PUT", "/vc/1?version=1", {"title": "second"})
+    assert status == 200 and out["_version"] == 2
+    # stale version -> 409 Conflict
+    status, out, _ = srv.req("PUT", "/vc/1?version=1", {"title": "third"})
+    assert status == 409
+    # _version in the body works too
+    status, out, _ = srv.req("PUT", "/vc/1", {"title": "third",
+                                              "_version": 2})
+    assert status == 200 and out["_version"] == 3
+    # delete with stale version -> 409; with current -> ok
+    status, out, _ = srv.req("DELETE", "/vc/1?version=1")
+    assert status == 409
+    status, out, _ = srv.req("DELETE", "/vc/1?version=3")
+    assert status == 200
+    # recreate starts fresh at 1
+    status, out, _ = srv.req("PUT", "/vc/1", {"title": "reborn"})
+    assert out["_version"] == 1
+
+
+def test_bulk_restore_pipeline(srv):
+    # list form with counters (≙ RESTORE response http_client.cc:2261-2285)
+    docs = [{"_id": str(i), "val": i, "body": f"doc number {i}"}
+            for i in range(40)]
+    status, out, _ = srv.req("POST", "/bulk/:restore", docs)
+    assert status == 200
+    assert out["#prepared"] == 40 and out["#indexed"] == 40
+    assert out["#total"] == 40 and out["#items"] == []
+    status, out, _ = srv.req("POST", "/bulk/:search",
+                             {"_query": {"body": "number"}})
+    assert out["total"] == 40
+    # ndjson streaming form
+    nd = "\n".join('{"_id": "n%d", "body": "stream doc"}' % i
+                   for i in range(10)).encode()
+    status, out, _ = srv.req("POST", "/bulk2/:restore", nd,
+                             headers={"Content-Type":
+                                      "application/x-ndjson"})
+    assert status == 200 and out["#indexed"] == 10, out
+    status, out, _ = srv.req("POST", "/bulk2/:count",
+                             {"_query": {"body": "stream"}})
+    assert out["count"] == 10
+
+
+def test_selectors(srv):
+    srv.req("PUT", "/sel/1", {"name": "ada", "contact": {
+        "email": "ada@x.com", "phone": "123", "city": "london"},
+        "balance": 10})
+    srv.req("POST", "/sel/:commit")
+    # field selector
+    status, out, _ = srv.req("POST", "/sel/:search", {
+        "_query": "*", "_selector": "{name,balance}"})
+    h = out["hits"][0]
+    assert h["name"] == "ada" and h["balance"] == 10
+    assert "contact" not in h
+    # drill selector
+    status, out, _ = srv.req("POST", "/sel/:search", {
+        "_query": "*", "_selector": "contact.email"})
+    assert out["hits"][0]["_selected"] == "ada@x.com"
+    # mixed
+    status, out, _ = srv.req("POST", "/sel/:search", {
+        "_query": "*", "_selector": "contact.{email,phone}"})
+    h = out["hits"][0]
+    assert h["email"] == "ada@x.com" and h["phone"] == "123"
+    assert "city" not in h
+    # GET with ?selector=
+    status, out, _ = srv.req("GET", "/sel/1?selector=contact.city")
+    assert out["_selected"] == "london"

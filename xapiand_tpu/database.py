@@ -45,6 +45,20 @@ class DocumentNotFound(KeyError):
     pass
 
 
+class VersionConflict(ValueError):
+    """Optimistic-concurrency failure (≙ reference 409 Conflict,
+    docs/_docs/reference-guide/documents/versioning.md; DB_SLOT_VERSION
+    check in handler.cc prepare)."""
+
+    def __init__(self, doc_id, expected, current):
+        super().__init__(
+            f"version conflict on {doc_id!r}: expected {expected}, "
+            f"current {current}")
+        self.doc_id = doc_id
+        self.expected = expected
+        self.current = current
+
+
 class Database:
     def __init__(self, path: Optional[str] = None, scheme: str = "bm25",
                  schema: Optional[Schema] = None, device=None,
@@ -66,6 +80,7 @@ class Database:
         self._pending_deletes: set[str] = set()
         self._metadata: dict[str, object] = {}
         self._blobs: dict[str, list] = {}             # doc_id -> locators
+        self._versions: dict[str, int] = {}           # doc_id -> _version
         self.revision = 0
         self._replaying = False
         self.on_commit = None   # hook: (revision) -> None (cluster broadcast)
@@ -115,22 +130,33 @@ class Database:
     # -- write path ----------------------------------------------------------
 
     def index_document(self, obj: dict, doc_id: Optional[str] = None,
-                       commit: bool = False) -> str:
+                       commit: bool = False,
+                       version: Optional[int] = None) -> str:
         """Index (upsert) one document; ≙ DatabaseHandler::index
-        (handler.h:113)."""
+        (handler.h:113). version enables optimistic concurrency: the write
+        only succeeds if the doc's current _version matches (versioning.md;
+        raises VersionConflict otherwise)."""
         if isinstance(obj, dict) and "_script" in obj:
             obj = self._run_script(dict(obj), doc_id)
         idoc = self.schema.index(obj, doc_id)
         did = idoc.doc_id
+        cur = self._versions.get(did, 0)
+        if version is not None and int(version) != cur:
+            raise VersionConflict(did, int(version), cur)
         if self.wal is not None and not self._replaying:
             # the post-script object is logged so replay is deterministic
             self.wal.write_replace_document(did, obj)
-        self.delete_document(did, missing_ok=True, _log=False)
+        self.delete_document(did, missing_ok=True, _log=False,
+                             _keep_version=True)
         self._builder.add(idoc)
         self._pending_docs[did] = idoc.data
+        self._versions[did] = cur + 1
         if commit:
             self.commit()
         return did
+
+    def version_of(self, doc_id: str) -> int:
+        return self._versions.get(str(doc_id), 0)
 
     def _run_script(self, obj: dict, doc_id) -> dict:
         """Execute a `_script` on write with the old + new doc
@@ -149,10 +175,18 @@ class Database:
         return compile_script(src).run(obj, old)
 
     def delete_document(self, doc_id: str, commit: bool = False,
-                        missing_ok: bool = False, _log: bool = True) -> bool:
+                        missing_ok: bool = False, _log: bool = True,
+                        version: Optional[int] = None,
+                        _keep_version: bool = False) -> bool:
         doc_id = str(doc_id)
+        if version is not None and \
+                int(version) != self._versions.get(doc_id, 0):
+            raise VersionConflict(doc_id, int(version),
+                                  self._versions.get(doc_id, 0))
         if _log and self.wal is not None and not self._replaying:
             self.wal.write_delete_document(doc_id)
+        if not _keep_version:
+            self._versions.pop(doc_id, None)
         found = False
         if doc_id in self._pending_docs:
             # mark pending version dead: rebuild without it is costly; mark

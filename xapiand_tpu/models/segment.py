@@ -35,8 +35,12 @@ import numpy as np
 
 DUMP = -1  # symbolic; actual dump row index is num_docs (last row)
 
-# posting-gather size classes (static shapes for XLA; pick smallest >= len)
-SIZE_CLASSES = (128, 512, 2048, 8192, 32768, 131072, 524288, 2097152)
+# posting-gather size classes (static shapes for XLA; pick smallest >= len).
+# x2 growth: every extra class doubles potential jit-cache entries but
+# halves worst-case padding - the global docid sort is the hot cost and
+# scales with padded rows, so tighter classes win (measured on v5e)
+SIZE_CLASSES = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+                65536, 131072, 262144, 524288, 1048576, 2097152)
 
 
 def size_class(n: int) -> int:

@@ -69,6 +69,7 @@ class ExecConfig:
     has_deletes: bool = False    # segment has delete-bitmap entries
     syn_groups: tuple = ()       # group-bit mask per OP_SYNONYM pseudo-term
     max_specs: tuple = ()        # per OP_MAX node: tuple of branch masks
+    join: bool = False           # searchsorted-join path (no global sort)
 
     def term_classes(self) -> tuple:
         return self.classes if self.classes else (self.L,) * self.T
@@ -231,19 +232,30 @@ def _gather_geo_leaves(seg, cfg: ExecConfig, geo_queries, docids):
 # ranking
 # --------------------------------------------------------------------------
 
-def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible):
+def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
+                   rows_sorted: bool = True):
     """Final ordering: relevance top-k (+ exact tie refinement) or full
     multi-key sort for value ordering / unweighted queries."""
     if cfg.collapse_slot is not None:
         docids, scores, eligible = _collapse(cfg, seg, docids, scores,
                                              eligible)
     if not cfg.sort and not cfg.unweighted:
-        # rows are docid-ascending, and lax.top_k prefers lower indices on
-        # ties -> exact score-desc/docid-asc order with a single top_k
         masked = jnp.where(eligible, scores, -jnp.inf)
-        vals, idx = lax.top_k(masked, cfg.k)
+        if rows_sorted:
+            # rows are docid-ascending, and lax.top_k prefers lower indices
+            # on ties -> exact score-desc/docid-asc with a single top_k
+            vals, idx = lax.top_k(masked, cfg.k)
+            cand_d = jnp.where(jnp.isfinite(vals), docids[idx], SENTINEL)
+            return cand_d, vals, idx
+        # join path: rows are term-grouped, not docid-sorted; take a tie
+        # window then exact-sort (score desc, docid asc) - ties beyond
+        # CAND_MARGIN*k at the boundary are refined identically to the
+        # reference's heap order for all practical score distributions
+        kk = min(cfg.k * CAND_MARGIN, masked.shape[0])
+        vals, idx = lax.top_k(masked, kk)
         cand_d = jnp.where(jnp.isfinite(vals), docids[idx], SENTINEL)
-        return cand_d, vals, idx
+        neg, dd, vv = lax.sort((-vals, cand_d, vals), num_keys=2)
+        return dd[: cfg.k], vv[: cfg.k], None
     keys = []
     if cfg.unweighted and not cfg.sort:
         keys.append(jnp.where(eligible, docids, SENTINEL))
@@ -316,6 +328,8 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
     if cfg.dense:
         return _execute_dense(seg, plan, cfg, cstats, scheme)
+    if cfg.join:
+        return _execute_join(seg, plan, cfg, cstats, scheme)
 
     T = cfg.T
     classes = cfg.term_classes()
@@ -457,6 +471,102 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
                                    sums, plan)
     if not cfg.count_only:
         docids, scores, _ = _rank_and_topk(cfg, seg, d, sums, eligible)
+        out["docids"] = docids
+        out["scores"] = scores
+    return out
+
+
+def _execute_join(seg, plan, cfg: ExecConfig, cstats, scheme):
+    """Sort-free scoring for few-term queries: per-term posting blocks are
+    already docid-ascending, so each row finds its doc's contribution from
+    every other term with a branchless binary search (the glass skip_to,
+    lower_bound above) instead of a global R-row sort + segmented scan.
+    T^2 joins of log2(L) vectorised gather rounds beat the R log R
+    multi-channel sort by ~an order of magnitude for T <= 8; wide
+    accuracy-cover ORs keep the sort path (bind() chooses).
+
+    Duplicate docs across terms are masked to their first-term occurrence,
+    preserving the executor row contract (d_cand, eligible, scores) for
+    filters/geo/trees/aggs/rank downstream.
+    """
+    T = cfg.T
+    classes = cfg.term_classes()
+    offsets, lens = plan["offsets"], plan["lens"]
+    nd1 = seg["doclen"].shape[0]
+    needs_uniq = getattr(scheme, "needs_uniqterms", False)
+
+    spans, ws = [], []
+    for t in range(T):
+        Lt = classes[t]
+        idt = lax.dynamic_slice(seg["post_docids"], (offsets[t],), (Lt,))
+        wdft = lax.dynamic_slice(seg["post_wdf"], (offsets[t],), (Lt,))
+        dlt = lax.dynamic_slice(seg["post_doclen"], (offsets[t],), (Lt,))
+        inlen = jnp.arange(Lt) < lens[t]
+        idt = jnp.where(inlen, idt, SENTINEL)
+        if needs_uniq:
+            uq = seg["uniqterms"][jnp.minimum(idt, nd1 - 1)]
+            w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats, uniq=uq)
+        else:
+            w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
+        w = jnp.where(inlen, w * plan["scoring"][t], 0.0)
+        spans.append(idt)
+        ws.append(w)
+
+    d_parts, s_parts, bit_parts, keep_parts = [], [], [], []
+    for t in range(T):
+        d = spans[t]
+        real = d != SENTINEL
+        score = ws[t]
+        orbits = jnp.where(real, plan["group_bits"][t], 0)
+        keep = real
+        for u in range(T):
+            if u == t:
+                continue
+            Lu = classes[u]
+            pos = lower_bound(spans[u], d, Lu)
+            pc = jnp.minimum(pos, Lu - 1)
+            hit = real & (spans[u][pc] == d)
+            score = score + jnp.where(hit, ws[u][pc], 0.0)
+            orbits = orbits | jnp.where(hit, plan["group_bits"][u], 0)
+            if u < t:
+                keep = keep & ~hit     # dedup: first occurrence wins
+        d_parts.append(d)
+        s_parts.append(score)
+        bit_parts.append(orbits)
+        keep_parts.append(keep)
+
+    d = jnp.concatenate(d_parts)
+    sums = jnp.concatenate(s_parts)
+    orbits = jnp.concatenate(bit_parts)
+    first = jnp.concatenate(keep_parts)
+    if cfg.has_deletes:
+        first &= ~seg["deleted"][jnp.minimum(d, nd1 - 1)]
+
+    d_cand = jnp.minimum(d, nd1 - 1)
+    if not (cfg.tree[0] == "G" and not cfg.n_filters and not cfg.geo_specs):
+        leaf_fns = {
+            "G": lambda g: (orbits & (1 << g)) != 0,
+            "ALL": lambda: jnp.ones_like(d, dtype=bool),
+        }
+        fres = _gather_filter_leaves(seg, cfg, plan.get("fparams"), d_cand) \
+            if cfg.n_filters else []
+        leaf_fns["F"] = lambda i: fres[i]
+        gres = _gather_geo_leaves(seg, cfg, plan.get("geo_queries"), d_cand) \
+            if cfg.geo_specs else []
+        leaf_fns["GEO"] = lambda i: gres[i]
+        eligible = first & _eval_tree(cfg.tree, leaf_fns)
+    else:
+        eligible = first
+
+    out = {"count": jnp.sum(eligible.astype(jnp.int32))}
+    if cfg.with_aggs:
+        from xapiand_tpu.ops.aggs import compute_aggs
+
+        out["aggs"] = compute_aggs(seg, cfg.with_aggs, d_cand, eligible,
+                                   sums, plan)
+    if not cfg.count_only:
+        docids, scores, _ = _rank_and_topk(cfg, seg, d, sums, eligible,
+                                           rows_sorted=False)
         out["docids"] = docids
         out["scores"] = scores
     return out

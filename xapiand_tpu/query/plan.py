@@ -30,6 +30,7 @@ T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 QR_BUCKETS = (16, 64, 256, 1024)
 DEFAULT_CAND_CAP = 4096
 DEFAULT_PMAX = 128
+JOIN_T_MAX = 8   # <= this many terms: searchsorted-join beats the sort
 
 
 class PlanError(ValueError):
@@ -347,6 +348,11 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         has_deletes=bool(seg.deleted.any()),
         syn_groups=tuple(1 << g for g, _, _, _ in cq.synonyms),
         max_specs=tuple(cq.max_specs),
+        # join (searchsorted, sort-free) measured 8.5x SLOWER than the
+        # sort+scan path on TPU v5e: binary-search rounds are serialized
+        # gathers, while lax.sort streams on the VPU. Kept selectable for
+        # CPU experiments; never auto-chosen.
+        join=False,
     )
     if agg_arrays:
         arrays.update(agg_arrays)

@@ -22,7 +22,8 @@ from typing import Optional
 from aiohttp import web
 
 from xapiand_tpu import __version__
-from xapiand_tpu.database import Database, DocumentNotFound
+from xapiand_tpu.database import (Database, DocumentNotFound,
+                                  VersionConflict)
 from xapiand_tpu.query.dsl import QueryDSL, QueryDSLError, parse_sort
 from xapiand_tpu.server import negotiation as neg
 from xapiand_tpu.utils.patcher import PatchError, apply_patch
@@ -140,6 +141,8 @@ class RestServer:
         except ApiError as e:
             obj, status = {"#error": {"#message": e.text,
                                       "#code": e.status_code}}, e.status_code
+        except VersionConflict as e:
+            obj, status = {"#error": {"#message": str(e), "#code": 409}}, 409
         except (QueryDSLError, PatchError, ValueError) as e:
             obj, status = {"#error": {"#message": str(e), "#code": 400}}, 400
         except DocumentNotFound as e:
@@ -329,6 +332,14 @@ class RestServer:
             location=f"http://{node.host}:{node.http_port}"
                      f"{request.rel_url}")
 
+    @staticmethod
+    def _req_version(request, body):
+        """?version=N query param or _version in the body (versioning.md)."""
+        v = request.query.get("version")
+        if v is None and isinstance(body, dict):
+            v = body.pop("_version", None)
+        return int(v) if v is not None else None
+
     async def _write_doc(self, request, index, doc_id, t0):
         self._check_primary(index, request)
         body = await self._body(request)
@@ -336,20 +347,25 @@ class RestServer:
             raise ApiError(400, "document body must be an object")
         db = self.man.get(index, create=True)
         commit = "commit" in request.query
-        did = db.index_document(body, doc_id=doc_id, commit=commit)
+        version = self._req_version(request, body)
+        did = db.index_document(body, doc_id=doc_id, commit=commit,
+                                version=version)
         self._observe("index", t0)
-        return {"_id": did, "#commit": commit}, 200 if doc_id else 201
+        return {"_id": did, "_version": db.version_of(did),
+                "#commit": commit}, 200 if doc_id else 201
 
     async def _patch_doc(self, request, index, doc_id, t0):
         self._check_primary(index, request)
         patch = await self._body(request)
         db = self.man.get(index)
+        version = self._req_version(request, patch if isinstance(patch, dict)
+                                    else None)
         doc = db.get_document(doc_id)
         new = apply_patch(doc, patch)
         db.index_document(new, doc_id=doc_id,
-                          commit="commit" in request.query)
+                          commit="commit" in request.query, version=version)
         self._observe("patch", t0)
-        return {"_id": doc_id}, 200
+        return {"_id": doc_id, "_version": db.version_of(doc_id)}, 200
 
     async def _update_doc(self, request, index, doc_id, t0):
         self._check_primary(index, request)
@@ -361,24 +377,35 @@ class RestServer:
             doc = db.get_document(doc_id)
         except DocumentNotFound:
             doc = {}
+        version = self._req_version(request, body)
         merged = _deep_merge(doc, body)
         db.index_document(merged, doc_id=doc_id,
-                          commit="commit" in request.query)
+                          commit="commit" in request.query, version=version)
         self._observe("update", t0)
-        return {"_id": doc_id}, 200
+        return {"_id": doc_id, "_version": db.version_of(doc_id)}, 200
 
     def _get_doc(self, request, index, doc_id, head=False):
         db = self.man.get(index)
         doc = dict(db.get_document(doc_id))
         if head:
             return web.Response(status=200), 200
+        sel = request.query.get("selector")
+        if sel:
+            from xapiand_tpu.server.selector import apply_selector
+            picked = apply_selector(doc, sel)
+            if not isinstance(picked, dict):
+                picked = {"_selected": picked}
+            doc = dict(picked)
         doc["_id"] = doc_id
+        doc["_version"] = db.version_of(doc_id)
         return doc, 200
 
     def _delete_doc(self, request, index, doc_id, t0):
         self._check_primary(index, request)
         db = self.man.get(index)
-        db.delete_document(doc_id, commit="commit" in request.query)
+        version = self._req_version(request, None)
+        db.delete_document(doc_id, commit="commit" in request.query,
+                           version=version)
         self._observe("delete", t0)
         return {"_id": doc_id, "#deleted": True}, 200
 
@@ -409,15 +436,39 @@ class RestServer:
         return {"#dump": docs}, 200
 
     async def _restore(self, request, index, t0):
-        body = await self._body(request)
-        if isinstance(body, dict) and "#dump" in body:
-            body = body["#dump"]
-        if not isinstance(body, list):
-            raise ApiError(400, "restore expects a list of documents")
+        """Bulk ingest, streaming NDJSON chunk-wise through the parallel
+        prepare pipeline (≙ restore_database_view STREAM_NDJSON,
+        http_client.cc:2218-2290; counters 2261-2285)."""
+        from xapiand_tpu.index.bulk import BulkIndexer
+
         db = self.man.get(index, create=True)
-        n = db.restore_documents(body)
+        ct = request.headers.get("Content-Type", "").split(";")[0].strip()
+        indexer = BulkIndexer(db)
+        if ct in ("application/x-ndjson", "application/ndjson"):
+            import json as _json
+
+            buf = b""
+            async for chunk in request.content.iter_any():
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if line.strip():
+                        indexer.prepare(_json.loads(line))
+            if buf.strip():
+                indexer.prepare(_json.loads(buf))
+        else:
+            body = await self._body(request)
+            if isinstance(body, dict) and "#dump" in body:
+                body = body["#dump"]
+            if not isinstance(body, list):
+                raise ApiError(400, "restore expects a list of documents")
+            for doc in body:
+                indexer.prepare(doc)
+        counters = indexer.wait()
         self._observe("restore", t0)
-        return {"#restored": n}, 200
+        out = counters.as_dict()
+        out["#restored"] = counters.indexed
+        return out, 200
 
     async def _search(self, request, index, t0):
         db = self.man.get(index)
@@ -473,10 +524,21 @@ class RestServer:
         if clu and res.hits:
             ck = int(clu.get("_k", 3)) if isinstance(clu, dict) else int(clu)
             labels = db.cluster_hits([h.id for h in res.hits], k=ck)
+        sel = request.query.get("selector", body.get("_selector"))
         hits = []
         for i, h in enumerate(res.hits):
-            doc = dict(h.data)
+            data = h.data
+            if sel:
+                from xapiand_tpu.server.selector import apply_selector
+                try:
+                    data = apply_selector(data, str(sel))
+                except KeyError:
+                    data = {}
+                if not isinstance(data, dict):
+                    data = {"_selected": data}
+            doc = dict(data)
             doc["_id"] = h.id
+            doc["_version"] = db.version_of(h.id)
             doc["_score"] = h.score
             doc["_rank"] = h.rank
             if labels is not None:
