@@ -500,20 +500,50 @@ class Database:
         return result
 
     def _merge_sorted(self, merged, sort):
+        import math as _math
+
         def sort_key(item):
             _, seg_idx, did = item
             seg = self._searchers[seg_idx].segment
             keys = []
-            for kind, slot, desc in sort:
+            for spec in sort:
+                kind, slot, desc = spec[0], spec[1], spec[2]
+                col = seg.values.get(slot) if kind != "score" else None
+                present = col is not None and bool(col.present[did])
                 if kind == "value":
-                    col = seg.values.get(slot)
-                    if col is None or not col.present[did]:
+                    if not present:
                         keys.append((1, 0, 0))
                     else:
                         h, l = int(col.hi[did]), int(col.lo[did])
                         if desc:
                             h, l = ~h, ~l
                         keys.append((0, h, l))
+                elif kind == "dist":
+                    kf = abs(float(col.fval[did]) - spec[3]) if present \
+                        else _math.inf
+                    keys.append((0, -kf if desc else kf, 0))
+                elif kind == "geodist":
+                    if present:
+                        from xapiand_tpu.geo.cartesian import \
+                            haversine_meters
+                        lon = float(col.fval2[did]) \
+                            if col.fval2 is not None else 0.0
+                        kf = haversine_meters(float(col.fval[did]), lon,
+                                              spec[3][0], spec[3][1])
+                    else:
+                        kf = _math.inf
+                    keys.append((0, -kf if desc else kf, 0))
+                elif kind == "strmetric":
+                    from xapiand_tpu.utils import strmetrics
+                    metric, target = spec[3]
+                    if present and col.cats is not None \
+                            and col.cats[did] >= 0:
+                        nm = col.cat_names[int(col.cats[did])]
+                        kf = 1.0 - strmetrics.similarity(str(nm), target,
+                                                         metric)
+                    else:
+                        kf = _math.inf
+                    keys.append((0, -kf if desc else kf, 0))
                 else:
                     keys.append((0, item[0], 0))
             keys.append(did)

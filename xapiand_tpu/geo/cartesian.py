@@ -74,3 +74,17 @@ def angle_between(a, b) -> float:
 
 def metres_to_radians(m: float) -> float:
     return m / EARTH_RADIUS_M
+
+
+def haversine_meters(lat1: float, lon1: float,
+                     lat2: float, lon2: float) -> float:
+    """Great-circle distance in meters (used by geo distance sort keys,
+    ≙ GeoKey/Metric in src/multivalue/keymaker.h)."""
+    import math
+
+    r = math.pi / 180.0
+    dlat = (lat2 - lat1) * r * 0.5
+    dlon = (lon2 - lon1) * r * 0.5
+    a = math.sin(dlat) ** 2 + math.cos(lat1 * r) * math.cos(lat2 * r) \
+        * math.sin(dlon) ** 2
+    return 2.0 * 6371008.8 * math.asin(min(math.sqrt(a), 1.0))

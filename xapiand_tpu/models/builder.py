@@ -149,6 +149,7 @@ class SegmentBuilder:
         max_hi = np.full(nd + 1, -(2**31), dtype=np.int32)
         max_lo = np.full(nd + 1, -(2**31), dtype=np.int32)
         fval = np.zeros(nd + 1, dtype=np.float32)
+        fval2 = None
         present = np.zeros(nd + 1, dtype=bool)
         raw = [None] * nd
         kind = "numeric"
@@ -188,6 +189,9 @@ class SegmentBuilder:
                 fval[docid] = float(v0)
             elif isinstance(v0, tuple) and len(v0) == 2:
                 fval[docid] = float(v0[0])
+                if fval2 is None:
+                    fval2 = np.zeros(nd + 1, dtype=np.float32)
+                fval2[docid] = float(v0[1])     # geo centroid lon
             if isinstance(v0, str):
                 code = cats.setdefault(v0, len(cats))
                 cat_codes[docid] = code
@@ -195,7 +199,8 @@ class SegmentBuilder:
         if has_strings and kind == "numeric":
             kind = "string"
         col = ValueColumn(kind=kind, hi=hi, lo=lo, max_hi=max_hi,
-                          max_lo=max_lo, fval=fval, present=present, raw=raw)
+                          max_lo=max_lo, fval=fval, present=present, raw=raw,
+                          fval2=fval2)
         if cats:
             names = [None] * len(cats)
             for name, code in cats.items():

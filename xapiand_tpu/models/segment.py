@@ -73,6 +73,8 @@ class ValueColumn:
     cats: Optional[np.ndarray] = None       # int32[ND+1] facet code or -1
     cat_names: Optional[list] = None         # code -> string
     raw: Optional[list] = None               # docid -> first raw value (host)
+    fval2: Optional[np.ndarray] = None       # f32[ND+1] geo centroid lon
+                                             # (fval holds lat)
 
 
 @dataclass
@@ -180,6 +182,9 @@ class DeviceSegment:
             }
             if col.cats is not None:
                 self.values[slot]["cats"] = put(jnp.asarray(col.cats, jnp.int32))
+            if col.fval2 is not None:
+                self.values[slot]["fval2"] = put(
+                    jnp.asarray(col.fval2, jnp.float32))
         self.geo = {}
         for slot, g in seg.geo.items():
             self.geo[slot] = {

@@ -232,8 +232,18 @@ def _gather_geo_leaves(seg, cfg: ExecConfig, geo_queries, docids):
 # ranking
 # --------------------------------------------------------------------------
 
+def _haversine(lat, lon, lat0, lon0):
+    """Great-circle distance (meters) on the VPU."""
+    r = jnp.pi / 180.0
+    dlat = (lat - lat0) * r * 0.5
+    dlon = (lon - lon0) * r * 0.5
+    a = jnp.sin(dlat) ** 2 + jnp.cos(lat * r) * jnp.cos(lat0 * r) \
+        * jnp.sin(dlon) ** 2
+    return 2.0 * 6371008.8 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
+
+
 def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
-                   rows_sorted: bool = True):
+                   rows_sorted: bool = True, plan=None):
     """Final ordering: relevance top-k (+ exact tie refinement) or full
     multi-key sort for value ordering / unweighted queries."""
     if cfg.collapse_slot is not None:
@@ -259,7 +269,8 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
     keys = []
     if cfg.unweighted and not cfg.sort:
         keys.append(jnp.where(eligible, docids, SENTINEL))
-    for kind, slot, desc in cfg.sort:
+    for si, spec in enumerate(cfg.sort):
+        kind, slot, desc = spec[0], spec[1], spec[2]
         if kind == "value":
             col = seg["values"][slot]
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
@@ -272,6 +283,39 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
         elif kind == "score":
             sk = -scores if desc else scores
             keys.append(jnp.where(eligible, sk, jnp.inf))
+        elif kind == "dist":
+            # nearest-to-target numeric key (keymaker.h distance keys)
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+            kf = jnp.abs(col["fval"][d] - plan["sort_targets"][si, 0])
+            kf = jnp.where(col["present"][d], kf, jnp.inf)
+            if desc:
+                kf = -kf
+            keys.append(jnp.where(eligible, kf, jnp.inf))
+        elif kind == "geodist":
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+            lon = col["fval2"][d] if "fval2" in col \
+                else jnp.zeros_like(col["fval"][d])
+            kf = _haversine(col["fval"][d], lon,
+                            plan["sort_targets"][si, 0],
+                            plan["sort_targets"][si, 1])
+            kf = jnp.where(col["present"][d], kf, jnp.inf)
+            if desc:
+                kf = -kf
+            keys.append(jnp.where(eligible, kf, jnp.inf))
+        elif kind == "strmetric":
+            # per-category metric distances precomputed host-side
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+            tab = plan["sort_strtabs"][si]
+            code = col["cats"][d] if "cats" in col \
+                else jnp.full_like(d, -1)
+            kf = tab[jnp.clip(code, 0, tab.shape[0] - 1)]
+            kf = jnp.where(code >= 0, kf, jnp.inf)
+            if desc:
+                kf = -kf
+            keys.append(jnp.where(eligible, kf, jnp.inf))
     keys.append(jnp.where(eligible, docids, SENTINEL))  # final tiebreak
     # payloads masked too: ineligible rows must never surface as hits
     pay_d = jnp.where(eligible, docids, SENTINEL)
@@ -470,7 +514,8 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         out["aggs"] = compute_aggs(seg, cfg.with_aggs, d_cand, eligible,
                                    sums, plan)
     if not cfg.count_only:
-        docids, scores, _ = _rank_and_topk(cfg, seg, d, sums, eligible)
+        docids, scores, _ = _rank_and_topk(cfg, seg, d, sums, eligible,
+                                           plan=plan)
         out["docids"] = docids
         out["scores"] = scores
     return out
@@ -566,7 +611,7 @@ def _execute_join(seg, plan, cfg: ExecConfig, cstats, scheme):
                                    sums, plan)
     if not cfg.count_only:
         docids, scores, _ = _rank_and_topk(cfg, seg, d, sums, eligible,
-                                           rows_sorted=False)
+                                           rows_sorted=False, plan=plan)
         out["docids"] = docids
         out["scores"] = scores
     return out
@@ -639,7 +684,8 @@ def _execute_dense(seg, plan, cfg: ExecConfig, cstats, scheme):
     if not cfg.count_only:
         dense_cfg = cfg if cfg.unweighted or cfg.sort else \
             ExecConfig(**{**cfg.__dict__, "unweighted": True})
-        docids, sc, _ = _rank_and_topk(dense_cfg, seg, d, scores, match)
+        docids, sc, _ = _rank_and_topk(dense_cfg, seg, d, scores, match,
+                                       plan=plan)
         out["docids"] = docids
         out["scores"] = sc
     return out

@@ -116,6 +116,8 @@ def _pad_one(s: Segment, nd_pad, p_pad, pp_pad, all_slots, all_geo, gr_pad):
                 nc.cats = pad1(col.cats, nd_pad + 1, -1)
             else:
                 nc.cats = np.full(nd_pad + 1, -1, np.int32)
+            if col.fval2 is not None:
+                nc.fval2 = pad1(col.fval2, nd_pad + 1, 0.0)
             ns.values[slot] = nc
     ns.geo = {}
     for slot in all_geo:

@@ -357,9 +357,24 @@ class QueryDSL:
         return Q.geo(spec.slot, ranges, cover_terms=cover)
 
 
+_SORT_METRICS = {
+    "levenshtein": "levenshtein", "leven": "levenshtein",
+    "jarowinkler": "jaro_winkler", "jarow": "jaro_winkler",
+    "jaro": "jaro",
+    "sorensendice": "sorensen_dice", "sorensen": "sorensen_dice",
+    "dice": "sorensen_dice", "jaccard": "jaccard",
+    "lcsubstr": "lcs_substr", "lcs": "lcs_substr",
+    "lcsubsequence": "lcs_seq", "lcsq": "lcs_seq",
+    "soundex": "soundex", "sound": "soundex",
+}
+
+
 def parse_sort(schema: Schema, sort_spec) -> tuple:
     """Reference sort forms: "field", "-field", ["-field", ...],
-    [{"field": {"_order": "desc"}}], "_score"."""
+    [{"field": {"_order": "desc"}}], "_score", plus distance sorting:
+    {"field": {"_order": "asc", "_value": <target>[, "_metric": "..."]}}
+    (≙ Multi_MultiValueKeyMaker distance keys, src/multivalue/
+    keymaker.h:64-366: numeric |v-t|, geo haversine, string metrics)."""
     if sort_spec is None:
         return ()
     if isinstance(sort_spec, (str, dict)):
@@ -386,5 +401,42 @@ def parse_sort(schema: Schema, sort_spec) -> tuple:
                 spec = schema.get_field(name)
                 if spec.slot is None:
                     raise QueryDSLError(f"cannot sort on {name!r}")
-                out.append(("value", spec.slot, desc))
+                target = opts.get("_value") if isinstance(opts, dict) \
+                    else None
+                if target is None:
+                    out.append(("value", spec.slot, desc))
+                    continue
+                metric = opts.get("_metric")
+                if isinstance(target, str) and not metric \
+                        and spec.type not in (FieldType.DATE,
+                                              FieldType.DATETIME,
+                                              FieldType.TIME,
+                                              FieldType.TIMEDELTA):
+                    metric = "levenshtein"
+                if metric:
+                    mkey = _SORT_METRICS.get(
+                        str(metric).lower().replace("_", "").replace("-", ""))
+                    if mkey is None:
+                        raise QueryDSLError(f"unknown sort _metric "
+                                            f"{metric!r}")
+                    out.append(("strmetric", spec.slot, desc,
+                                (mkey, str(target))))
+                elif isinstance(target, (dict, tuple, list)) or \
+                        spec.type == FieldType.GEO:
+                    from xapiand_tpu.geo import geospatial
+                    _, centroid = geospatial.extract(target) \
+                        if isinstance(target, (dict, str)) else \
+                        (None, tuple(target))
+                    out.append(("geodist", spec.slot, desc,
+                                (float(centroid[0]), float(centroid[1]))))
+                else:
+                    if spec.type in (FieldType.DATE, FieldType.DATETIME):
+                        tval = dtutils.parse_datetime(target)
+                    elif spec.type == FieldType.TIME:
+                        tval = dtutils.parse_time(target)
+                    elif spec.type == FieldType.TIMEDELTA:
+                        tval = dtutils.parse_timedelta(target)
+                    else:
+                        tval = float(target)
+                    out.append(("dist", spec.slot, desc, float(tval)))
     return tuple(out)

@@ -325,6 +325,43 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
                                                      collfreq=cf)
         arrays["syn_tconst"] = syn_tconst
 
+    # sort specs: static (kind, slot, desc[, tab-size]) for the jit key;
+    # distance targets / string-metric tables are dynamic plan arrays
+    # (≙ keymaker.h distance keys - same compiled program serves any
+    # target value)
+    sort_static = []
+    if sort:
+        sort_targets = np.zeros((len(sort), 2), np.float32)
+        strtabs = {}
+        for si, spec in enumerate(sort):
+            kind, slot_s, desc = spec[0], spec[1], spec[2]
+            if kind == "dist":
+                sort_targets[si, 0] = spec[3]
+                sort_static.append((kind, slot_s, desc))
+            elif kind == "geodist":
+                sort_targets[si, 0], sort_targets[si, 1] = spec[3]
+                sort_static.append((kind, slot_s, desc))
+            elif kind == "strmetric":
+                from xapiand_tpu.utils import strmetrics
+
+                metric, target = spec[3]
+                col = seg.values.get(slot_s)
+                names = (col.cat_names or []) if col is not None else []
+                nb = 16
+                while nb < len(names):
+                    nb *= 2
+                tab = np.full(nb, np.inf, np.float32)
+                for code, nm in enumerate(names):
+                    tab[code] = 1.0 - strmetrics.similarity(
+                        str(nm), target, metric)
+                strtabs[si] = tab
+                sort_static.append((kind, slot_s, desc, nb))
+            else:
+                sort_static.append((kind, slot_s, desc))
+        arrays["sort_targets"] = sort_targets
+        if strtabs:
+            arrays["sort_strtabs"] = strtabs
+
     rows = nd1 if cq.dense else sum(classes)
     unweighted = (getattr(scheme, "name", "") == "bool"
                   or not (any(pt.scoring for pt in cq.terms)
@@ -336,7 +373,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         n_filters=len(cq.filters),
         filter_slots=tuple(slot for slot, _, _ in cq.filters),
         geo_specs=tuple(geo_specs),
-        sort=tuple(sort),
+        sort=tuple(sort_static),
         collapse_slot=collapse_slot,
         count_only=count_only,
         phrases=tuple(cq.phrases),

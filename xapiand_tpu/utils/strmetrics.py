@@ -138,6 +138,9 @@ METRICS = {
     "jaccard": jaccard,
     "sorensen_dice": sorensen_dice,
     "dice": sorensen_dice,
+    "lcs_substr": lambda a, b: (lcs_substr_length(a, b)
+                                / max(len(a), len(b), 1)),
+    "lcs_seq": lambda a, b: lcs_length(a, b) / max(len(a), len(b), 1),
 }
 
 
