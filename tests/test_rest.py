@@ -349,3 +349,39 @@ def test_selectors(srv):
     # GET with ?selector=
     status, out, _ = srv.req("GET", "/sel/1?selector=contact.city")
     assert out["_selected"] == "london"
+
+
+def test_collapse_max_and_check_at_least(srv):
+    for i, (grp, sc) in enumerate([("a", "x x x x"), ("a", "x x x"),
+                                   ("a", "x x"), ("b", "x")]):
+        srv.req("PUT", f"/cm/{i}", {"g": grp, "body": sc})
+    srv.req("POST", "/cm/:commit")
+    # default collapse: 1 per group
+    status, out, _ = srv.req("POST", "/cm/:search", {
+        "_query": {"body": "x"}, "_collapse": {"_field": "g"},
+        "_check_at_least": 1000})
+    assert status == 200
+    ids = [h["_id"] for h in out["hits"]]
+    assert len(ids) == 2
+    # _max 2: two best docs of group a + one of b
+    status, out, _ = srv.req("POST", "/cm/:search", {
+        "_query": {"body": "x"}, "_collapse": {"_field": "g", "_max": 2}})
+    ids = [h["_id"] for h in out["hits"]]
+    assert len(ids) == 3 and "3" in ids
+
+
+def test_multi_index_search(srv):
+    srv.req("PUT", "/mi1/1", {"body": "shared needle alpha"})
+    srv.req("POST", "/mi1/:commit")
+    srv.req("PUT", "/mi2/2", {"body": "shared needle needle beta"})
+    srv.req("POST", "/mi2/:commit")
+    status, out, _ = srv.req("POST", "/mi1,mi2/:search",
+                             {"_query": {"body": "needle"}})
+    assert status == 200 and out["total"] == 2
+    assert {h["_index"] for h in out["hits"]} == {"mi1", "mi2"}
+    # doc with needle twice ranks first
+    assert out["hits"][0]["_id"] == "2"
+    status, out, _ = srv.req("POST", "/mi1,mi2/:search", {
+        "_query": {"body": "needle"},
+        "_aggs": {"n": {"_count": {}}}})
+    assert status == 400

@@ -417,7 +417,8 @@ class Database:
                sort: tuple = (), collapse_slot: Optional[int] = None,
                aggs: Optional[dict] = None,
                count_only: bool = False,
-               scheme: Optional[Any] = None) -> SearchResult:
+               scheme: Optional[Any] = None,
+               collapse_max: int = 1) -> SearchResult:
         """query: a Q IR node, or a JSON query-DSL dict/string.
 
         ≙ DatabaseHandler::get_mset (handler.cc:1067,1415): global stats are
@@ -463,7 +464,8 @@ class Database:
                          sort=sort, collapse_slot=collapse_slot,
                          aggs=specs, agg_arrays=arrays,
                          count_only=count_only,
-                         global_cf=self.global_collfreq)
+                         global_cf=self.global_collfreq,
+                         collapse_max=collapse_max)
             out = searcher.execute(bound, stats_d, scheme=scheme)
             total += int(out["count"])
             if aggs:

@@ -59,6 +59,8 @@ class ExecConfig:
     geo_specs: tuple = ()        # (slot, QR, RMAX) per geo leaf
     sort: tuple = ()             # ((kind, slot, desc), ...); () = relevance
     collapse_slot: Optional[int] = None
+    collapse_max: int = 1        # best N per collapse key (enquire
+                                 # set_collapse_key collapse_max; capped 8)
     count_only: bool = False
     phrases: tuple = ()          # (term_idxs, group_idxs, window, is_phrase)
     pmax: int = 128              # positions gathered per (term, doc)
@@ -343,7 +345,12 @@ def _collapse(cfg: ExecConfig, seg, docids, scores, eligible):
     head = jnp.concatenate([
         jnp.ones((1,), bool),
         (ogf[1:] != ogf[:-1]) | (okh[1:] != okh[:-1]) | (oku[1:] != oku[:-1])])
-    keep = head | (ogf > 0)
+    keep = head
+    # collapse_max > 1: also keep rows whose group head is within
+    # distance < max (groups are contiguous after the sort)
+    for j in range(1, min(cfg.collapse_max, 8)):
+        keep = keep | _shift_right(head, j, False)
+    keep = keep | (ogf > 0)
     return od, osc, (oel > 0) & keep
 
 

@@ -237,7 +237,8 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
          k: int = 10, sort: tuple = (), collapse_slot: Optional[int] = None,
          aggs: tuple = (), agg_arrays: Optional[dict] = None,
          count_only: bool = False,
-         global_cf: Optional[Callable[[str], int]] = None) -> BoundPlan:
+         global_cf: Optional[Callable[[str], int]] = None,
+         collapse_max: int = 1) -> BoundPlan:
     """Bind a compiled query to one segment, producing cfg + plan arrays.
 
     global_tf/global_cf supply cross-shard/segment termfreqs and collection
@@ -375,6 +376,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         geo_specs=tuple(geo_specs),
         sort=tuple(sort_static),
         collapse_slot=collapse_slot,
+        collapse_max=collapse_max,
         count_only=count_only,
         phrases=tuple(cq.phrases),
         pmax=DEFAULT_PMAX,

@@ -471,9 +471,15 @@ class RestServer:
         return out, 200
 
     async def _search(self, request, index, t0):
+        if "," in index:
+            return await self._multi_search(request, index, t0)
         db = self.man.get(index)
         body = await self._body(request) if request.can_read_body else None
         body = body or {}
+        # _check_at_least accepted for API parity; counts here are always
+        # exact (the reference returns estimates below this threshold,
+        # utils.h:90 / matches_estimated)
+        body.pop("_check_at_least", None)
         q = request.query.get("q")
         dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
         if q is not None:
@@ -486,10 +492,13 @@ class RestServer:
         sort = parse_sort(db.schema, body.get("_sort"))
         aggs = body.get("_aggs") or body.get("_aggregations")
         collapse_slot = None
+        collapse_max = 1
         collapse = body.get("_collapse")
         if collapse:
             field = collapse.get("_field") if isinstance(collapse, dict) \
                 else collapse
+            if isinstance(collapse, dict):
+                collapse_max = max(int(collapse.get("_max", 1)), 1)
             spec = db.schema.get_field(str(field))
             if spec.slot is None:
                 raise ApiError(400, f"cannot collapse on {field!r}")
@@ -513,7 +522,7 @@ class RestServer:
                 raise ApiError(400, f"bad _weight: {exc}")
         res = db.search(ir, k=k, offset=offset, sort=sort,
                         collapse_slot=collapse_slot, aggs=aggs,
-                        scheme=scheme)
+                        scheme=scheme, collapse_max=collapse_max)
         div = body.get("_diversify")
         if div and res.hits:
             lam = float(div.get("_lambda", 0.5)) if isinstance(div, dict) \
@@ -549,6 +558,43 @@ class RestServer:
             out["aggregations"] = res.aggregations
         self._observe("search", t0)
         return out, 200
+
+    async def _multi_search(self, request, index, t0):
+        """Comma-separated multi-endpoint search (≙ PathParser
+        multi-endpoint paths, url_parser.h:68-102): per-index searches
+        merged by score desc (scores are comparable because every index
+        uses the two-phase global-stats merge within itself)."""
+        body = await self._body(request) if request.can_read_body else None
+        body = body or {}
+        if body.get("_aggs") or body.get("_aggregations"):
+            raise ApiError(400, "aggregations are not supported on "
+                                "multi-index searches")
+        names = [n for n in index.split(",") if n]
+        k = int(request.query.get("limit", body.get("_limit", 10)))
+        offset = int(request.query.get("offset", body.get("_offset", 0)))
+        q = request.query.get("q")
+        merged = []
+        total = 0
+        for name in names:
+            db = self.man.get(name)
+            dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
+            ir = dsl.parse_string(q) if q is not None else \
+                dsl.parse(body.get("_query", {"_match_all": {}}))
+            res = db.search(ir, k=k + offset)
+            total += res.total
+            for h in res.hits:
+                merged.append((-h.score, name, h))
+        merged.sort(key=lambda t: (t[0], t[1], t[2].id))
+        hits = []
+        for rank, (_, name, h) in enumerate(merged[offset:offset + k]):
+            doc = dict(h.data)
+            doc["_id"] = h.id
+            doc["_index"] = name
+            doc["_score"] = h.score
+            doc["_rank"] = rank
+            hits.append(doc)
+        self._observe("search", t0)
+        return {"total": total, "count": len(hits), "hits": hits}, 200
 
     async def _count(self, request, index, t0):
         db = self.man.get(index)
