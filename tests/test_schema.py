@@ -152,3 +152,52 @@ def test_no_stem_language_none():
     spec = s.get_field("t")
     assert spec.prefix + "running" in out.terms.terms
     assert not any(t.startswith("Z") for t in out.terms.terms)
+
+
+def test_additional_schema_keywords():
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.index_document({
+        "title": {"_type": "text", "_spelling": False,
+                  "_value": "unsuggestable mispeling"},
+        "body": {"_type": "text", "_value": "suggestable wording here"},
+        "loc_name": {"_type": "keyword", "_index_uuid_field": "both",
+                     "_value": "x"},
+        "intro": {"_type": "text", "_position": 100,
+                  "_value": "positioned text"},
+    }, doc_id="a")
+    db.commit()
+    # spelling dictionary excludes the _spelling: false field's words
+    assert db.suggest_spelling("suggestable") == [] or \
+        db.suggest_spelling("sugestable")          # close word found
+    sugg = db.suggest_spelling("mispelin")
+    assert "mispeling" not in sugg
+    sugg2 = db.suggest_spelling("wordin")
+    assert "wording" in sugg2
+    # _position offsets the stored term positions
+    seg = db._searchers[0].segment
+    pos_terms = [t for t in seg.terms if t.endswith("positioned")
+                 and not t.startswith("Z")]
+    assert pos_terms
+    ti = seg.get_term(pos_terms[0])
+    off = seg.post_posoff[ti.offset]
+    ln = seg.post_poslen[ti.offset]
+    if ln:
+        assert int(seg.positions[off]) >= 100
+
+
+def test_acc_prefix_and_partials_accepted():
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.index_document({
+        "price": {"_type": "integer", "_accuracy": [100, 1000],
+                  "_acc_prefix": ["pA", "pB"], "_value": 1234},
+        "where": {"_type": "geo", "_partials": False,
+                  "_value": {"_point": {"_latitude": 1.0,
+                                        "_longitude": 2.0}}},
+    }, doc_id="b")
+    db.commit()
+    r = db.search({"price": {"_from": 1000, "_to": 2000}})
+    assert r.total == 1

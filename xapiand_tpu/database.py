@@ -657,14 +657,26 @@ class Database:
         if cache is not None and cache[0] == self.revision:
             return cache[1]
         tri: dict[str, set] = {}
+        nosp = tuple(self.schema.no_spelling_prefixes())
+        # prefer field-prefixed terms: the unprefixed global namespace
+        # mirrors every field's words, so filtering _spelling: false fields
+        # is only possible on the prefixed forms (process_spelling)
+        words: set[str] = set()
+        fallback: set[str] = set()
         for s in self._searchers:
             for term in s.segment.terms:
                 if term.startswith(("Q", "Z")) or ":" in term or "#" in term:
                     continue
-                word = term.split(".")[-1] if "." in term else term
-                w = f"${word}$"
-                for i in range(len(w) - 2):
-                    tri.setdefault(w[i:i + 3], set()).add(word)
+                if "." in term:
+                    if nosp and term.startswith(nosp):
+                        continue
+                    words.add(term.split(".")[-1])
+                else:
+                    fallback.add(term)
+        for word in (words or fallback):
+            w = f"${word}$"
+            for i in range(len(w) - 2):
+                tri.setdefault(w[i:i + 3], set()).add(word)
         self._spell_cache = (self.revision, tri)
         return tri
 

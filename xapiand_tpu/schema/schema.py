@@ -68,6 +68,15 @@ class FieldSpec:
     error: float = 0.3           # geo HTM error (htm.h:39-51)
     value: Any = None            # explicit _value override
     ignored: frozenset = dfield(default_factory=frozenset)
+    spelling: bool = True        # feed this field's words to the spelling
+                                 # dictionary (process_spelling)
+    cjk_words: bool = False      # CJK word segmentation request; falls
+                                 # back to bigrams (no segmenter shipped -
+                                 # documented deviation from cjk-tokenizer)
+    index_uuid_field: str = "both"   # uuid-typed field-name indexing
+    partials: bool = True        # geo partial-trixel terms (process_partials)
+    acc_prefix: list | None = None   # explicit accuracy-term prefixes
+    position_start: int = 0      # starting term position (process_position)
 
 
 @dataclass
@@ -261,6 +270,29 @@ class Schema:
         vals = val if isinstance(val, list) else [val]
         spec.ignored = frozenset(str(v) for v in vals)
 
+    def _kw_spelling(self, spec, val, path):
+        spec.spelling = bool(val)
+
+    def _kw_cjk_words(self, spec, val, path):
+        spec.cjk_words = bool(val)
+
+    def _kw_index_uuid_field(self, spec, val, path):
+        v = str(val).lower()
+        if v not in ("uuid", "uuid_field", "both"):
+            raise SchemaError(f"invalid _index_uuid_field: {val!r}")
+        spec.index_uuid_field = v
+
+    def _kw_partials(self, spec, val, path):
+        spec.partials = bool(val)
+
+    def _kw_acc_prefix(self, spec, val, path):
+        if not isinstance(val, list):
+            raise SchemaError(f"_acc_prefix must be a list in {path!r}")
+        spec.acc_prefix = [str(v) for v in val]
+
+    def _kw_position(self, spec, val, path):
+        spec.position_start = int(val)
+
     _RESERVED_PARSERS = {
         "_type": _kw_type, "_index": _kw_index, "_slot": _kw_slot,
         "_prefix": _kw_prefix, "_accuracy": _kw_accuracy,
@@ -272,6 +304,10 @@ class Schema:
         "_recurse": _kw_recurse, "_partial_paths": _kw_partial_paths,
         "_ngram": _kw_ngram, "_cjk_ngram": _kw_cjk_ngram,
         "_error": _kw_error, "_value": _kw_value, "_ignore": _kw_ignore,
+        "_spelling": _kw_spelling, "_cjk_words": _kw_cjk_words,
+        "_index_uuid_field": _kw_index_uuid_field,
+        "_partials": _kw_partials, "_acc_prefix": _kw_acc_prefix,
+        "_position": _kw_position,
     }
 
     # -- type inference (guess_type, serialise.cc:795) -------------------------
@@ -289,7 +325,9 @@ class Schema:
                                         "_multipoint", "_multicircle",
                                         "_multipolygon", "_chull")):
                 return FieldType.GEO
-            if "_type" in value and value.get("_type") == "geo":
+            if value.get("_type") == "geo" and "_value" not in value:
+                # a bare {"_type": "geo", ...} geometry; specs carrying
+                # _value route through inline-spec handling instead
                 return FieldType.GEO
             return FieldType.OBJECT
         if isinstance(value, list):
@@ -350,6 +388,23 @@ class Schema:
             self._index_field(out, schema_node, root_spec, name, value,
                               path=name)
         return out
+
+    def no_spelling_prefixes(self) -> frozenset:
+        """Prefixes of fields with _spelling: false - their words stay out
+        of the spelling dictionary (process_spelling semantics)."""
+        out: set[str] = set()
+
+        def walk(node, path):
+            for name, sub in node.items():
+                if name.startswith("_") or not isinstance(sub, dict):
+                    continue
+                p = f"{path}.{name}" if path else name
+                if sub.get("_spelling") is False:
+                    out.add(sub.get("_prefix") or field_prefix(p))
+                walk(sub, p)
+
+        walk(self.props["schema"], "")
+        return frozenset(out)
 
     def _child_node(self, parent_node: dict, name: str, parent_spec: FieldSpec,
                     path: str) -> dict | None:
@@ -504,7 +559,8 @@ class Schema:
                                       stem_strategy=spec.stem_strategy,
                                       stop_strategy=spec.stop_strategy,
                                       cjk_ngram=spec.cjk_ngram)
-            tg.position = getattr(out, "_termpos", 0)
+            tg.position = max(getattr(out, "_termpos", 0),
+                              spec.position_start)
             tg.index_text(terms, str(value), wdf_inc=spec.weight,
                           prefix=prefix, with_positions=spec.positions)
             tg.increase_termpos()
