@@ -144,3 +144,49 @@ def test_range_with_subs(adb):
     assert by_key["low"]["st"]["_min"] == pytest.approx(50.0)
     assert by_key["high"]["st"]["_max"] == pytest.approx(999.0)
     assert by_key["high"]["st"]["_sum"] == pytest.approx(300 + 700 + 999)
+
+
+def test_geo_distance_buckets():
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    pts = [("london", 51.5, -0.1), ("paris", 48.9, 2.35),
+           ("nyc", 40.7, -74.0), ("tokyo", 35.7, 139.7)]
+    for name, lat, lon in pts:
+        db.index_document({"city": name, "loc": {"_point": {
+            "_latitude": lat, "_longitude": lon}}}, doc_id=name)
+    db.commit()
+    out = db.search({"_match_all": {}}, k=0, aggs={"rings": {
+        "_geo_distance": {"_field": "loc",
+                          "_origin": [51.5, -0.1],    # London
+                          "_ranges": [
+                              {"_key": "near", "_to": 1_000_000},
+                              {"_key": "far", "_from": 1_000_000}]},
+        "_aggs": {"n": {"_count": {}}}}}).aggregations
+    by = {b["_key"]: b["_doc_count"] for b in out["rings"]}
+    assert by == {"near": 2, "far": 2}          # London+Paris near
+    n_near = [b for b in out["rings"] if b["_key"] == "near"][0]
+    assert n_near["n"]["_count"] == 2
+
+
+def test_geo_bounds_and_centroid():
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    for name, lat, lon in [("a", 10.0, 20.0), ("b", 30.0, -40.0),
+                           ("c", -10.0, 60.0)]:
+        db.index_document({"loc": {"_point": {"_latitude": lat,
+                                              "_longitude": lon}}},
+                          doc_id=name)
+    db.commit()
+    out = db.search({"_match_all": {}}, k=0, aggs={
+        "b": {"_geo_bounds": {"_field": "loc"}},
+        "c": {"_geo_centroid": {"_field": "loc"}}}).aggregations
+    gb = out["b"]["_geo_bounds"]
+    assert gb["_top_left"]["_latitude"] == pytest.approx(30.0)
+    assert gb["_top_left"]["_longitude"] == pytest.approx(-40.0)
+    assert gb["_bottom_right"]["_latitude"] == pytest.approx(-10.0)
+    assert gb["_bottom_right"]["_longitude"] == pytest.approx(60.0)
+    gc = out["c"]["_geo_centroid"]
+    assert gc["_latitude"] == pytest.approx(10.0)
+    assert gc["_longitude"] == pytest.approx(40.0 / 3)

@@ -223,6 +223,35 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
             agg_filters[i] = np.asarray(term_spans, np.int32)
             meta.append({"kind": "filter",
                          "sub_names": sub_names, "sub_metas": sub_metas})
+        elif key in ("_geo_bounds", "_geo_centroid"):
+            slot = _slot_of(schema, args)
+            specs.append(("geo_stats", slot))
+            meta.append({"kind": key[1:]})
+        elif key == "_geo_distance":
+            slot = _slot_of(schema, args)
+            rs = args.get("_ranges")
+            if not rs:
+                raise AggError(f"_geo_distance {name!r} needs _ranges")
+            origin = args.get("_origin", args.get("_point"))
+            if origin is None:
+                raise AggError(f"_geo_distance {name!r} needs _origin")
+            if isinstance(origin, (list, tuple)):
+                lat, lon = float(origin[0]), float(origin[1])
+            else:
+                from xapiand_tpu.geo import geospatial
+                _, (lat, lon) = geospatial.extract(origin)
+            bounds = np.zeros((len(rs), 2), np.float32)
+            labels = []
+            for j, r in enumerate(rs):
+                lo = float(r.get("_from", 0.0))
+                hi = float(r.get("_to", math.inf))
+                bounds[j, 0], bounds[j, 1] = lo, hi
+                labels.append(r.get("_key", f"{lo}..{hi}"))
+            specs.append(("geodist_range", slot, len(rs), sub_specs))
+            agg_ranges[i] = bounds
+            agg_params[i] = np.asarray([lat, lon], np.float32)
+            meta.append({"kind": "range", "labels": labels, "sort": sort,
+                         "sub_names": sub_names, "sub_metas": sub_metas})
         elif key == "_missing":
             slot = _slot_of(schema, args)
             specs.append(("missing", slot, sub_specs))
@@ -386,6 +415,28 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
             # bound (values may repeat across segments) - documented
             # approximation until sketch merging lands
             out[name] = {"_cardinality": int(sum(int(p) for p in parts))}
+        elif kind in ("geo_bounds", "geo_centroid"):
+            n = sum(float(p["n"]) for p in parts)
+            if kind == "geo_centroid":
+                slat = sum(float(p["slat"]) for p in parts)
+                slon = sum(float(p["slon"]) for p in parts)
+                out[name] = {"_geo_centroid": {
+                    "_latitude": slat / n if n else None,
+                    "_longitude": slon / n if n else None,
+                    "_count": int(n)}}
+            else:
+                out[name] = {"_geo_bounds": {
+                    "_top_left": {
+                        "_latitude": max((float(p["maxlat"])
+                                          for p in parts), default=None),
+                        "_longitude": min((float(p["minlon"])
+                                           for p in parts), default=None)},
+                    "_bottom_right": {
+                        "_latitude": min((float(p["minlat"])
+                                          for p in parts), default=None),
+                        "_longitude": max((float(p["maxlon"])
+                                           for p in parts), default=None)},
+                    "_count": int(n)}} if n else {"_geo_bounds": None}
         elif kind == "percentiles":
             best, best_n = None, -1.0
             total_n = 0

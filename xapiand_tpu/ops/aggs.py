@@ -182,10 +182,24 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
                                                         docids, in_bucket)})
             else:
                 out.append(counts)
-        elif kind == "range":
+        elif kind in ("range", "geodist_range"):
             nr = spec[2]
             sub_specs = spec[3] if len(spec) > 3 else ()
-            v, m = _slot_vals(seg, slot, docids, mask)
+            if kind == "geodist_range":
+                # bucket by great-circle distance from an origin
+                # (_geo_distance; declared-but-disabled in the reference)
+                from xapiand_tpu.ops.executor import _haversine
+
+                col = seg["values"][slot]
+                d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+                lon = col["fval2"][d] if "fval2" in col \
+                    else jnp.zeros_like(col["fval"][d])
+                v = _haversine(col["fval"][d], lon,
+                               plan["agg_params"][i][0],
+                               plan["agg_params"][i][1])
+                m = mask & col["present"][d]
+            else:
+                v, m = _slot_vals(seg, slot, docids, mask)
             bounds = plan["agg_ranges"][i]          # [nr, 2]
             inr = (v[:, None] >= bounds[None, :, 0]) \
                 & (v[:, None] < bounds[None, :, 1]) & m[:, None]
@@ -212,6 +226,23 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
                 jnp.ones((1,), bool),
                 (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
             out.append(jnp.sum((headd & valid).astype(jnp.int32)))
+        elif kind == "geo_stats":
+            # sufficient stats for _geo_bounds / _geo_centroid
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+            m = mask & col["present"][d]
+            lat = col["fval"][d]
+            lon = col["fval2"][d] if "fval2" in col \
+                else jnp.zeros_like(lat)
+            fm = m.astype(jnp.float32)
+            out.append({
+                "n": jnp.sum(fm),
+                "slat": jnp.sum(lat * fm), "slon": jnp.sum(lon * fm),
+                "minlat": jnp.min(jnp.where(m, lat, jnp.inf)),
+                "maxlat": jnp.max(jnp.where(m, lat, -jnp.inf)),
+                "minlon": jnp.min(jnp.where(m, lon, jnp.inf)),
+                "maxlon": jnp.max(jnp.where(m, lon, -jnp.inf)),
+            })
         elif kind == "percentiles":
             v, m = _slot_vals(seg, slot, docids, mask)
             n = jnp.sum(m.astype(jnp.int32))
