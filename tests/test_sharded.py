@@ -71,3 +71,39 @@ def test_sharded_range_filter(sharded, single):
     ref = single.search(q, k=20)
     assert got["total"] == ref.total
     assert [h["id"] for h in got["hits"]] == [h.id for h in ref.hits]
+
+
+def test_mesh_aggregations_psum_merge(eight_devices):
+    """Agg sufficient stats merge across shards via psum/pmin/pmax over
+    the mesh (collective merge_results)."""
+    from xapiand_tpu.parallel.sharded import ShardedIndex
+
+    idx = ShardedIndex()
+    for i in range(40):
+        idx.index_document({"body": "widget common words",
+                            "price": float(i)}, doc_id=f"d{i}")
+    idx.commit()
+    out = idx.search({"body": "widget"}, k=5, aggs={
+        "st": {"_stats": {"_field": "price"}},
+        "hist": {"_histogram": {"_field": "price", "_interval": 10,
+                                "_buckets": 8}},
+        "rng": {"_range": {"_field": "price",
+                           "_ranges": [{"_key": "lo", "_to": 20},
+                                       {"_key": "hi", "_from": 20}]},
+                "_aggs": {"mx": {"_max": {"_field": "price"}}}}})
+    assert out["total"] == 40
+    st = out["aggregations"]["st"]
+    assert st["_count"] == 40
+    assert st["_min"] == 0.0 and st["_max"] == 39.0
+    assert st["_sum"] == sum(range(40))
+    hist = {b["_key"]: b["_doc_count"]
+            for b in out["aggregations"]["hist"]}
+    assert hist == {0.0: 10, 10.0: 10, 20.0: 10, 30.0: 10}
+    rng = {b["_key"]: b for b in out["aggregations"]["rng"]}
+    assert rng["lo"]["_doc_count"] == 20
+    assert rng["hi"]["mx"]["_max"] == 39.0
+    # unsupported mesh agg kinds raise a clear error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        idx.search({"body": "widget"}, aggs={
+            "t": {"_terms": {"_field": "body"}}})

@@ -104,7 +104,12 @@ def _compile_subs(schema, sub_dsl: dict):
 
 
 def compile_for_segment(schema, segment, aggs_dsl: dict):
-    """-> (names, specs tuple, agg_arrays dict, meta per agg)."""
+    """-> (names, specs tuple, agg_arrays dict, meta per agg).
+
+    segment may be a list of segments (mesh path): data-dependent anchors
+    (date-histogram minimum) then span all of them."""
+    segs = segment if isinstance(segment, list) else [segment]
+    segment = segs[0]
     names, specs, meta = [], [], []
     agg_params, agg_ranges, agg_filters = {}, {}, {}
     for i, (name, body) in enumerate(aggs_dsl.items()):
@@ -150,12 +155,16 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
             calendar = None
             if key == "_date_histogram":
                 interval, calendar = _parse_interval(args["_interval"])
-                col = segment.values.get(slot)
                 # anchor at the column's min so the bucket range is data-
                 # bounded (host knows it; the device histogram is dense)
                 vmin = 0.0
-                if col is not None and col.present.any():
-                    vmin = float(col.fval[col.present].min())
+                seen = False
+                for sg in segs:
+                    col = sg.values.get(slot)
+                    if col is not None and col.present.any():
+                        m = float(col.fval[col.present].min())
+                        vmin = m if not seen else min(vmin, m)
+                        seen = True
                 shift = math.floor(vmin / interval) * interval
                 nb = 4096
             else:

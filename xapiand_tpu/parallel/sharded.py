@@ -184,18 +184,134 @@ def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# mesh aggregations: pack sufficient statistics into three flat vectors so
+# the cross-shard merge is exactly psum/pmin/pmax over ICI
+# (≙ AggregationMatchSpy::merge_results, handler.cc:1543-1545)
+# ---------------------------------------------------------------------------
+
+MESH_AGG_KINDS = ("count", "sum", "avg", "min", "max", "variance",
+                  "std_deviation", "stats", "extended_stats", "histogram",
+                  "range", "geodist_range", "missing", "geo_stats")
+
+_MIN_KEYS = ("min", "minlat", "minlon")
+_MAX_KEYS = ("max", "maxlat", "maxlon")
+
+
+def _agg_leaves(part):
+    """Deterministic (key-path, leaf, merge-rule) walk of one agg part."""
+    out = []
+
+    def walk(p, prefix):
+        if isinstance(p, dict):
+            for kk in sorted(p.keys()):
+                if kk == "subs":
+                    for si, sub in enumerate(p[kk]):
+                        walk(sub, prefix + (kk, si))
+                else:
+                    rule = "min" if kk in _MIN_KEYS else \
+                        "max" if kk in _MAX_KEYS else "sum"
+                    out.append((prefix + (kk,), p[kk], rule))
+        else:
+            out.append((prefix, p, "sum"))
+
+    walk(part, ())
+    return out
+
+
+def pack_agg_parts(specs, aggs):
+    """aggs: tuple of per-agg parts with [Q, ...] leaves -> three [Q, W]
+    vectors (sum-merged, min-merged, max-merged) + the static layout."""
+    packs = {"sum": [], "min": [], "max": []}
+    layout = []
+    for spec, part in zip(specs, aggs):
+        entry = []
+        for path, leaf, rule in _agg_leaves(part):
+            leaf2 = leaf.astype(jnp.float32)
+            if leaf2.ndim == 1:
+                leaf2 = leaf2[:, None]
+            else:
+                leaf2 = leaf2.reshape(leaf2.shape[0], -1)
+            entry.append((path, rule, len(packs[rule]),
+                          leaf2.shape[1], leaf.dtype.name, leaf.shape[1:]))
+            packs[rule].append(leaf2)
+        layout.append(entry)
+    packed = {}
+    for rule, parts in packs.items():
+        if parts:
+            packed[rule] = jnp.concatenate(parts, axis=1)
+        else:
+            packed[rule] = None
+    return packed, layout
+
+
+def unpack_agg_parts(layout, packed_np):
+    """Inverse of pack_agg_parts on host numpy arrays; returns per-query
+    lists of agg parts shaped like compute_aggs outputs."""
+    offs = {"sum": 0, "min": 0, "max": 0}
+    # compute per-leaf slices in pack order (layout preserves it)
+    parts_per_agg = []
+    for entry in layout:
+        leaves = {}
+        for path, rule, idx, width, dtype, tail in entry:
+            arrs = packed_np[rule]
+            sl = arrs[:, offs[rule]: offs[rule] + width]
+            offs[rule] += width
+            if tail:
+                sl = sl.reshape(sl.shape[0], *tail)
+            else:
+                sl = sl[:, 0]
+            leaves[path] = sl.astype(dtype) if dtype != "float32" else sl
+        parts_per_agg.append(leaves)
+
+    def rebuild(leaves, qi):
+        root: dict = {}
+        plain = None
+        for path, arr in leaves.items():
+            v = arr[qi]
+            if path == ():
+                plain = v
+                continue
+            node = root
+            for p in path[:-1]:
+                if p == "subs":
+                    node = node.setdefault("subs", {})
+                elif isinstance(p, int):
+                    node = node.setdefault(p, {})
+                else:
+                    node = node.setdefault(p, {})
+            node[path[-1]] = v
+        if plain is not None:
+            return plain
+        if "subs" in root:
+            subs_map = root.pop("subs")
+            root["subs"] = [subs_map[i] for i in sorted(subs_map)]
+        return root
+
+    def per_query(qi):
+        return tuple(rebuild(leaves, qi) for leaves in parts_per_agg)
+
+    return per_query
+
+
+# ---------------------------------------------------------------------------
 # the SPMD search step
 # ---------------------------------------------------------------------------
 
-def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
+def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
+                      agg_arrays=None, layout_out: dict | None = None):
     """jit-compiled shard_map'd batch search step.
 
     plan arrays: offsets/lens [Q, S, T] (P('dp','shard',None)); tconst/
     scoring/group_bits [Q, T]; fparams [Q, F, 4] (P('dp',None,None)).
-    Returns global docids/scores [Q, k] + counts [Q] (replicated over
-    'shard', sharded over 'dp').
+    Returns global docids/scores [Q, k] + counts [Q] (+ packed agg
+    sufficient stats, psum/pmin/pmax-merged over ICI), replicated over
+    'shard', sharded over 'dp'. agg_arrays: {"agg_params": {i: arr},
+    "agg_ranges": {i: arr}} shared across queries; layout_out captures the
+    static pack layout at trace time for host-side unpacking.
     """
     from jax import shard_map
+
+    agg_arrays = agg_arrays or {}
 
     def step(seg, offsets, lens, tconst, scoring, group_bits, stats,
              fparams, syn_tconst):
@@ -211,10 +327,26 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
                     plan["fparams"] = fp
                 if cfg.syn_groups:
                     plan["syn_tconst"] = syn
+                for kk, vv in agg_arrays.items():
+                    plan[kk] = jax.tree.map(jnp.asarray, vv)
                 return execute(seg1, plan, cfg, stats_blk, scheme)
 
             out = jax.vmap(one_query)(off_blk, len_blk, tconst_blk,
                                       scoring_blk, bits_blk, fp_blk, syn_blk)
+            agg_packed = (jnp.zeros((off_blk.shape[0], 1), jnp.float32),) * 3
+            if cfg.with_aggs:
+                packed, layout = pack_agg_parts(cfg.with_aggs, out["aggs"])
+                if layout_out is not None:
+                    layout_out["layout"] = layout
+                z = jnp.zeros((off_blk.shape[0], 1), jnp.float32)
+                agg_packed = (
+                    jax.lax.psum(packed["sum"], "shard")
+                    if packed["sum"] is not None else z,
+                    jax.lax.pmin(packed["min"], "shard")
+                    if packed["min"] is not None else z,
+                    jax.lax.pmax(packed["max"], "shard")
+                    if packed["max"] is not None else z,
+                )
             # local -> global docids (docid striping, handler.cc:835)
             gdoc = out["docids"] * n_shards + my_shard
             invalid = jnp.isinf(out["scores"]) & (out["scores"] < 0)
@@ -230,7 +362,7 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
             top_scores = -neg[:, : cfg.k]
             top_docs = docs_sorted[:, : cfg.k]
             count = jax.lax.psum(out["count"], "shard")
-            return top_docs, top_scores, count
+            return top_docs, top_scores, count, agg_packed
 
         tconst_spec = P("dp", None) if tconst.ndim == 2 \
             else P("dp", None, None)   # [Q,T,C] multi-constant schemes
@@ -243,7 +375,8 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int):
             jax.tree.map(lambda _: P(), stats),
             P("dp", None, None), syn_spec,
         )
-        out_specs = (P("dp", None), P("dp", None), P("dp"))
+        out_specs = (P("dp", None), P("dp", None), P("dp"),
+                     (P("dp", None), P("dp", None), P("dp", None)))
         fn = shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
         return fn(seg, offsets, lens, tconst, scoring, group_bits, stats,
@@ -317,12 +450,34 @@ class ShardedIndex:
 
     # -- search ----------------------------------------------------------------
 
-    def search_batch(self, queries: list, k: int = 10) -> list[dict]:
+    def search_batch(self, queries: list, k: int = 10,
+                     aggs: Optional[dict] = None) -> list[dict]:
         """Relevance-ordered batch search; all queries must share one plan
-        shape (same signature) - callers bucket them (SURVEY §7)."""
+        shape (same signature) - callers bucket them (SURVEY §7).
+
+        aggs: shared aggregation spec; sufficient statistics merge across
+        shards as psum/pmin/pmax over ICI inside the shard_map step (the
+        collective form of AggregationMatchSpy::merge_results). Category-
+        coded and order-statistic aggs (terms, cardinality, percentiles,
+        median, mode, filter) need host-side category unification and stay
+        on the single-coordinator Database path for now."""
         if self._stacked is None:
             raise RuntimeError("commit() before searching")
         from xapiand_tpu.query.plan import resolve_special
+
+        agg_specs, agg_arrays, agg_names, agg_metas = (), {}, None, None
+        if aggs:
+            from xapiand_tpu import aggregations as aggs_mod
+
+            (agg_names, agg_specs, arrs,
+             agg_metas) = aggs_mod.compile_for_segment(
+                self.schema, list(self.segments), aggs)
+            bad = [s[0] for s in agg_specs if s[0] not in MESH_AGG_KINDS]
+            if bad:
+                raise ValueError(
+                    f"aggregations {bad} are not supported on the mesh "
+                    f"batch path (supported: {MESH_AGG_KINDS})")
+            agg_arrays = arrs
 
         dsl = QueryDSL(self.schema)
         stats = self.stats()
@@ -349,7 +504,8 @@ class ShardedIndex:
         for cq in cqs:
             per_shard = [bind(cq, seg, self.scheme, stats,
                               global_tf=self.global_termfreq, k=k,
-                              global_cf=self.global_collfreq)
+                              global_cf=self.global_collfreq,
+                              aggs=agg_specs)
                          for seg in self.segments]
             bounds.append(per_shard)
         cfg = unify_cfgs([b.cfg for per in bounds for b in per], k=k)
@@ -378,11 +534,19 @@ class ShardedIndex:
             if n_filters:
                 fparams[qi] = b0["fparams"]
 
-        key = (cfg, self.scheme.key())
-        step = self._step_cache.get(key)
-        if step is None:
-            step = make_sharded_step(cfg, self.scheme, self.mesh, S)
-            self._step_cache[key] = step
+        agg_digest = tuple(sorted(
+            (kk, i, vv[i].tobytes()) for kk, vv in agg_arrays.items()
+            for i in vv)) if agg_arrays else ()
+        key = (cfg, self.scheme.key(), agg_digest)
+        cached = self._step_cache.get(key)
+        if cached is None:
+            layout_holder: dict = {}
+            step = make_sharded_step(cfg, self.scheme, self.mesh, S,
+                                     agg_arrays=agg_arrays,
+                                     layout_out=layout_holder)
+            cached = (step, layout_holder)
+            self._step_cache[key] = cached
+        step, layout_holder = cached
         if fparams is None:
             fparams = np.zeros((q_pad, 1, 4), np.int32)
         n_syn = len(cfg.syn_groups)
@@ -397,10 +561,22 @@ class ShardedIndex:
                 jnp.asarray(tconst), jnp.asarray(scoring),
                 jnp.asarray(gbits), stats_d, jnp.asarray(fparams),
                 jnp.asarray(syn)]
-        top_docs, top_scores, counts = step(*args)
+        top_docs, top_scores, counts, agg_packed = step(*args)
         top_docs = np.asarray(top_docs)[:nq]
         top_scores = np.asarray(top_scores)[:nq]
         counts = np.asarray(counts)[:nq]
+        per_query_aggs = None
+        if aggs and layout_holder.get("layout") is not None:
+            from xapiand_tpu import aggregations as aggs_mod
+
+            packed_np = {"sum": np.asarray(agg_packed[0])[:nq],
+                         "min": np.asarray(agg_packed[1])[:nq],
+                         "max": np.asarray(agg_packed[2])[:nq]}
+            per_query = unpack_agg_parts(layout_holder["layout"], packed_np)
+            per_query_aggs = [
+                aggs_mod.merge_and_shape(agg_names, agg_metas,
+                                         [per_query(qi)], [{}])
+                for qi in range(nq)]
 
         results = []
         for qi in range(nq):
@@ -417,8 +593,11 @@ class ShardedIndex:
                 key_ = seg.doc_keys[local]
                 hits.append({"id": key_, "score": float(sc),
                              "data": self._docs.get(key_, {})})
-            results.append({"total": int(counts[qi]), "hits": hits})
+            out_q = {"total": int(counts[qi]), "hits": hits}
+            if per_query_aggs is not None:
+                out_q["aggregations"] = per_query_aggs[qi]
+            results.append(out_q)
         return results
 
-    def search(self, query, k: int = 10) -> dict:
-        return self.search_batch([query], k=k)[0]
+    def search(self, query, k: int = 10, aggs: Optional[dict] = None) -> dict:
+        return self.search_batch([query], k=k, aggs=aggs)[0]
