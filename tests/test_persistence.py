@@ -178,3 +178,39 @@ def test_patch_errors():
     with pytest.raises(PatchError):
         apply_patch({"x": 9}, [{"op": "incr", "path": "/x", "value": 5,
                                 "limit": 10}])
+
+
+def test_fault_injection_and_recovery(tmp_path):
+    """Chaos parity (--random-errors-io/db, opts.h:105-107): injected
+    failures surface as errors; a restart after failures replays the WAL
+    to a consistent state."""
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.index.storage import StorageError, faults
+
+    path = str(tmp_path / "chaos")
+    db = Database(path=path)
+    db.index_document({"n": 1}, doc_id="a", commit=True)
+
+    faults.set_rates(io=1.0, seed=7)
+    try:
+        import pytest as _p
+        with _p.raises(StorageError):
+            db.index_document({"n": 2}, doc_id="b", commit=True)
+    finally:
+        faults.set_rates()          # off
+    db.close()
+
+    db2 = Database(path=path)       # WAL replay after the failure
+    assert db2.get_document("a") == {"n": 1}
+    assert db2.search({"n": 1}).total == 1
+    db2.close()
+
+    # db-level injection hits commit
+    db3 = Database(path=str(tmp_path / "chaos2"))
+    faults.set_rates(db=1.0)
+    try:
+        import pytest as _p
+        with _p.raises(StorageError):
+            db3.index_document({"n": 3}, doc_id="c", commit=True)
+    finally:
+        faults.set_rates()

@@ -211,6 +211,10 @@ class Database:
     def commit(self) -> int:
         """Freeze pending docs into a new immutable segment generation;
         ≙ Shard::commit (shard.cc:706): WAL COMMIT line + revision bump."""
+        from xapiand_tpu.index.storage import faults
+
+        faults.maybe_db("commit")   # chaos hook (RANDOM_ERRORS_DB_THROW,
+        # shard.cc:51-59 commit/open sites)
         if len(self._builder) == 0 and not self._pending_deletes:
             return self.revision
         if self.wal is not None and not self._replaying:

@@ -27,12 +27,48 @@ _SUM = struct.Struct("<Q")
 FLAG_COMPRESSED = 0x01
 
 
+class FaultInjector:
+    """Chaos-testing knobs (≙ --random-errors-io/db, opts.h:105-107; errno
+    injection in every io:: wrapper, io.cc:56-215).
+
+    Rates come from env vars XAPIAND_RANDOM_ERRORS_IO / _DB (probability in
+    [0,1]) or set_rates(); the RNG is seeded for reproducible chaos runs.
+    """
+
+    def __init__(self):
+        import random
+
+        self.io_rate = float(os.environ.get("XAPIAND_RANDOM_ERRORS_IO", 0))
+        self.db_rate = float(os.environ.get("XAPIAND_RANDOM_ERRORS_DB", 0))
+        self._rng = random.Random(
+            int(os.environ.get("XAPIAND_RANDOM_ERRORS_SEED", 42)))
+
+    def set_rates(self, io: float = 0.0, db: float = 0.0, seed: int = 42):
+        import random
+
+        self.io_rate, self.db_rate = io, db
+        self._rng = random.Random(seed)
+
+    def maybe_io(self, what: str):
+        if self.io_rate and self._rng.random() < self.io_rate:
+            raise StorageError(f"injected IO error in {what} "
+                               "(RANDOM_ERRORS_IO)")
+
+    def maybe_db(self, what: str):
+        if self.db_rate and self._rng.random() < self.db_rate:
+            raise StorageError(f"injected DB error in {what} "
+                               "(RANDOM_ERRORS_DB)")
+
+
 class StorageError(IOError):
     pass
 
 
 class StorageCorruptVolume(StorageError):
     pass
+
+
+faults = FaultInjector()   # process-wide chaos knobs
 
 
 class Storage:
@@ -67,6 +103,7 @@ class Storage:
     def write(self, payload: bytes, compress: Optional[bool] = None) -> int:
         if not self.writable:
             raise StorageError("volume is read-only")
+        faults.maybe_io("storage.write")
         if compress is None:
             compress = len(payload) >= self.compress_threshold
         flags = 0
@@ -83,6 +120,7 @@ class Storage:
         return offset
 
     def read(self, offset: int) -> bytes:
+        faults.maybe_io("storage.read")
         self._fh.seek(offset)
         hdr = self._fh.read(_REC_HDR.size)
         if len(hdr) < _REC_HDR.size:
