@@ -214,3 +214,25 @@ def test_fault_injection_and_recovery(tmp_path):
             db3.index_document({"n": 3}, doc_id="c", commit=True)
     finally:
         faults.set_rates()
+
+
+def test_tiered_auto_compaction():
+    """Segment count stays bounded under many small commits (≙ glass
+    compaction keeping read fan-in low); results stay correct."""
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.auto_merge_segments = 6
+    for i in range(20):
+        db.index_document({"body": f"doc word{i} shared"}, doc_id=f"d{i}",
+                          commit=True)
+    assert len(db._searchers) <= 6 + 1
+    assert db.doc_count == 20
+    r = db.search({"body": "shared"}, k=25)
+    assert r.total == 20
+    r = db.search({"body": "word7"})
+    assert r.total == 1 and r.hits[0].id == "d7"
+    # deletes survive compaction
+    db.delete_document("d7", commit=True)
+    assert db.search({"body": "word7"}).total == 0
+    assert db.doc_count == 19

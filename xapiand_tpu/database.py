@@ -82,6 +82,7 @@ class Database:
         self._blobs: dict[str, list] = {}             # doc_id -> locators
         self._versions: dict[str, int] = {}           # doc_id -> _version
         self.revision = 0
+        self.auto_merge_segments = 16   # tiered compaction trigger
         self._replaying = False
         self.on_commit = None   # hook: (revision) -> None (cluster broadcast)
         if path is not None:
@@ -243,10 +244,57 @@ class Database:
             self._pending_docs = {}
         self._pending_deletes.clear()
         self.revision += 1
+        if not self._replaying and \
+                len(self._searchers) > self.auto_merge_segments:
+            self._compact_tier()
         if self.on_commit is not None and not self._replaying:
             # ≙ db_updater debounce -> UDP DB_UPDATED (shard.cc:778)
             self.on_commit(self.revision)
         return self.revision
+
+    def _compact_tier(self):
+        """Tiered background compaction (≙ glass_compact / the honey
+        read-optimised rebuild): merge the smallest segments down to half
+        the trigger count, re-inverting only their live documents. Large
+        segments are left alone, so steady-state write amplification stays
+        logarithmic like an LSM."""
+        order = sorted(range(len(self._searchers)),
+                       key=lambda i: self._searchers[i].segment.doc_count)
+        n_keep_small = self.auto_merge_segments // 2
+        victims = set(order[: len(order) - n_keep_small])
+        if len(victims) < 2:
+            return
+        builder = SegmentBuilder()
+        for i in sorted(victims):
+            seg = self._searchers[i].segment
+            for docid, key in enumerate(seg.doc_keys):
+                if seg.deleted[docid] or self._locate.get(key) != (i, docid):
+                    continue
+                doc = self._docs_store.get(key)
+                if doc is None:
+                    continue
+                builder.add(self.schema.index(doc, key))
+        merged = builder.finalize() if len(builder) else None
+        new_searchers, remap = [], {}
+        for i, s in enumerate(self._searchers):
+            if i in victims:
+                continue
+            remap[i] = len(new_searchers)
+            new_searchers.append(s)
+        mi = None
+        if merged is not None:
+            mi = len(new_searchers)
+            new_searchers.append(SegmentSearcher(merged, self.scheme,
+                                                 device=self.device))
+        new_locate = {}
+        for key, (si, docid) in self._locate.items():
+            if si in remap:
+                new_locate[key] = (remap[si], docid)
+        if merged is not None:
+            for docid, key in enumerate(merged.doc_keys):
+                new_locate[key] = (mi, docid)
+        self._searchers = new_searchers
+        self._locate = new_locate
 
     # -- stats ----------------------------------------------------------------
 
