@@ -214,12 +214,17 @@ def main():
     dt = (time.time() - t0) / reps
     qps = len(queries) / dt
 
-    # single-batch round-trip latency (includes host<->device transfer)
-    cfa, ba, _ = batches[0]
-    t0 = time.time()
-    float(np.asarray(fns[cfa.classes](seg_arrays, ba, stats_d)
-                     ["scores"])[0, 0])
-    lat_ms = (time.time() - t0) * 1000
+    # per-batch round-trip latencies (include host<->device transfer):
+    # p50/p99 of a single batch submitted and synced in isolation
+    lats = []
+    for cfa, ba, _ in batches[: min(len(batches), 12)]:
+        t0 = time.time()
+        float(np.asarray(fns[cfa.classes](seg_arrays, ba, stats_d)
+                         ["scores"])[0, 0])
+        lats.append((time.time() - t0) * 1000)
+    lats.sort()
+    lat_ms = lats[len(lats) // 2]
+    lat_p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
 
     # CPU single-core baseline QPS on a subset
     t0 = time.time()
@@ -233,7 +238,8 @@ def main():
         "vs_baseline": round(qps / cpu_qps, 2),
         "detail": {
             "p50_batch_ms": round(dt / len(batches) * 1000, 2),
-            "single_batch_roundtrip_ms": round(lat_ms, 2),
+            "batch_roundtrip_p50_ms": round(lat_ms, 2),
+            "batch_roundtrip_p99_ms": round(lat_p99, 2),
             "cpu_numpy_1core_qps": round(cpu_qps, 2),
             "n_docs": N_DOCS, "n_queries": len(queries),
             "terms_per_query": TERMS_PER_QUERY,

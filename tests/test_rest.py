@@ -385,3 +385,18 @@ def test_multi_index_search(srv):
         "_query": {"body": "needle"},
         "_aggs": {"n": {"_count": {}}}})
     assert status == 400
+
+
+def test_blob_retrieval_by_accept(srv):
+    srv.req("PUT", "/bl/1", {"name": "photo"})
+    payload = b"\x89PNG-not-really" * 50
+    srv.req("STORE", "/bl/1", payload,
+            headers={"Content-Type": "image/png"})
+    # Accept matching the stored type streams the blob
+    status, out, ct = srv.req("GET", "/bl/1",
+                              headers={"Accept": "image/png"}, raw=True)
+    assert status == 200 and ct.startswith("image/png")
+    assert out == payload
+    # default Accept returns the JSON document
+    status, out, _ = srv.req("GET", "/bl/1")
+    assert out["name"] == "photo"

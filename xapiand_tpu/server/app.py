@@ -386,6 +386,16 @@ class RestServer:
 
     def _get_doc(self, request, index, doc_id, head=False):
         db = self.man.get(index)
+        # content-type-addressed blob retrieval: GET with an Accept header
+        # matching a STOREd content type streams the blob back
+        # (docs/_docs/reference-guide/documents/store-api.md:50,139)
+        accept = (request.headers.get("Accept") or "").split(";")[0].strip()
+        if accept and "/" in accept and not accept.startswith("*") \
+                and accept not in neg.KNOWN_STRUCTURED:
+            cts = db.blob_content_types(doc_id)
+            if accept in cts:
+                raw = db.get_blob(doc_id, accept)
+                return web.Response(body=raw, content_type=accept), 200
         doc = dict(db.get_document(doc_id))
         if head:
             return web.Response(status=200), 200

@@ -64,3 +64,11 @@ def encode_body(obj, content_type: str, pretty: bool = False) -> bytes:
     if content_type == CT_YAML:
         return codecs.dumps_yaml(obj)
     return codecs.dumps_json(obj, indent=2 if pretty else None)
+
+
+# structured body types the engine itself speaks (blob retrieval bypasses)
+KNOWN_STRUCTURED = frozenset({
+    CT_JSON, CT_MSGPACK, CT_NDJSON, CT_YAML, "application/msgpack",
+    "application/ndjson", "text/yaml", "application/x-yaml", "text/x-yaml",
+    "text/plain", "text/html",
+})
