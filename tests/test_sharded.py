@@ -107,3 +107,35 @@ def test_mesh_aggregations_psum_merge(eight_devices):
     with _pytest.raises(ValueError):
         idx.search({"body": "widget"}, aggs={
             "t": {"_terms": {"_field": "body"}}})
+
+
+def test_mesh_value_sort_merge(eight_devices):
+    """Value-ordered top-k merged across shards by gathered sort keys."""
+    from xapiand_tpu.parallel.sharded import ShardedIndex
+
+    idx = ShardedIndex()
+    import random
+    rng = random.Random(3)
+    prices = {}
+    for i in range(32):
+        p = rng.randrange(0, 10_000)
+        prices[f"d{i}"] = p
+        idx.index_document({"body": "gadget item", "price": p},
+                           doc_id=f"d{i}")
+    idx.commit()
+    out = idx.search({"body": "gadget"}, k=8,
+                     sort=[{"price": {"_order": "asc"}}])
+    got = [h["id"] for h in out["hits"]]
+    want = sorted(prices, key=lambda d: (prices[d], d))[:8]
+    assert [prices[g] for g in got] == [prices[w] for w in want]
+    # desc
+    out = idx.search({"body": "gadget"}, k=8,
+                     sort=[{"price": {"_order": "desc"}}])
+    got = [prices[h["id"]] for h in out["hits"]]
+    assert got == sorted(prices.values(), reverse=True)[:8]
+    # distance sort on mesh
+    out = idx.search({"body": "gadget"}, k=5,
+                     sort=[{"price": {"_order": "asc", "_value": 5000}}])
+    got = [prices[h["id"]] for h in out["hits"]]
+    want = sorted(prices.values(), key=lambda p: abs(p - 5000))[:5]
+    assert [abs(g - 5000) for g in got] == [abs(w - 5000) for w in want]

@@ -72,6 +72,7 @@ class ExecConfig:
     syn_groups: tuple = ()       # group-bit mask per OP_SYNONYM pseudo-term
     max_specs: tuple = ()        # per OP_MAX node: tuple of branch masks
     join: bool = False           # searchsorted-join path (no global sort)
+    emit_sort_keys: bool = False  # return top-k sort keys (mesh merge)
 
     def term_classes(self) -> tuple:
         return self.classes if self.classes else (self.L,) * self.T
@@ -318,11 +319,17 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
             if desc:
                 kf = -kf
             keys.append(jnp.where(eligible, kf, jnp.inf))
+    n_user_keys = len(keys)
     keys.append(jnp.where(eligible, docids, SENTINEL))  # final tiebreak
     # payloads masked too: ineligible rows must never surface as hits
     pay_d = jnp.where(eligible, docids, SENTINEL)
     pay_s = jnp.where(eligible, scores, -jnp.inf)
     order = lax.sort(tuple(keys) + (pay_d, pay_s), num_keys=len(keys))
+    if cfg.emit_sort_keys:
+        # the mesh merge re-sorts gathered per-shard top-ks by the same
+        # keys (docid tiebreak re-applied globally there)
+        emitted = tuple(kk[: cfg.k] for kk in order[:n_user_keys])
+        return order[-2][: cfg.k], order[-1][: cfg.k], emitted
     return order[-2][: cfg.k], order[-1][: cfg.k], None
 
 
@@ -521,10 +528,12 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         out["aggs"] = compute_aggs(seg, cfg.with_aggs, d_cand, eligible,
                                    sums, plan)
     if not cfg.count_only:
-        docids, scores, _ = _rank_and_topk(cfg, seg, d, sums, eligible,
-                                           plan=plan)
+        docids, scores, skeys = _rank_and_topk(cfg, seg, d, sums, eligible,
+                                               plan=plan)
         out["docids"] = docids
         out["scores"] = scores
+        if cfg.emit_sort_keys and cfg.sort and skeys is not None:
+            out["sort_keys"] = skeys
     return out
 
 
@@ -617,10 +626,12 @@ def _execute_join(seg, plan, cfg: ExecConfig, cstats, scheme):
         out["aggs"] = compute_aggs(seg, cfg.with_aggs, d_cand, eligible,
                                    sums, plan)
     if not cfg.count_only:
-        docids, scores, _ = _rank_and_topk(cfg, seg, d, sums, eligible,
-                                           rows_sorted=False, plan=plan)
+        docids, scores, skeys = _rank_and_topk(cfg, seg, d, sums, eligible,
+                                               rows_sorted=False, plan=plan)
         out["docids"] = docids
         out["scores"] = scores
+        if cfg.emit_sort_keys and cfg.sort and skeys is not None:
+            out["sort_keys"] = skeys
     return out
 
 
@@ -691,8 +702,8 @@ def _execute_dense(seg, plan, cfg: ExecConfig, cstats, scheme):
     if not cfg.count_only:
         dense_cfg = cfg if cfg.unweighted or cfg.sort else \
             ExecConfig(**{**cfg.__dict__, "unweighted": True})
-        docids, sc, _ = _rank_and_topk(dense_cfg, seg, d, scores, match,
-                                       plan=plan)
+        docids, sc, skeys = _rank_and_topk(dense_cfg, seg, d, scores, match,
+                                           plan=plan)
         out["docids"] = docids
         out["scores"] = sc
     return out

@@ -172,6 +172,10 @@ def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
             "present": shard_arr([c.present for c in cols], 1),
             "cats": shard_arr([c.cats for c in cols], 1),
         }
+        if any(c.fval2 is not None for c in cols):
+            out["values"][slot]["fval2"] = shard_arr(
+                [c.fval2 if c.fval2 is not None
+                 else np.zeros_like(c.fval) for c in cols], 1)
     for slot in segments[0].geo:
         gs = [s.geo[slot] for s in segments]
         out["geo"][slot] = {
@@ -351,16 +355,27 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
             gdoc = out["docids"] * n_shards + my_shard
             invalid = jnp.isinf(out["scores"]) & (out["scores"] < 0)
             gdoc = jnp.where(invalid, jnp.int32(2**31 - 1), gdoc)
-            # merge over ICI: gather all shards' top-k, re-top-k
+            all_docs = jax.lax.all_gather(gdoc, "shard", axis=1, tiled=True)
             all_scores = jax.lax.all_gather(out["scores"], "shard", axis=1,
                                             tiled=True)     # [Ql, S*k]
-            all_docs = jax.lax.all_gather(gdoc, "shard", axis=1, tiled=True)
-            # merge_mset: score desc, ties by ascending GLOBAL docid
-            # (reference docid_order ASCENDING, handler.cc:1168)
-            neg, docs_sorted = jax.lax.sort((-all_scores, all_docs),
-                                            num_keys=2, dimension=1)
-            top_scores = -neg[:, : cfg.k]
-            top_docs = docs_sorted[:, : cfg.k]
+            if cfg.sort and "sort_keys" in out:
+                # value-ordered merge: per-shard top-ks are already in key
+                # order; re-sort the gathered union by the same keys with
+                # the GLOBAL docid tiebreak (merge_mset with a KeyMaker)
+                gkeys = [jax.lax.all_gather(kk, "shard", axis=1, tiled=True)
+                         for kk in out["sort_keys"]]
+                order = jax.lax.sort(
+                    tuple(gkeys) + (all_docs, all_scores),
+                    num_keys=len(gkeys) + 1, dimension=1)
+                top_docs = order[-2][:, : cfg.k]
+                top_scores = order[-1][:, : cfg.k]
+            else:
+                # merge_mset: score desc, ties by ascending GLOBAL docid
+                # (reference docid_order ASCENDING, handler.cc:1168)
+                neg, docs_sorted = jax.lax.sort((-all_scores, all_docs),
+                                                num_keys=2, dimension=1)
+                top_scores = -neg[:, : cfg.k]
+                top_docs = docs_sorted[:, : cfg.k]
             count = jax.lax.psum(out["count"], "shard")
             return top_docs, top_scores, count, agg_packed
 
@@ -451,7 +466,8 @@ class ShardedIndex:
     # -- search ----------------------------------------------------------------
 
     def search_batch(self, queries: list, k: int = 10,
-                     aggs: Optional[dict] = None) -> list[dict]:
+                     aggs: Optional[dict] = None,
+                     sort=None) -> list[dict]:
         """Relevance-ordered batch search; all queries must share one plan
         shape (same signature) - callers bucket them (SURVEY §7).
 
@@ -479,6 +495,17 @@ class ShardedIndex:
                     f"batch path (supported: {MESH_AGG_KINDS})")
             agg_arrays = arrs
 
+        sort_t = ()
+        if sort:
+            from xapiand_tpu.query.dsl import parse_sort
+
+            sort_t = sort if isinstance(sort, tuple) \
+                else parse_sort(self.schema, sort)
+            if any(s[0] == "strmetric" for s in sort_t):
+                raise ValueError("string-metric sort keys need per-shard "
+                                 "category tables; not supported on the "
+                                 "mesh batch path")
+
         dsl = QueryDSL(self.schema)
         stats = self.stats()
         irs = [resolve_special(q if isinstance(q, Q) else dsl.parse(q),
@@ -505,10 +532,14 @@ class ShardedIndex:
             per_shard = [bind(cq, seg, self.scheme, stats,
                               global_tf=self.global_termfreq, k=k,
                               global_cf=self.global_collfreq,
-                              aggs=agg_specs)
+                              aggs=agg_specs, sort=sort_t)
                          for seg in self.segments]
             bounds.append(per_shard)
         cfg = unify_cfgs([b.cfg for per in bounds for b in per], k=k)
+        if sort_t:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, emit_sort_keys=True)
         T, L = cfg.T, cfg.L
         S = self.n_shards
         offsets = np.zeros((q_pad, S, T), np.int32)
@@ -534,15 +565,21 @@ class ShardedIndex:
             if n_filters:
                 fparams[qi] = b0["fparams"]
 
-        agg_digest = tuple(sorted(
-            (kk, i, vv[i].tobytes()) for kk, vv in agg_arrays.items()
-            for i in vv)) if agg_arrays else ()
-        key = (cfg, self.scheme.key(), agg_digest)
+        shared_plan = dict(agg_arrays)
+        st = bounds[0][0].arrays.get("sort_targets")
+        if st is not None:
+            shared_plan["sort_targets"] = st
+        import jax.tree_util as _tu
+
+        digest = tuple(
+            np.asarray(leaf).tobytes()
+            for leaf in _tu.tree_leaves(shared_plan)) if shared_plan else ()
+        key = (cfg, self.scheme.key(), digest)
         cached = self._step_cache.get(key)
         if cached is None:
             layout_holder: dict = {}
             step = make_sharded_step(cfg, self.scheme, self.mesh, S,
-                                     agg_arrays=agg_arrays,
+                                     agg_arrays=shared_plan,
                                      layout_out=layout_holder)
             cached = (step, layout_holder)
             self._step_cache[key] = cached
@@ -599,5 +636,6 @@ class ShardedIndex:
             results.append(out_q)
         return results
 
-    def search(self, query, k: int = 10, aggs: Optional[dict] = None) -> dict:
-        return self.search_batch([query], k=k, aggs=aggs)[0]
+    def search(self, query, k: int = 10, aggs: Optional[dict] = None,
+               sort=None) -> dict:
+        return self.search_batch([query], k=k, aggs=aggs, sort=sort)[0]
