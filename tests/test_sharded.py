@@ -139,3 +139,25 @@ def test_mesh_value_sort_merge(eight_devices):
     got = [prices[h["id"]] for h in out["hits"]]
     want = sorted(prices.values(), key=lambda p: abs(p - 5000))[:5]
     assert [abs(g - 5000) for g in got] == [abs(w - 5000) for w in want]
+
+
+def test_sharded_wal_persistence_and_delete(eight_devices, tmp_path):
+    """Per-shard WAL durability + delete bitmaps on the mesh."""
+    from xapiand_tpu.parallel.sharded import ShardedIndex
+
+    path = str(tmp_path / "mesh-idx")
+    idx = ShardedIndex(path=path)
+    for i in range(12):
+        idx.index_document({"body": "durable words here"}, doc_id=f"d{i}")
+    idx.commit()
+    assert idx.search({"body": "durable"}, k=20)["total"] == 12
+    idx.delete_document("d3")
+    assert idx.search({"body": "durable"}, k=20)["total"] == 11
+    idx.close()
+
+    # reopen: WAL replay restores docs AND the delete
+    idx2 = ShardedIndex(path=path)
+    out = idx2.search({"body": "durable"}, k=20)
+    assert out["total"] == 11
+    assert "d3" not in {h["id"] for h in out["hits"]}
+    idx2.close()

@@ -411,7 +411,10 @@ class ShardedIndex:
     with the DatabaseHandler's routing + scatter-gather."""
 
     def __init__(self, n_shards: Optional[int] = None, mesh: Optional[Mesh] = None,
-                 scheme: str = "bm25", schema: Optional[Schema] = None):
+                 scheme: str = "bm25", schema: Optional[Schema] = None,
+                 path: Optional[str] = None):
+        import os
+
         from xapiand_tpu.parallel.mesh import make_mesh
 
         self.mesh = mesh or make_mesh()
@@ -424,25 +427,113 @@ class ShardedIndex:
         self._stacked = None
         self._step_cache: dict = {}
         self._docs: dict[str, dict] = {}
+        self._locate: dict[str, tuple[int, int]] = {}   # id -> (shard, did)
+        self._deleted_ids: set[str] = set()
+        self._wals = None
+        if path is not None:
+            from xapiand_tpu.index.wal import DatabaseWAL
+
+            self._wals = []
+            for i in range(self.n_shards):
+                d = os.path.join(path, f"shard_{i}", "wal")
+                os.makedirs(d, exist_ok=True)
+                self._wals.append(DatabaseWAL(d))
+            self._replay()
+
+    def _replay(self):
+        """Per-shard WAL replay on open (≙ DatabaseWAL::execute_line,
+        wal.cc:506; each shard keeps its own redo log)."""
+        from xapiand_tpu.index.wal import WalOp
+
+        any_ops = False
+        for wal in self._wals:
+            def apply(entry):
+                nonlocal any_ops
+                op = entry[0]
+                if op == WalOp.REPLACE_DOCUMENT:
+                    self.index_document(entry[2], doc_id=entry[1],
+                                        _log=False)
+                    any_ops = True
+                elif op == WalOp.DELETE_DOCUMENT:
+                    self.delete_document(entry[1], _log=False,
+                                         missing_ok=True)
+                    any_ops = True
+                elif op == WalOp.SET_SCHEMA:
+                    self.schema = Schema.from_dict(entry[1])
+
+            wal.replay(apply)
+        if any_ops:
+            self.commit(_log=False)
 
     # -- routing (fnv1ah64 % n, handler.cc:2004) -----------------------------
 
     def route(self, doc_id: str) -> int:
         return fnv1ah64("Q" + str(doc_id)) % self.n_shards
 
-    def index_document(self, obj: dict, doc_id: Optional[str] = None) -> str:
+    def index_document(self, obj: dict, doc_id: Optional[str] = None,
+                       _log: bool = True) -> str:
         idoc = self.schema.index(obj, doc_id)
         shard = self.route(idoc.doc_id)
+        if self._wals is not None and _log:
+            self._wals[shard].write_replace_document(idoc.doc_id, obj)
         self._builders[shard].add(idoc)
         self._docs[idoc.doc_id] = idoc.data
+        self._deleted_ids.discard(idoc.doc_id)
         return idoc.doc_id
 
-    def commit(self):
+    def delete_document(self, doc_id: str, missing_ok: bool = False,
+                        _log: bool = True) -> bool:
+        doc_id = str(doc_id)
+        known = doc_id in self._docs
+        if not known and not missing_ok:
+            raise KeyError(doc_id)
+        shard = self.route(doc_id)
+        if self._wals is not None and _log:
+            self._wals[shard].write_delete_document(doc_id)
+        self._deleted_ids.add(doc_id)
+        self._docs.pop(doc_id, None)
+        loc = self._locate.get(doc_id)
+        if loc is not None and self.segments:
+            si, did = loc
+            self.segments[si].deleted[did] = True
+            if self._stacked is not None:
+                # refresh only the delete bitmaps on device
+                self._stacked["deleted"] = jax.device_put(
+                    jnp.asarray(np.stack([s.deleted
+                                          for s in self.segments])),
+                    NamedSharding(self.mesh, P("shard", None)))
+        return known
+
+    def commit(self, _log: bool = True):
+        if self._wals is not None and _log:
+            for wal in self._wals:
+                if self.schema.mutated:
+                    wal.write_set_schema(self.schema.to_dict())
+                wal.write_commit(fsync=True)
+            self.schema.mutated = False
         segs = [b.finalize() for b in self._builders]
+        # duplicates (re-added ids) and pre-commit deletes: last write wins
+        for si, seg in enumerate(segs):
+            last: dict = {}
+            for did, key in enumerate(seg.doc_keys):
+                last[key] = did
+            for did, key in enumerate(seg.doc_keys):
+                if last[key] != did or key in self._deleted_ids:
+                    seg.deleted[did] = True
         segs = pad_uniform(segs)
         self.segments = segs
+        self._locate = {}
+        for si, seg in enumerate(segs):
+            for did, key in enumerate(seg.doc_keys):
+                if not seg.deleted[did] and key in self._docs:
+                    self._locate[key] = (si, did)
         self._stacked = stack_segments(segs, self.mesh)
         self._step_cache.clear()
+
+    def close(self):
+        if self._wals is not None:
+            for wal in self._wals:
+                wal.close()
 
     # -- stats (global = the merged prepare_mset stats) -----------------------
 
