@@ -400,3 +400,17 @@ def test_blob_retrieval_by_accept(srv):
     # default Accept returns the JSON document
     status, out, _ = srv.req("GET", "/bl/1")
     assert out["name"] == "photo"
+
+
+def test_document_info(srv):
+    srv.req("PUT", "/di/1", {"title": "quick brown fox", "price": 42})
+    srv.req("POST", "/di/:commit")
+    status, out, _ = srv.req("GET", "/di/1/:info")
+    assert status == 200
+    assert out["_id"] == "1" and out["_version"] == 1
+    words = [t for t in out["terms"] if t.endswith("quick")]
+    assert words, out["terms"]
+    assert any(v == 42 for v in out["values"].values())
+    # index info still works
+    status, out, _ = srv.req("GET", "/di/:info")
+    assert out["doc_count"] == 1

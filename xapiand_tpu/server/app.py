@@ -246,6 +246,11 @@ class RestServer:
         if cmd == "count":
             return await self._count(request, index, t0)
         if cmd == "info":
+            # document info when the path carries an id: /idx/doc/:info
+            # (info-api.md: termlist + values + version)
+            parts = index.split("/")
+            if len(parts) > 1 and self.man.exists("/".join(parts[:-1])):
+                return self._doc_info("/".join(parts[:-1]), parts[-1]), 200
             return self._info(index), 200
         if cmd == "schema":
             return self.man.get(index).schema.to_dict(), 200
@@ -430,6 +435,22 @@ class RestServer:
     def _info(self, index):
         db = self.man.get(index)
         return db.info()
+
+    def _doc_info(self, index, doc_id):
+        """Per-document termlist/values (≙ info_view document info,
+        http_client.cc:1791): re-derives the analysis of the stored doc."""
+        db = self.man.get(index)
+        doc = db.get_document(doc_id)
+        idoc = db.schema.index(dict(doc), str(doc_id))
+        terms = {}
+        for term, entry in sorted(idoc.terms.items()):
+            terms[term] = {"_wdf": entry.wdf}
+            if entry.positions:
+                terms[term]["_positions"] = sorted(entry.positions)
+        values = {str(slot): (v[0] if len(v) == 1 else v)
+                  for slot, v in sorted(idoc.values.items())}
+        return {"_id": doc_id, "_version": db.version_of(doc_id),
+                "terms": terms, "values": values}
 
     def _commit(self, index):
         db = self.man.get(index)
