@@ -190,3 +190,32 @@ def test_geo_bounds_and_centroid():
     gc = out["c"]["_geo_centroid"]
     assert gc["_latitude"] == pytest.approx(10.0)
     assert gc["_longitude"] == pytest.approx(40.0 / 3)
+
+
+def test_bucket_in_bucket_terms_terms(adb):
+    out = aggs_for(adb, {"by_fruit": {
+        "_terms": {"_field": "fruit"},
+        "_aggs": {
+            "total": {"_sum": {"_field": "balance"}},    # parent metric
+            "by_state": {"_terms": {"_field": "state"},  # nested bucket
+                         "_aggs": {"avg_b": {"_avg": {"_field":
+                                                      "balance"}}}}}}})
+    buckets = {b["_key"]: b for b in out["by_fruit"]}
+    apple = buckets["apple"]
+    assert apple["_doc_count"] == 3
+    assert apple["total"]["_sum"] == pytest.approx(600.0)
+    states = {c["_key"]: c for c in apple["by_state"]}
+    assert set(states) == {"WA", "OR", "CA"}
+    assert states["OR"]["_doc_count"] == 1
+    assert states["OR"]["avg_b"]["_avg"] == pytest.approx(300.0)
+
+
+def test_bucket_in_bucket_terms_histogram(adb):
+    out = aggs_for(adb, {"by_fruit": {
+        "_terms": {"_field": "fruit"},
+        "_aggs": {"bal_hist": {"_histogram": {"_field": "balance",
+                                              "_interval": 500}}}}})
+    apple = [b for b in out["by_fruit"] if b["_key"] == "apple"][0]
+    hist = {c["_key"]: c["_doc_count"] for c in apple["bal_hist"]}
+    assert hist == {0.0: 3}
+    # across segments too: index more docs in a second segment

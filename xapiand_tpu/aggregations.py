@@ -79,8 +79,12 @@ def _parse_interval(iv) -> tuple[float, str | None]:
         raise AggError(f"bad _interval {iv!r}")
 
 
+_NESTABLE = ("_terms", "_values", "_value", "_histogram", "_range")
+
+
 def _compile_subs(schema, sub_dsl: dict):
-    """Metric sub-aggregations of a bucket -> (names, spec tuple, metas)."""
+    """Metric sub-aggregations of a bucket -> (names, spec tuple, metas).
+    Nested bucket subs are split out by compile_for_segment."""
     names, specs, metas = [], [], []
     for name, body in (sub_dsl or {}).items():
         if not isinstance(body, dict) or len(body) != 1:
@@ -90,7 +94,7 @@ def _compile_subs(schema, sub_dsl: dict):
         if kind is None:
             raise AggError(
                 f"sub-aggregation {name!r}: only metric sub-aggregations "
-                f"are supported inside buckets (got {key!r})")
+                f"are supported at this nesting depth (got {key!r})")
         if kind in ("median", "mode"):
             raise AggError(f"{key} is not supported as a bucket "
                            "sub-aggregation")
@@ -101,6 +105,68 @@ def _compile_subs(schema, sub_dsl: dict):
         names.append(name)
         metas.append({"kind": kind})
     return names, tuple(specs), metas
+
+
+def _split_nested(sub_dsl: dict):
+    """Partition a bucket's _aggs into (metric subs, one nested bucket)."""
+    metric_dsl, nested = {}, None
+    for name, body in (sub_dsl or {}).items():
+        key = next(iter(body)) if isinstance(body, dict) and body else None
+        if key in _NESTABLE:
+            if nested is not None:
+                raise AggError("at most one nested bucket aggregation is "
+                               "supported per parent bucket")
+            nested = (name, key, body)
+        else:
+            metric_dsl[name] = body
+    return metric_dsl, nested
+
+
+def _bucket_code_desc(schema, segment, key, args, agg_params, agg_ranges,
+                      pkey):
+    """Describe a code-based bucketing for composite (nested) buckets:
+    -> (kind, slot, nbuckets, meta). Dynamic params registered under pkey.
+    """
+    slot = _slot_of(schema, args)
+    if key in ("_terms", "_values", "_value"):
+        col = segment.values.get(slot)
+        cat_names = (col.cat_names or []) if col is not None else []
+        nb = _cat_bucket(max(len(cat_names), 1))
+        return ("terms", slot, nb,
+                {"kind": "terms", "cat_names": list(cat_names),
+                 "size": int(args.get("_size", args.get("_limit", 10))),
+                 "min_doc_count": int(args.get("_min_doc_count", 1)),
+                 "keyed": bool(args.get("_keyed", False)), "sort": None,
+                 "sub_names": [], "sub_metas": []})
+    if key == "_histogram":
+        interval = float(args["_interval"])
+        shift = float(args.get("_shift", 0.0))
+        nb = int(args.get("_buckets", 64))
+        agg_params[pkey] = np.asarray([interval, shift], np.float32)
+        return ("histogram", slot, nb,
+                {"kind": "histogram", "interval": interval, "shift": shift,
+                 "nb": nb, "calendar": None, "dates": False,
+                 "min_doc_count": int(args.get("_min_doc_count", 1)),
+                 "sort": None, "keyed": bool(args.get("_keyed", False)),
+                 "sub_names": [], "sub_metas": []})
+    if key == "_range":
+        rs = args.get("_ranges")
+        if not rs:
+            raise AggError("_range needs _ranges")
+        bounds = np.zeros((len(rs), 2), np.float32)
+        labels = []
+        for j, r in enumerate(rs):
+            lo = float(r.get("_from", -math.inf))
+            hi = float(r.get("_to", math.inf))
+            bounds[j, 0], bounds[j, 1] = lo, hi
+            labels.append(r.get("_key", f"{lo}..{hi}"))
+        agg_ranges[pkey] = bounds
+        # nested ranges are code-based: a doc lands in its FIRST matching
+        # range (documented deviation; top-level ranges stay multi-match)
+        return ("range", slot, len(rs),
+                {"kind": "range", "labels": labels, "sort": None,
+                 "sub_names": [], "sub_metas": []})
+    raise AggError(f"bucket kind {key!r} cannot nest")
 
 
 def compile_for_segment(schema, segment, aggs_dsl: dict):
@@ -124,9 +190,43 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
         args = body[key]
         if sub_dsl and key in METRICS:
             raise AggError(f"metric aggregation {name!r} cannot hold _aggs")
+        nested = None
+        if sub_dsl and key in _NESTABLE:
+            metric_dsl, nested = _split_nested(sub_dsl)
+            if nested is not None:
+                sub_dsl = metric_dsl
         sub_names, sub_specs, sub_metas = _compile_subs(schema, sub_dsl) \
             if sub_dsl else ([], (), [])
         sort = args.get("_sort") if isinstance(args, dict) else None
+
+        if nested is not None:
+            # one level of bucket-in-bucket via composite codes
+            c_name, c_key, c_body = nested
+            c_args = c_body[c_key]
+            c_sub = c_body.get("_aggs", c_body.get("_aggregations"))
+            c_names, c_specs, c_metas = _compile_subs(schema, c_sub) \
+                if c_sub else ([], (), [])
+            pdesc = _bucket_code_desc(schema, segment, key, args,
+                                      agg_params, agg_ranges, f"{i}:p")
+            cdesc = _bucket_code_desc(schema, segment, c_key, c_args,
+                                      agg_params, agg_ranges, f"{i}:c")
+            if pdesc[2] * cdesc[2] > 4096:
+                raise AggError(f"nested aggregation {name!r}: composite "
+                               f"bucket count {pdesc[2] * cdesc[2]} > 4096")
+            specs.append(("nested",
+                          (pdesc[0], pdesc[1], pdesc[2], f"{i}:p"),
+                          (cdesc[0], cdesc[1], cdesc[2], f"{i}:c"),
+                          sub_specs, c_specs))
+            pm = pdesc[3]
+            pm["sort"] = sort
+            pm["sub_names"], pm["sub_metas"] = sub_names, sub_metas
+            cm = cdesc[3]
+            cm["sub_names"], cm["sub_metas"] = c_names, c_metas
+            meta.append({"kind": "nested", "pmeta": pm, "cmeta": cm,
+                         "child_name": c_name,
+                         "sub_names": sub_names, "sub_metas": sub_metas})
+            names.append(name)
+            continue
 
         if key in METRICS:
             kind = METRICS[key]
@@ -549,6 +649,9 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
                     bd.update(_shape_subs(meta, merged_subs, b))
                 buckets.append(bd)
             out[name] = buckets
+        elif kind == "nested":
+            out[name] = _shape_nested(i, meta, parts,
+                                      cat_names_per_segment)
         elif kind in ("filter", "missing"):
             n = sum(int(np.asarray(p["count"])) for p in parts)
             bd = {"_doc_count": n}
@@ -559,6 +662,88 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
                 bd.update(_shape_subs(meta, merged_subs, 0))
             out[name] = bd
     return out
+
+
+def _bucket_key(bmeta, b, names):
+    """Human key for code b of a code-based bucketing."""
+    k = bmeta["kind"]
+    if k == "terms":
+        return names[b] if b < len(names) else None
+    if k == "histogram":
+        return b * bmeta["interval"] + bmeta["shift"]
+    return bmeta["labels"][b]
+
+
+def _shape_nested(i, meta, parts, cat_names_per_segment):
+    """Shape one bucket-in-bucket aggregation: per-segment code spaces map
+    to keys first (terms codes are segment-local), then merge by key."""
+    pm, cm = meta["pmeta"], meta["cmeta"]
+    child_name = meta["child_name"]
+    acc: dict = {}
+    for seg_idx, p in enumerate(parts):
+        pnames = cat_names_per_segment[seg_idx].get((i, "p"), [])
+        cnames = cat_names_per_segment[seg_idx].get((i, "c"), [])
+        nb1 = len(np.asarray(p["pcounts"]))
+        counts = np.asarray(p["counts"])
+        nb2 = counts.shape[0] // nb1
+        counts = counts.reshape(nb1, nb2)
+        pcounts = np.asarray(p["pcounts"])
+        for b1 in range(nb1):
+            pk = _bucket_key(pm, b1, pnames)
+            if pk is None or (pcounts[b1] == 0 and counts[b1].sum() == 0):
+                continue
+            slot = acc.setdefault(pk, {"_doc_count": 0, "psubs": [],
+                                       "children": {}})
+            slot["_doc_count"] += int(pcounts[b1])
+            if "psubs" in p:
+                slot["psubs"].append(
+                    [{kk: np.asarray(vv)[b1: b1 + 1]
+                      for kk, vv in sm.items()} for sm in p["psubs"]])
+            for b2 in range(nb2):
+                if counts[b1, b2] == 0:
+                    continue
+                ck = _bucket_key(cm, b2, cnames)
+                if ck is None:
+                    continue
+                cslot = slot["children"].setdefault(
+                    ck, {"_doc_count": 0, "subs": []})
+                cslot["_doc_count"] += int(counts[b1, b2])
+                if "subs" in p:
+                    cidx = b1 * nb2 + b2
+                    cslot["subs"].append(
+                        [{kk: np.asarray(vv)[cidx: cidx + 1]
+                          for kk, vv in sm.items()} for sm in p["subs"]])
+    buckets = []
+    for pk in sorted(acc, key=lambda x: (str(type(x)), x)):
+        slot = acc[pk]
+        bd = {"_key": pk, "_doc_count": slot["_doc_count"]}
+        if meta.get("sub_names") and slot["psubs"]:
+            merged = [
+                _merge_sub_parts([seg[si] for seg in slot["psubs"]])
+                for si in range(len(meta["sub_names"]))]
+            bd.update(_shape_subs(meta, merged, 0))
+        children = []
+        for ck in sorted(slot["children"],
+                         key=lambda x: (str(type(x)), x)):
+            cslot = slot["children"][ck]
+            cb = {"_key": ck, "_doc_count": cslot["_doc_count"]}
+            if cm.get("sub_names") and cslot["subs"]:
+                merged = [
+                    _merge_sub_parts([seg[si] for seg in cslot["subs"]])
+                    for si in range(len(cm["sub_names"]))]
+                cb.update(_shape_subs(cm, merged, 0))
+            children.append(cb)
+        children.sort(key=lambda b: (-b["_doc_count"], str(b["_key"])))
+        bd[child_name] = children
+        buckets.append(bd)
+    key_fn, reverse = _bucket_sort_key(pm, None)
+    if key_fn is None:
+        buckets.sort(key=lambda b: (-b["_doc_count"], str(b["_key"])))
+    else:
+        buckets.sort(key=key_fn, reverse=reverse)
+    mdc = pm.get("min_doc_count", 1)
+    buckets = [b for b in buckets if b["_doc_count"] >= mdc]
+    return buckets[: pm.get("size", len(buckets))]
 
 
 def _calendar_rollup(meta, daily_counts, merged_subs):

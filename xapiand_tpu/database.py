@@ -507,10 +507,17 @@ class Database:
                 (agg_names, specs, arrays,
                  agg_meta) = aggs_mod.compile_for_segment(
                     self.schema, searcher.segment, aggs)
-                agg_cats.append({
-                    j: (searcher.segment.values[spec[1]].cat_names or [])
-                    for j, spec in enumerate(specs) if spec[0] == "terms"
-                    and spec[1] in searcher.segment.values})
+                cats_j: dict = {}
+                for j, spec in enumerate(specs):
+                    vals = searcher.segment.values
+                    if spec[0] == "terms" and spec[1] in vals:
+                        cats_j[j] = vals[spec[1]].cat_names or []
+                    elif spec[0] == "nested":
+                        for tag, d in (("p", spec[1]), ("c", spec[2])):
+                            if d[0] == "terms" and d[1] in vals:
+                                cats_j[(j, tag)] = \
+                                    vals[d[1]].cat_names or []
+                agg_cats.append(cats_j)
             bound = bind(cq, searcher.segment, scheme, stats,
                          global_tf=self.global_termfreq, k=want,
                          sort=sort, collapse_slot=collapse_slot,

@@ -76,6 +76,32 @@ def _sub_stats_single(seg, sub_specs, docids, m):
     return _sub_stats_bucketed(seg, sub_specs, docids, m[:, None])
 
 
+def _bucket_codes(seg, desc, plan, docids, mask):
+    """Code-based bucketing for composite (nested) buckets:
+    desc = (kind, slot, nb, params_key) -> (codes i32[rows], valid[rows])."""
+    kind, slot, nb, pkey = desc
+    col = seg["values"][slot]
+    d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+    if kind == "terms":
+        code = col["cats"][d] if "cats" in col else jnp.full_like(d, -1)
+        return jnp.clip(code, 0, nb - 1), mask & (code >= 0) & (code < nb)
+    if kind == "histogram":
+        v = col["fval"][d]
+        interval = plan["agg_params"][pkey][0]
+        shift = plan["agg_params"][pkey][1]
+        b = jnp.floor((v - shift) / interval).astype(jnp.int32)
+        valid = mask & col["present"][d] & (b >= 0) & (b < nb)
+        return jnp.clip(b, 0, nb - 1), valid
+    if kind == "range":
+        v = col["fval"][d]
+        bounds = plan["agg_ranges"][pkey]
+        inr = (v[:, None] >= bounds[None, :, 0]) \
+            & (v[:, None] < bounds[None, :, 1])
+        code = jnp.argmax(inr, axis=1).astype(jnp.int32)   # first match
+        return code, mask & col["present"][d] & jnp.any(inr, axis=1)
+    raise ValueError(f"unbucketable nested kind {kind!r}")
+
+
 def compute_aggs(seg, specs, docids, mask, scores, plan=None):
     from xapiand_tpu.ops.executor import lower_bound
 
@@ -100,6 +126,26 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             res = {"count": jnp.sum(m.astype(jnp.int32))}
             if sub_specs:
                 res["subs"] = _sub_stats_single(seg, sub_specs, docids, m)
+            out.append(res)
+            continue
+        if kind == "nested":
+            pdesc, cdesc = spec[1], spec[2]
+            psubs, csubs = spec[3], spec[4]
+            nb1, nb2 = pdesc[2], cdesc[2]
+            pcode, pvalid = _bucket_codes(seg, pdesc, plan, docids, mask)
+            ccode, cvalid = _bucket_codes(seg, cdesc, plan, docids, mask)
+            p_oh = (pcode[:, None] == jnp.arange(nb1)[None, :]) \
+                & pvalid[:, None]
+            res = {"pcounts": jnp.sum(p_oh.astype(jnp.int32), axis=0)}
+            if psubs:
+                res["psubs"] = _sub_stats_bucketed(seg, psubs, docids, p_oh)
+            comp = pcode * nb2 + ccode
+            valid = pvalid & cvalid
+            c_oh = (comp[:, None] == jnp.arange(nb1 * nb2)[None, :]) \
+                & valid[:, None]
+            res["counts"] = jnp.sum(c_oh.astype(jnp.int32), axis=0)
+            if csubs:
+                res["subs"] = _sub_stats_bucketed(seg, csubs, docids, c_oh)
             out.append(res)
             continue
         if kind == "missing":
