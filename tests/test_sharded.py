@@ -106,7 +106,31 @@ def test_mesh_aggregations_psum_merge(eight_devices):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         idx.search({"body": "widget"}, aggs={
-            "t": {"_terms": {"_field": "body"}}})
+            "p": {"_percentiles": {"_field": "price"}}})
+
+
+def test_mesh_terms_agg_global_categories(eight_devices):
+    """Terms buckets across shards: per-shard category codes remap to one
+    global table before the psum merge."""
+    from xapiand_tpu.parallel.sharded import ShardedIndex
+
+    idx = ShardedIndex()
+    cats = ["red", "green", "blue"]
+    want = {}
+    for i in range(30):
+        c = cats[i % 3]
+        want[c] = want.get(c, 0) + 1
+        idx.index_document({"body": "thing stuff", "color": c},
+                           doc_id=f"d{i}")
+    idx.commit()
+    out = idx.search({"body": "thing"}, k=5, aggs={
+        "colors": {"_terms": {"_field": "color"},
+                   "_aggs": {"n": {"_count": {}}}}})
+    got = {b["_key"]: b["_doc_count"] for b in
+           out["aggregations"]["colors"]}
+    assert got == want
+    for b in out["aggregations"]["colors"]:
+        assert b["n"]["_count"] == b["_doc_count"]
 
 
 def test_mesh_value_sort_merge(eight_devices):

@@ -199,7 +199,13 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             col = seg["values"][slot]
             d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             codes = col["cats"][d]
-            m = mask & (codes >= 0)
+            remap = (plan or {}).get("cat_remap", {}).get(i)
+            if remap is not None:
+                # mesh path: local category codes -> global table
+                codes = jnp.where(
+                    codes >= 0,
+                    remap[jnp.clip(codes, 0, remap.shape[0] - 1)], -1)
+            m = mask & (codes >= 0) & (codes < ncats)
             in_bucket = (codes[:, None] == jnp.arange(ncats)[None, :]) \
                 & m[:, None]
             counts = jnp.sum(in_bucket.astype(jnp.int32), axis=0)

@@ -195,7 +195,8 @@ def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
 
 MESH_AGG_KINDS = ("count", "sum", "avg", "min", "max", "variance",
                   "std_deviation", "stats", "extended_stats", "histogram",
-                  "range", "geodist_range", "missing", "geo_stats")
+                  "range", "geodist_range", "missing", "geo_stats",
+                  "terms", "cardinality")
 
 _MIN_KEYS = ("min", "minlat", "minlon")
 _MAX_KEYS = ("max", "maxlat", "maxlon")
@@ -302,7 +303,8 @@ def unpack_agg_parts(layout, packed_np):
 # ---------------------------------------------------------------------------
 
 def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
-                      agg_arrays=None, layout_out: dict | None = None):
+                      agg_arrays=None, layout_out: dict | None = None,
+                      cat_remaps=None):
     """jit-compiled shard_map'd batch search step.
 
     plan arrays: offsets/lens [Q, S, T] (P('dp','shard',None)); tconst/
@@ -316,6 +318,7 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
     from jax import shard_map
 
     agg_arrays = agg_arrays or {}
+    cat_remaps = cat_remaps or {}
 
     def step(seg, offsets, lens, tconst, scoring, group_bits, stats,
              fparams, syn_tconst):
@@ -323,6 +326,11 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
                       bits_blk, stats_blk, fp_blk, syn_blk):
             seg1 = jax.tree.map(lambda a: a[0], seg_blk)
             my_shard = jax.lax.axis_index("shard")
+            # per-shard local->global category remap rows (closed-over
+            # constants; the step cache clears on commit so they never
+            # go stale)
+            remap_sh = {j: jnp.asarray(r)[my_shard]
+                        for j, r in cat_remaps.items()}
 
             def one_query(off, ln, tc, sc, gb, fp, syn):
                 plan = {"offsets": off[0], "lens": ln[0], "tconst": tc,
@@ -331,6 +339,8 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
                     plan["fparams"] = fp
                 if cfg.syn_groups:
                     plan["syn_tconst"] = syn
+                if remap_sh:
+                    plan["cat_remap"] = remap_sh
                 for kk, vv in agg_arrays.items():
                     plan[kk] = jax.tree.map(jnp.asarray, vv)
                 return execute(seg1, plan, cfg, stats_blk, scheme)
@@ -585,6 +595,43 @@ class ShardedIndex:
                     f"aggregations {bad} are not supported on the mesh "
                     f"batch path (supported: {MESH_AGG_KINDS})")
             agg_arrays = arrs
+            # terms buckets: unify per-shard category code spaces into one
+            # global table; each shard carries a local->global remap array
+            agg_specs = list(agg_specs)
+            self._mesh_cat_remaps = {}
+            self._mesh_cat_names = {}
+            from xapiand_tpu.aggregations import _cat_bucket
+
+            for j, spec in enumerate(agg_specs):
+                if spec[0] != "terms":
+                    continue
+                slot = spec[1]
+                global_names: list = []
+                gcode = {}
+                local_tabs = []
+                nbl = 16
+                for seg in self.segments:
+                    col = seg.values.get(slot)
+                    names_l = (col.cat_names or []) if col is not None \
+                        else []
+                    tab = []
+                    for nm in names_l:
+                        if nm not in gcode:
+                            gcode[nm] = len(global_names)
+                            global_names.append(nm)
+                        tab.append(gcode[nm])
+                    local_tabs.append(tab)
+                    while nbl < len(names_l):
+                        nbl *= 2
+                nbg = _cat_bucket(max(len(global_names), 1))
+                remap = np.full((self.n_shards, nbl), -1, np.int32)
+                for si, tab in enumerate(local_tabs):
+                    remap[si, : len(tab)] = tab
+                self._mesh_cat_remaps[j] = remap
+                self._mesh_cat_names[j] = global_names
+                agg_specs[j] = ("terms", slot, nbg, spec[3])
+                agg_metas[j]["cat_names"] = global_names
+            agg_specs = tuple(agg_specs)
 
         sort_t = ()
         if sort:
@@ -662,16 +709,19 @@ class ShardedIndex:
             shared_plan["sort_targets"] = st
         import jax.tree_util as _tu
 
+        remaps = getattr(self, "_mesh_cat_remaps", {}) if aggs else {}
         digest = tuple(
             np.asarray(leaf).tobytes()
-            for leaf in _tu.tree_leaves(shared_plan)) if shared_plan else ()
+            for leaf in _tu.tree_leaves((shared_plan, remaps))) \
+            if (shared_plan or remaps) else ()
         key = (cfg, self.scheme.key(), digest)
         cached = self._step_cache.get(key)
         if cached is None:
             layout_holder: dict = {}
             step = make_sharded_step(cfg, self.scheme, self.mesh, S,
                                      agg_arrays=shared_plan,
-                                     layout_out=layout_holder)
+                                     layout_out=layout_holder,
+                                     cat_remaps=remaps)
             cached = (step, layout_holder)
             self._step_cache[key] = cached
         step, layout_holder = cached
@@ -701,9 +751,10 @@ class ShardedIndex:
                          "min": np.asarray(agg_packed[1])[:nq],
                          "max": np.asarray(agg_packed[2])[:nq]}
             per_query = unpack_agg_parts(layout_holder["layout"], packed_np)
+            mesh_cats = [getattr(self, "_mesh_cat_names", {})]
             per_query_aggs = [
                 aggs_mod.merge_and_shape(agg_names, agg_metas,
-                                         [per_query(qi)], [{}])
+                                         [per_query(qi)], mesh_cats)
                 for qi in range(nq)]
 
         results = []
