@@ -219,3 +219,22 @@ def test_bucket_in_bucket_terms_histogram(adb):
     hist = {c["_key"]: c["_doc_count"] for c in apple["bal_hist"]}
     assert hist == {0.0: 3}
     # across segments too: index more docs in a second segment
+
+
+def test_scripted_metric(adb):
+    out = aggs_for(adb, {"rich": {"_scripted_metric": {
+        "_init": {"total": 0, "n": 0},
+        "_map": "state['total'] += doc.get('balance', 0)\n"
+                "state['n'] += 1",
+        "_reduce": "result = state['total'] / state['n']"}}},
+        query={"fruit": "apple"})
+    assert out["rich"]["_value"] == pytest.approx(200.0)
+    # scalar state via reassignment
+    out = aggs_for(adb, {"cnt": {"_scripted_metric": {
+        "_init": 0, "_map": "state = state + 1"}}})
+    assert out["cnt"]["_value"] == 6
+    # mixes with device aggs
+    out = aggs_for(adb, {"cnt": {"_scripted_metric": {
+        "_init": 0, "_map": "state = state + 1"}},
+        "mx": {"_max": {"_field": "balance"}}})
+    assert out["cnt"]["_value"] == 6 and out["mx"]["_max"] == 999.0

@@ -486,6 +486,14 @@ class Database:
         elif isinstance(scheme, str):
             scheme = get_scheme(scheme)
 
+        scripted = None
+        if aggs and any(isinstance(b, dict) and "_scripted_metric" in b
+                        for b in aggs.values()):
+            scripted = {n: b for n, b in aggs.items()
+                        if isinstance(b, dict) and "_scripted_metric" in b}
+            aggs = {n: b for n, b in aggs.items() if n not in scripted} \
+                or None
+
         ir = query if isinstance(query, Q) else \
             QueryDSL(self.schema, term_expander=self.expand_prefix).parse(query)
         stats = self.stats()
@@ -542,6 +550,9 @@ class Database:
         if aggs and agg_parts:
             result.aggregations = aggs_mod.merge_and_shape(
                 agg_names, agg_meta, agg_parts, agg_cats)
+        if scripted:
+            shaped = self._scripted_metrics(ir, scripted, stats)
+            result.aggregations = {**(result.aggregations or {}), **shaped}
         if count_only:
             return result
         if sort:
@@ -614,6 +625,48 @@ class Database:
 
     def count(self, query: Any) -> int:
         return self.search(query, count_only=True).total
+
+    SCRIPTED_METRIC_CAP = 4096
+
+    def _scripted_metrics(self, ir, specs: dict, stats) -> dict:
+        """_scripted_metric (declared-but-disabled in the reference,
+        aggregations.cc:118-207): run a sandboxed script per matched
+        document on the coordinator, folding into `state`.
+
+        Shape: {"_scripted_metric": {"_init": <literal>, "_map": "src",
+        "_reduce": "src"?}}; _map sees `state` and `doc`, _reduce sees
+        `state`. Bounded to SCRIPTED_METRIC_CAP matched docs."""
+        import copy as _copy
+
+        from xapiand_tpu.aggregations import AggError
+        from xapiand_tpu.utils.scripting import compile_script
+
+        matched = self.search(ir, k=self.SCRIPTED_METRIC_CAP,
+                              scheme="bool")
+        if matched.total > self.SCRIPTED_METRIC_CAP:
+            raise AggError(
+                f"_scripted_metric is bounded to "
+                f"{self.SCRIPTED_METRIC_CAP} matched documents "
+                f"(query matches {matched.total})")
+        docs = [self.get_document(h.id) for h in matched.hits]
+        out = {}
+        for name, body in specs.items():
+            args = body["_scripted_metric"]
+            map_src = args.get("_map")
+            if not map_src:
+                raise AggError(f"_scripted_metric {name!r} needs _map")
+            mapper = compile_script(str(map_src))
+            reducer = compile_script(str(args["_reduce"])) \
+                if args.get("_reduce") else None
+            state = _copy.deepcopy(args.get("_init", {}))
+            for doc in docs:
+                env = mapper.run_env({"state": state, "doc": dict(doc)})
+                state = env.get("state", state)
+            if reducer is not None:
+                env = reducer.run_env({"state": state})
+                state = env.get("result", env.get("state", state))
+            out[name] = {"_value": state}
+        return out
 
     # -- similar-document search (≙ xapian/expand ESet + OP_ELITE_SET requery,
     #    handler.cc:1273-1278 get_eset -> requery) ---------------------------

@@ -90,6 +90,12 @@ class Script:
         self.code = compile(self.tree, "<script>", "exec")
 
     def run(self, doc: dict, old: dict | None = None) -> dict:
+        self.run_env({"doc": doc, "old": dict(old or {})})
+        return doc
+
+    def run_env(self, variables: dict) -> dict:
+        """Execute with the given variables in scope; returns the final
+        environment (used by _script writes and _scripted_metric aggs)."""
         steps = [0]
 
         def tick(frame=None, event=None, arg=None):
@@ -98,8 +104,7 @@ class Script:
                 raise ScriptTimeout("script exceeded step budget")
             return tick
 
-        env = {"__builtins__": {}, **_ALLOWED_BUILTINS,
-               "doc": doc, "old": dict(old or {})}
+        env = {"__builtins__": {}, **_ALLOWED_BUILTINS, **variables}
         import sys
 
         old_trace = sys.gettrace()
@@ -112,4 +117,4 @@ class Script:
             raise ScriptError(f"script failed: {e}") from None
         finally:
             sys.settrace(old_trace)
-        return doc
+        return env
