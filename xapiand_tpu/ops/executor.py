@@ -1,31 +1,36 @@
-"""The match executor: candidate generation, join, predicate, rank, top-k.
+"""The match executor: candidate generation, merge, predicate, rank, top-k.
 
 Replaces the reference's matcher hot loop (src/xapian/matcher/matcher.cc:
 482-536 - postlist tree next()/get_weight()/ProtoMSet heap) with a fully
-vectorised, *sort-free* pipeline:
+vectorised pipeline built on the primitives TPUs are actually fast at
+(contiguous slices, sorts, scans, elementwise math - NOT gathers):
 
-  1. gather each query term's posting span with its own static size class
+  1. slice each query term's posting span with its own static size class
      (lax.dynamic_slice; per-term classes avoid padding every term to the
      longest - the dominant cost of a naive formulation);
-  2. searchsorted-join: every posting row looks up its docid in every other
-     term's (sorted) span with a branchless binary search -> per-row total
-     score, term-match bitmask, and first-occurrence flag (dedup);
-  3. boolean tree evaluated bitwise over the masks (vectorised - replaces
+  2. score each posting with the weight scheme's sumpart on the VPU;
+  3. one global docid sort over the concatenated rows + a bounded-run
+     segmented merge (runs <= term count, so T-1 shifted adds replace a
+     scan) -> per-doc score sums, term-match bitmasks, run-head flags;
+  4. boolean tree evaluated bitwise over the masks (vectorised - replaces
      the AND/OR/NOT postlist iterator operators);
-  4. rank: lax.top_k over row scores + a tiny exact re-sort of the top
-     candidates for the score-desc/docid-asc tie order, or a full multi-key
-     lax.sort for value ordering / collapse / unweighted queries.
+  5. rank: lax.top_k (rows are docid-ascending, so ties break exactly) or
+     a full multi-key lax.sort for value ordering / collapse / unweighted.
+
+Measured design notes (TPU v5e): a searchsorted-join formulation
+(_execute_join below, cfg.join) avoids the sort but its binary-search
+rounds are serialized gathers - 8.5x slower end-to-end; a hand bitonic
+merge network was no faster than lax.sort (sub-128-lane compare-exchange
+stages dominate both). The sort path wins; keep its WIDTH small instead
+(per-term size classes, caller-side query shape grouping).
 
 Exactness guarantees:
-- the candidate set is the union of all gathered posting spans - every
+- the candidate set is the union of all sliced posting spans - every
   potentially matching doc is enumerated (no pruning approximations);
 - per-doc score = sum of weight-scheme sumparts of its matching scoring
   terms (OP_AND/OR/AND_MAYBE semantics fall out of the predicate mask);
 - ties break by ascending docid, matching the reference's docid-order
-  ASCENDING default (src/database/handler.cc:1168). With relevance
-  ranking the tie-refinement window is CAND_MARGIN*k rows; tie groups
-  larger than that fall back to the exact full-sort path only for
-  unweighted (bool) schemes where everything ties.
+  ASCENDING default (src/database/handler.cc:1168).
 """
 
 from __future__ import annotations
