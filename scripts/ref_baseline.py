@@ -81,12 +81,12 @@ def main():
             docs_tokens[int(d)].extend([term] * int(w))
 
     data_dir = tempfile.mkdtemp(prefix="xapiand-ref-")
-    cmd = [args.binary, "--verbosity", "1",
-           "--database", data_dir,
+    cmd = [args.binary, "-D", data_dir,
            "--port", str(args.port),
-           "--num-http-servers", "1",
-           "--num-http-clients", "1",
-           "--solo", "--foreground"]
+           "--http-servers", "1",
+           "--http-clients", "2",
+           "--uid", "root", "--gid", "root",
+           "--solo"]
     if args.pin_core is not None and shutil.which("taskset"):
         cmd = ["taskset", "-c", str(args.pin_core)] + cmd
     print("[ref] starting:", " ".join(cmd), file=sys.stderr)
