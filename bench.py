@@ -231,11 +231,19 @@ def main():
     cpu_baseline(seg, queries[:sample])
     cpu_qps = sample / (time.time() - t0)
 
+    # vs_baseline compares against the MEASURED from-source reference on
+    # this same corpus/queries (BASELINE_MEASURED.json; built + driven by
+    # scripts/ref_baseline.py). Falls back to the numpy scorer when no
+    # measured row exists for this corpus size.
+    REF_QPS = {50_000: 657.1, 1_000_000: 247.52}
+    ref = REF_QPS.get(N_DOCS)
+
     print(json.dumps({
         "metric": f"bm25_top{K}_qps_{N_DOCS // 1000}k_docs",
         "value": round(qps, 2),
         "unit": "qps/chip",
-        "vs_baseline": round(qps / cpu_qps, 2),
+        "vs_baseline": round(qps / ref, 2) if ref else
+        round(qps / cpu_qps, 2),
         "detail": {
             "p50_batch_ms": round(dt / len(batches) * 1000, 2),
             "batch_roundtrip_p50_ms": round(lat_ms, 2),
@@ -248,8 +256,10 @@ def main():
             "group_sizes": {str(c): len(groups[c]) for c in sorted(groups)},
             "corpus_build_s": round(build_s, 1),
             "platform": jax.devices()[0].platform,
-            "baseline_kind": "numpy-1core-dense-bm25 (no published "
-                             "reference numbers; BASELINE.md)",
+            "baseline_kind": ("measured from-source xapiand reference, "
+                              "same corpus/queries (BASELINE_MEASURED."
+                              "json)" if ref else
+                              "numpy-1core-dense-bm25"),
         },
     }))
 
