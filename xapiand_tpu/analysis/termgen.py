@@ -14,6 +14,8 @@ Reference parity target: Xapian::TermGenerator
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from xapiand_tpu.analysis.stem import Stem
@@ -30,6 +32,9 @@ STOP_ALL = "all"
 STOP_STEMMED = "stemmed"
 
 MAX_TERM_LENGTH = 245  # bytes; longer words are dropped (glass key limit)
+
+
+_HAS_DIGIT = re.compile(r"\d").search
 
 
 class _Tok:
@@ -50,6 +55,20 @@ def _tokens(text: str, cjk_ngram: bool):
             if toks is not None:
                 return [_Tok(t, p) for t, p in toks]
     return tokenize(text, cjk_ngram=cjk_ngram)
+
+
+def _token_pairs(text: str, cjk_ngram: bool):
+    """(word, position) pairs - avoids 300k+ _Tok allocations per bulk
+    batch on the native path."""
+    if text.isascii():
+        from xapiand_tpu.native import lib
+
+        if lib is not None:
+            toks = lib.tokenize_ascii(text)
+            if toks is not None:
+                return toks
+    return [(t.text, t.position)
+            for t in tokenize(text, cjk_ngram=cjk_ngram)]
 
 
 @dataclass
@@ -97,36 +116,58 @@ class TermGenerator:
         self.position = 0  # running position across index_text calls
 
     def _stemmable(self, word: str) -> bool:
-        return not any(c.isdigit() for c in word)
+        return _HAS_DIGIT(word) is None
 
     def index_text(self, doc: DocumentTerms, text: str, wdf_inc: int = 1,
-                   prefix: str = "", with_positions: bool = True) -> None:
+                   prefix: str = "", with_positions: bool = True,
+                   prefixes: tuple | None = None) -> None:
+        """Tokenise once, emit under every prefix in `prefixes` (the field
+        prefix and the unprefixed global namespace share one token stream -
+        one tokenise+stem pass instead of two; both namespaces see the same
+        term positions)."""
+        if prefixes is None:
+            prefixes = (prefix,)
         base = self.position
         last_pos = -1
-        for tok in _tokens(text, self.cjk_ngram):
-            word = tok.text
-            if not word or len(word.encode("utf-8")) > MAX_TERM_LENGTH:
+        add = doc.add
+        stopwords = self.stopwords
+        strategy = self.stem_strategy
+        stop_strategy = self.stop_strategy
+        stem = self.stem
+        for word, tpos in _token_pairs(text, self.cjk_ngram):
+            # bytes-length guard: only words > 61 chars can possibly exceed
+            # 245 UTF-8 bytes (4 bytes/char max) - skip the encode otherwise
+            if not word or (len(word) > 61 and
+                            len(word.encode("utf-8")) > MAX_TERM_LENGTH):
                 continue
-            pos = base + tok.position
-            last_pos = max(last_pos, tok.position)
-            is_stop = word in self.stopwords
-            if is_stop and self.stop_strategy == STOP_ALL:
+            pos = base + tpos
+            if tpos > last_pos:
+                last_pos = tpos
+            is_stop = word in stopwords
+            if is_stop and stop_strategy == STOP_ALL:
                 continue
-            strategy = self.stem_strategy
-            if strategy == STEM_NONE or not self._stemmable(word):
-                doc.add(prefix + word, wdf_inc,
+            if strategy == STEM_NONE or _HAS_DIGIT(word) is not None:
+                for pfx in prefixes:
+                    add(pfx + word, wdf_inc,
                         pos if with_positions else None)
                 continue
             if strategy == STEM_SOME:
-                doc.add(prefix + word, wdf_inc,
+                zstem = None
+                if not (is_stop and stop_strategy == STOP_STEMMED):
+                    zstem = stem(word)
+                for pfx in prefixes:
+                    add(pfx + word, wdf_inc,
                         pos if with_positions else None)
-                if not (is_stop and self.stop_strategy == STOP_STEMMED):
-                    doc.add("Z" + prefix + self.stem(word), wdf_inc, None)
+                    if zstem is not None:
+                        add("Z" + pfx + zstem, wdf_inc, None)
             elif strategy == STEM_ALL:
-                doc.add(prefix + self.stem(word), wdf_inc,
-                        pos if with_positions else None)
+                w = stem(word)
+                for pfx in prefixes:
+                    add(pfx + w, wdf_inc, pos if with_positions else None)
             elif strategy == STEM_ALL_Z:
-                doc.add("Z" + prefix + self.stem(word), wdf_inc,
+                w = stem(word)
+                for pfx in prefixes:
+                    add("Z" + pfx + w, wdf_inc,
                         pos if with_positions else None)
         # advance running position past this block (+100 gap between fields,
         # Xapian's increase_termpos default behaviour at field boundaries)

@@ -43,8 +43,11 @@ class BulkIndexer:
         self.commit = commit
         self.counters = BulkCounters()
         workers = n_workers or min(8, (os.cpu_count() or 2))
-        self._pool = ThreadPoolExecutor(max_workers=workers,
-                                        thread_name_prefix="doc_preparer")
+        # single-core hosts: a thread pool only adds scheduling overhead
+        # (analysis is mostly GIL-bound there); prepare lazily at wait()
+        self._pool = ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix="doc_preparer") \
+            if workers > 1 else None
         self._futures: list = []
 
     def prepare(self, obj: dict, doc_id=None) -> None:
@@ -54,8 +57,9 @@ class BulkIndexer:
             doc_id = obj.get("_id")
         if isinstance(obj, dict):
             obj = {k: v for k, v in obj.items() if k != "_id"}
-        self._futures.append(
-            (doc_id, obj, self._pool.submit(self._prepare_one, obj, doc_id)))
+        fut = self._pool.submit(self._prepare_one, obj, doc_id) \
+            if self._pool is not None else None
+        self._futures.append((doc_id, obj, fut))
 
     def _prepare_one(self, obj, doc_id):
         idoc = self.db.schema.index(obj, doc_id)
@@ -70,7 +74,8 @@ class BulkIndexer:
             for doc_id, obj, fut in self._futures:
                 self.counters.processed += 1
                 try:
-                    idoc = fut.result()
+                    idoc = fut.result() if fut is not None \
+                        else self._prepare_one(obj, doc_id)
                     did = idoc.doc_id
                     if self.db.wal is not None and not self.db._replaying:
                         self.db.wal.write_replace_document(did, obj)
@@ -85,7 +90,8 @@ class BulkIndexer:
                     self.counters.items.append(
                         {"_id": doc_id, "#error": str(exc)})
         finally:
-            self._pool.shutdown(wait=False)
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
             self._futures = []
         if self.commit:
             self.db.commit()

@@ -92,8 +92,9 @@ class SegmentBuilder:
         for tid, term in enumerate(terms):
             plist = self._postings[term]  # already docid-ascending
             L = len(plist)
-            ids = np.fromiter((d for d, _ in plist), dtype=np.int32, count=L)
-            wdfs = np.fromiter((w for _, w in plist), dtype=np.float32, count=L)
+            pairs = np.asarray(plist, dtype=np.float64).reshape(L, 2)
+            ids = pairs[:, 0].astype(np.int32)
+            wdfs = pairs[:, 1].astype(np.float32)
             post_docids[off:off + L] = ids
             post_wdf[off:off + L] = wdfs
             for k, (docid, _) in enumerate(plist):

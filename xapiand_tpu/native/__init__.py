@@ -70,6 +70,9 @@ class NativeLib:
             return None
         cap = len(raw) + 8
         buf = ctypes.create_string_buffer(cap)
+        # a token needs >=1 char + a separator: size the span buffer to the
+        # input instead of a fixed 512KB allocation per call
+        max_tokens = min(max_tokens, len(raw) // 2 + 2)
         spans = (ctypes.c_int32 * (2 * max_tokens))()
         n = self._c.xt_tokenize_ascii(raw, len(raw), buf, cap, spans,
                                       max_tokens)
