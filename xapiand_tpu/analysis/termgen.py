@@ -37,26 +37,6 @@ MAX_TERM_LENGTH = 245  # bytes; longer words are dropped (glass key limit)
 _HAS_DIGIT = re.compile(r"\d").search
 
 
-class _Tok:
-    __slots__ = ("text", "position")
-
-    def __init__(self, text, position):
-        self.text = text
-        self.position = position
-
-
-def _tokens(text: str, cjk_ngram: bool):
-    """Native ASCII fast path (xapiand_tpu/native), Python Unicode fallback."""
-    if text.isascii():
-        from xapiand_tpu.native import lib
-
-        if lib is not None:
-            toks = lib.tokenize_ascii(text)
-            if toks is not None:
-                return [_Tok(t, p) for t, p in toks]
-    return tokenize(text, cjk_ngram=cjk_ngram)
-
-
 def _token_pairs(text: str, cjk_ngram: bool):
     """(word, position) pairs - avoids 300k+ _Tok allocations per bulk
     batch on the native path."""

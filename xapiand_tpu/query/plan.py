@@ -30,7 +30,6 @@ T_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
 QR_BUCKETS = (16, 64, 256, 1024)
 DEFAULT_CAND_CAP = 4096
 DEFAULT_PMAX = 128
-JOIN_T_MAX = 8   # <= this many terms: searchsorted-join beats the sort
 
 
 class PlanError(ValueError):
