@@ -87,26 +87,41 @@ class SegmentBuilder:
         positions = np.concatenate(
             [positions, np.zeros(128, dtype=np.int32)])  # guard
 
+        # one global pack instead of 2 numpy conversions per term: the
+        # per-call overhead dominates with many small posting lists
+        import itertools
+
+        lens = np.fromiter((len(self._postings[t]) for t in terms),
+                           dtype=np.int64, count=len(terms))
+        offs = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        if total_post:
+            flat = np.fromiter(
+                itertools.chain.from_iterable(
+                    itertools.chain.from_iterable(
+                        self._postings[t] for t in terms)),
+                dtype=np.float64, count=2 * total_post).reshape(-1, 2)
+            post_docids[:total_post] = flat[:, 0].astype(np.int32)
+            post_wdf[:total_post] = flat[:, 1].astype(np.float32)
+            maxw = np.maximum.reduceat(flat[:, 1], offs[:-1]) \
+                if len(terms) else np.zeros(0)
+        else:
+            maxw = np.zeros(len(terms))
+
         term_infos: dict[str, TermInfo] = {}
-        off = 0
         for tid, term in enumerate(terms):
-            plist = self._postings[term]  # already docid-ascending
-            L = len(plist)
-            pairs = np.asarray(plist, dtype=np.float64).reshape(L, 2)
-            ids = pairs[:, 0].astype(np.int32)
-            wdfs = pairs[:, 1].astype(np.float32)
-            post_docids[off:off + L] = ids
-            post_wdf[off:off + L] = wdfs
-            for k, (docid, _) in enumerate(plist):
-                pi = pos_index.get((term, docid))
-                if pi is not None:
-                    post_posoff[off + k] = pi[0]
-                    post_poslen[off + k] = pi[1]
+            off, L = int(offs[tid]), int(lens[tid])
+            if term in self._positions:
+                plist = self._postings[term]
+                for k, (docid, _) in enumerate(plist):
+                    pi = pos_index.get((term, docid))
+                    if pi is not None:
+                        post_posoff[off + k] = pi[0]
+                        post_poslen[off + k] = pi[1]
             term_infos[term] = TermInfo(
                 tid=tid, offset=off, length=L,
                 collfreq=self._collfreq.get(term, 0),
-                max_wdf=float(wdfs.max()) if L else 0.0)
-            off += L
+                max_wdf=float(maxw[tid]) if L else 0.0)
 
         doclen = np.zeros(nd + 1, dtype=np.float32)
         uniqterms = np.ones(nd + 1, dtype=np.float32)
