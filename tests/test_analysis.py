@@ -119,3 +119,28 @@ def test_date_range_cover():
     terms = accuracy.date_range_terms(lo, hi, ["day", "month"])
     assert len(terms) == 3
     assert all(t.startswith("#Dday:") for t in terms)
+
+
+def test_term_length_limit_includes_prefix():
+    """The 245-byte key limit applies to the FULL emitted term - prefix +
+    word, and the Z marker on stemmed forms (schema.cc index_term)."""
+    from xapiand_tpu.analysis.termgen import (
+        MAX_TERM_LENGTH, DocumentTerms, TermGenerator)
+
+    pfx = "XLONGFIELD"
+    word = "a" * (MAX_TERM_LENGTH - len(pfx) + 1)  # fits bare, not prefixed
+    tg = TermGenerator(language=None)
+    doc = DocumentTerms()
+    tg.index_text(doc, word + " short", prefix=pfx, prefixes=(pfx, ""))
+    terms = set(doc.terms)
+    assert pfx + "short" in terms and "short" in terms
+    assert word in terms            # unprefixed form still fits
+    assert pfx + word not in terms  # prefixed form exceeds 245 bytes
+
+    # stemmed Z-form boundary: 1 + len(pfx) + len(stem) must also fit
+    tg2 = TermGenerator(language="english")
+    doc2 = DocumentTerms()
+    w2 = "b" * (MAX_TERM_LENGTH - len(pfx))  # prefixed fits, Z-form doesn't
+    tg2.index_text(doc2, w2, prefix=pfx, prefixes=(pfx,))
+    assert pfx + w2 in doc2.terms
+    assert not any(t.startswith("Z" + pfx) for t in doc2.terms)

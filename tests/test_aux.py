@@ -80,6 +80,25 @@ def test_script_step_budget():
         compile_script("while True:\n  pass").run({})
 
 
+def test_script_operand_size_guards():
+    """A single C-level * or ** must not be able to OOM the server within
+    one settrace 'step' (sandbox operand-size guards)."""
+    from xapiand_tpu.utils.scripting import ScriptTimeout
+
+    for bomb in ("doc['x'] = [0] * (10 ** 9)",
+                 "doc['x'] = 'x' * (10 ** 9)",
+                 "doc['x'] = 10 ** (10 ** 8)",
+                 "n = 10 ** 200\nn = n ** 99999\ndoc['x'] = n",
+                 "s = 'ab'\ns *= 10 ** 9\ndoc['x'] = s"):
+        with pytest.raises(ScriptTimeout):
+            compile_script(bomb).run({})
+    # sane sizes still work, including augmented forms
+    out = compile_script(
+        "doc['a'] = [1] * 3\ndoc['b'] = 2 ** 10\n"
+        "n = 6\nn *= 7\ndoc['c'] = n").run({})
+    assert out["a"] == [1, 1, 1] and out["b"] == 1024 and out["c"] == 42
+
+
 def test_script_on_index():
     db = Database()
     db.index_document({"counter": 0, "name": "x"}, doc_id="1", commit=True)

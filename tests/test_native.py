@@ -75,3 +75,12 @@ def test_delta_codec():
     assert len(enc) < 4 * len(vals)  # beats raw u32
     dec = lib.delta_decode(enc, len(vals) + 10)
     assert list(dec) == vals
+
+
+def test_tokenizer_no_token_cap():
+    """ASCII docs beyond the old 65,536-token cap keep all their terms."""
+    text = " ".join(f"w{i}" for i in range(70000))
+    toks = lib.tokenize_ascii(text)
+    assert toks is not None
+    assert len(toks) == 70000
+    assert toks[-1][0] == "w69999" and toks[-1][1] == 69999

@@ -107,6 +107,32 @@ def test_database_crash_recovery_uncommitted_tail(tmp_path):
     db2.close()
 
 
+def test_wal_recovery_truncates_corrupt_tail(tmp_path):
+    """Writes committed AFTER a crash-recovery must survive the next open:
+    recovery has to truncate the corrupt tail record before appending
+    (reference wal.cc:251), else post-recovery records land after garbage
+    that every later scan() stops at."""
+    path = str(tmp_path / "db")
+    db = Database(path=path)
+    db.index_document({"body": "committed"}, doc_id="a", commit=True)
+    db.close()
+
+    # simulate a crash mid-append: garbage partial record at the WAL tail
+    wal_dir = os.path.join(path, "wal")
+    vols = [f for f in os.listdir(wal_dir) if f.startswith("wal.")]
+    with open(os.path.join(wal_dir, sorted(vols)[-1]), "ab") as fh:
+        fh.write(b"\xde\xad\xbe\xef\x00\x01")
+
+    db2 = Database(path=path)
+    db2.index_document({"body": "after recovery"}, doc_id="b", commit=True)
+    db2.close()
+
+    db3 = Database(path=path)
+    assert db3.search({"body": "recovery"}, k=5).total == 1
+    assert db3.get_document("b") is not None
+    db3.close()
+
+
 def test_database_dump_restore(tmp_path):
     db = Database()
     for i in range(10):

@@ -114,11 +114,22 @@ class TermGenerator:
         strategy = self.stem_strategy
         stop_strategy = self.stop_strategy
         stem = self.stem
+        # reference key-limit semantics (schema.cc index_term): the FULL
+        # emitted term - prefix + word, including the Z marker on stemmed
+        # forms - must fit in 245 bytes, not just the bare word. Words of
+        # <= safe_len chars cannot overflow under any prefix here even at
+        # 4 UTF-8 bytes/char, so only longer (rare) words pay the encodes.
+        plens = tuple(len(p.encode("utf-8")) for p in prefixes)
+        safe_len = (MAX_TERM_LENGTH - max(plens) - 1) // 4
         for word, tpos in _token_pairs(text, self.cjk_ngram):
-            # bytes-length guard: only words > 61 chars can possibly exceed
-            # 245 UTF-8 bytes (4 bytes/char max) - skip the encode otherwise
-            if not word or (len(word) > 61 and
-                            len(word.encode("utf-8")) > MAX_TERM_LENGTH):
+            if not word:
+                continue
+            if len(word) > safe_len:
+                self._index_long_word(
+                    doc, word, base + tpos if with_positions else None,
+                    wdf_inc, prefixes, plens)
+                if tpos > last_pos:
+                    last_pos = tpos
                 continue
             pos = base + tpos
             if tpos > last_pos:
@@ -152,6 +163,45 @@ class TermGenerator:
         # advance running position past this block (+100 gap between fields,
         # Xapian's increase_termpos default behaviour at field boundaries)
         self.position = base + last_pos + 1
+
+    def _index_long_word(self, doc: DocumentTerms, word: str,
+                         pos: int | None, wdf_inc: int,
+                         prefixes: tuple, plens: tuple) -> None:
+        """Slow path for words near the 245-byte key limit: apply the same
+        strategy logic as the hot loop but drop each emitted term whose
+        FULL byte length (prefix [+ Z] + body) exceeds MAX_TERM_LENGTH,
+        matching the reference's per-term check (schema.cc index_term)."""
+        wb = len(word.encode("utf-8"))
+        is_stop = word in self.stopwords
+        if is_stop and self.stop_strategy == STOP_ALL:
+            return
+        strategy = self.stem_strategy
+        if strategy == STEM_NONE or _HAS_DIGIT(word) is not None:
+            for pfx, pl in zip(prefixes, plens):
+                if pl + wb <= MAX_TERM_LENGTH:
+                    doc.add(pfx + word, wdf_inc, pos)
+            return
+        if strategy == STEM_SOME:
+            zstem = None
+            if not (is_stop and self.stop_strategy == STOP_STEMMED):
+                zstem = self.stem(word)
+                zb = len(zstem.encode("utf-8"))
+            for pfx, pl in zip(prefixes, plens):
+                if pl + wb <= MAX_TERM_LENGTH:
+                    doc.add(pfx + word, wdf_inc, pos)
+                if zstem is not None and 1 + pl + zb <= MAX_TERM_LENGTH:
+                    doc.add("Z" + pfx + zstem, wdf_inc, None)
+            return
+        w = self.stem(word)
+        wb = len(w.encode("utf-8"))
+        if strategy == STEM_ALL:
+            for pfx, pl in zip(prefixes, plens):
+                if pl + wb <= MAX_TERM_LENGTH:
+                    doc.add(pfx + w, wdf_inc, pos)
+        else:  # STEM_ALL_Z
+            for pfx, pl in zip(prefixes, plens):
+                if 1 + pl + wb <= MAX_TERM_LENGTH:
+                    doc.add("Z" + pfx + w, wdf_inc, pos)
 
     def increase_termpos(self, delta: int = 100):
         self.position += delta

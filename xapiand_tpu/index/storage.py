@@ -140,8 +140,12 @@ class Storage:
     def scan(self) -> Iterator[tuple[int, bytes]]:
         """Yield (offset, payload) for every record; stop cleanly at a
         truncated tail (crash recovery semantics: last partial write is
-        discarded, like WAL replay in the reference wal.cc:251)."""
+        discarded, like WAL replay in the reference wal.cc:251). After the
+        scan, ``scan_end`` holds the end offset of the last VALID record -
+        recovery must truncate to it before appending, or post-recovery
+        records would land after the garbage and be unreachable."""
         offset = HEADER_SIZE
+        self.scan_end = offset
         while offset < self._end:
             try:
                 payload = self.read(offset)
@@ -151,6 +155,16 @@ class Storage:
             self._fh.seek(offset)
             length, _ = _REC_HDR.unpack(self._fh.read(_REC_HDR.size))
             offset += _REC_HDR.size + length + _SUM.size
+            self.scan_end = offset
+
+    def truncate(self, offset: int):
+        """Drop everything past ``offset`` (crash-recovery tail cleanup,
+        ≙ reference wal.cc:251 truncate-on-bad-record)."""
+        if not self.writable:
+            raise StorageError("volume is read-only")
+        offset = max(offset, HEADER_SIZE)
+        self._fh.truncate(offset)
+        self._end = offset
 
     def fsync(self):
         self._fh.flush()

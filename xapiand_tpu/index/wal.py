@@ -78,14 +78,23 @@ class DatabaseWAL:
             return
         rev = vols[-1][0]
         count = 0
-        for _, line in Storage(vols[-1][1], writable=False).scan():
+        ro = Storage(vols[-1][1], writable=False)
+        for _, line in ro.scan():
             op, *_rest = unpack_msgpack(line)
             count += 1
             if op == WalOp.COMMIT:
                 rev += 1
+        valid_end = ro.scan_end
+        ro.close()
         self.revision = rev
         self._volume_rev = vols[-1][0]
         self._volume = Storage(vols[-1][1], writable=True)
+        # a crash can leave a partial/corrupt tail record; scan() stops at
+        # it but the writable volume would otherwise append AFTER the
+        # garbage, silently losing every post-recovery write on next open
+        # (reference wal.cc:251 truncates at the bad record)
+        if self._volume.size > valid_end:
+            self._volume.truncate(valid_end)
         self._lines_in_volume = count
 
     def _open_volume(self, rev: int):

@@ -63,16 +63,17 @@ class NativeLib:
             raise ValueError("LZ4 decompression failed")
         return out.raw[:raw_size]
 
-    def tokenize_ascii(self, text: str, max_tokens: int = 65536):
+    def tokenize_ascii(self, text: str):
         """-> list[(token, position)] or None for non-ASCII input."""
         raw = text.encode("ascii", errors="strict") if text.isascii() else None
         if raw is None:
             return None
         cap = len(raw) + 8
         buf = ctypes.create_string_buffer(cap)
-        # a token needs >=1 char + a separator: size the span buffer to the
-        # input instead of a fixed 512KB allocation per call
-        max_tokens = min(max_tokens, len(raw) // 2 + 2)
+        # a token needs >=1 char + a separator, so len//2+2 is a strict
+        # upper bound on the token count: no document can overflow it (the
+        # old fixed 65536 cap silently dropped terms past ~128KB of ASCII)
+        max_tokens = len(raw) // 2 + 2
         spans = (ctypes.c_int32 * (2 * max_tokens))()
         n = self._c.xt_tokenize_ascii(raw, len(raw), buf, cap, spans,
                                       max_tokens)

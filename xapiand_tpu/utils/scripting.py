@@ -58,6 +58,65 @@ class ScriptTimeout(ScriptError):
     pass
 
 
+# a single * or ** executes entirely in C, so the settrace step budget
+# never ticks: '[0]*10**9' could OOM the server within one "step". Guard
+# the operand sizes instead (the usual AST-sandbox mitigation).
+_MAX_SEQ = 1_000_000    # elements/chars producible by one sequence repeat
+_MAX_BITS = 1_000_000   # bits producible by one int mul/pow
+
+
+def _guard_mul(a, b):
+    for x, y in ((a, b), (b, a)):
+        if isinstance(x, (str, bytes, list, tuple)) and isinstance(y, int):
+            if y > 0 and y * max(len(x), 1) > _MAX_SEQ:
+                raise ScriptTimeout("sequence repeat exceeds size budget")
+    if isinstance(a, int) and isinstance(b, int):
+        if a.bit_length() + b.bit_length() > _MAX_BITS:
+            raise ScriptTimeout("integer multiply exceeds size budget")
+    return a * b
+
+
+def _guard_pow(a, b):
+    if isinstance(a, int) and isinstance(b, int) and b > 0:
+        if b * max(a.bit_length(), 1) > _MAX_BITS:
+            raise ScriptTimeout("integer power exceeds size budget")
+    return a ** b
+
+
+class _GuardOps(ast.NodeTransformer):
+    """Rewrite `a * b` / `a ** b` (and the augmented forms) into calls to
+    the size-checked guards. Runs AFTER _validate, so the injected
+    double-underscore names cannot be spelled by user code."""
+
+    def visit_BinOp(self, node):
+        self.generic_visit(node)
+        fname = ("__xt_mul" if isinstance(node.op, ast.Mult) else
+                 "__xt_pow" if isinstance(node.op, ast.Pow) else None)
+        if fname is None:
+            return node
+        return ast.copy_location(
+            ast.Call(func=ast.Name(id=fname, ctx=ast.Load()),
+                     args=[node.left, node.right], keywords=[]), node)
+
+    def visit_AugAssign(self, node):
+        self.generic_visit(node)
+        if not isinstance(node.op, (ast.Mult, ast.Pow)):
+            return node
+        load_target = ast.copy_location(
+            ast.Name(node.target.id, ast.Load()), node.target) \
+            if isinstance(node.target, ast.Name) else \
+            ast.copy_location(ast.Subscript(
+                node.target.value, node.target.slice, ast.Load()),
+                node.target)
+        call = ast.copy_location(ast.Call(
+            func=ast.Name(
+                id="__xt_mul" if isinstance(node.op, ast.Mult)
+                else "__xt_pow", ctx=ast.Load()),
+            args=[load_target, node.value], keywords=[]), node)
+        return ast.copy_location(
+            ast.Assign(targets=[node.target], value=call), node)
+
+
 def _validate(tree: ast.AST):
     for node in ast.walk(tree):
         if not isinstance(node, _ALLOWED_NODES):
@@ -87,6 +146,7 @@ class Script:
         except SyntaxError as e:
             raise ScriptError(f"script syntax error: {e}") from None
         _validate(self.tree)
+        self.tree = ast.fix_missing_locations(_GuardOps().visit(self.tree))
         self.code = compile(self.tree, "<script>", "exec")
 
     def run(self, doc: dict, old: dict | None = None) -> dict:
@@ -104,7 +164,8 @@ class Script:
                 raise ScriptTimeout("script exceeded step budget")
             return tick
 
-        env = {"__builtins__": {}, **_ALLOWED_BUILTINS, **variables}
+        env = {"__builtins__": {}, **_ALLOWED_BUILTINS, **variables,
+               "__xt_mul": _guard_mul, "__xt_pow": _guard_pow}
         import sys
 
         old_trace = sys.gettrace()
