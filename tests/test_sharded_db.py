@@ -1,0 +1,185 @@
+"""ShardedDatabase: full Database surface over mesh-sharded segments.
+
+Exact-equality tests against the single-coordinator Database oracle (the
+same bar as tests/test_sharded.py for ShardedIndex), plus persistence and
+fallback behavior. Runs on the 8-virtual-device CPU mesh (conftest)."""
+
+import random
+
+import pytest
+
+from xapiand_tpu.database import Database
+from xapiand_tpu.parallel.sharded_db import ShardedDatabase
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _corpus(n=80, seed=3):
+    rng = random.Random(seed)
+    return [{"body": " ".join(rng.choices(WORDS, k=8)),
+             "price": rng.randint(1, 100),
+             "cat": rng.choice(["a", "b", "c"])} for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def pair():
+    docs = _corpus()
+    ref = Database()
+    sdb = ShardedDatabase(n_shards=4)
+    for i, doc in enumerate(docs):
+        ref.index_document(dict(doc), doc_id=str(i))
+        sdb.index_document(dict(doc), doc_id=str(i))
+    ref.commit()
+    sdb.commit()
+    return ref, sdb
+
+
+def test_mesh_is_active(pair):
+    _, sdb = pair
+    assert sdb.mesh is not None
+    assert sdb.mesh.shape["shard"] == 4
+    assert len(sdb._generations) == 1
+
+
+def test_search_matches_single_node(pair):
+    ref, sdb = pair
+    for q in ({"body": "alpha"}, {"body": "alpha beta"},
+              {"_and": [{"body": "gamma"}, {"body": "delta"}]},
+              {"price": {"_from": 20, "_to": 70}},
+              {"_match_all": {}}):
+        r1 = ref.search(q, k=10)
+        r2 = sdb.search(q, k=10)
+        assert r2.total == r1.total, q
+        assert [(h.id, round(h.score, 4)) for h in r2.hits] == \
+            [(h.id, round(h.score, 4)) for h in r1.hits], q
+    assert sdb._mesh_step_cache  # the SPMD path actually served these
+
+
+def test_offset_pagination(pair):
+    ref, sdb = pair
+    full = [h.id for h in ref.search({"body": "alpha"}, k=20).hits]
+    page = sdb.search({"body": "alpha"}, k=5, offset=5)
+    assert [h.id for h in page.hits] == full[5:10]
+    assert [h.rank for h in page.hits] == list(range(5, 10))
+
+
+def test_aggs_match_single_node(pair):
+    ref, sdb = pair
+    aggs = {"avg_price": {"_avg": {"_field": "price"}},
+            "stats": {"_stats": {"_field": "price"}},
+            "cats": {"_terms": {"_field": "cat"}}}
+    r1 = ref.search({"_match_all": {}}, k=0, aggs=aggs)
+    r2 = sdb.search({"_match_all": {}}, k=0, aggs=aggs)
+    assert r2.aggregations["avg_price"] == r1.aggregations["avg_price"]
+    assert r2.aggregations["stats"] == r1.aggregations["stats"]
+    c1 = {b["_key"]: b["_doc_count"] for b in r1.aggregations["cats"]}
+    c2 = {b["_key"]: b["_doc_count"] for b in r2.aggregations["cats"]}
+    assert c1 == c2
+
+
+def test_sort_matches_single_node(pair):
+    ref, sdb = pair
+    sort = (("value", ref.schema.get_field("price").slot, True),)
+    r1 = ref.search({"body": "beta"}, k=10, sort=sort)
+    r2 = sdb.search({"body": "beta"}, k=10, sort=sort)
+    assert [h.id for h in r2.hits] == [h.id for h in r1.hits]
+
+
+def test_count_only(pair):
+    ref, sdb = pair
+    q = {"body": "sigma"}
+    assert sdb.count(q) == ref.count(q)
+
+
+def test_multi_generation_and_delete(pair):
+    ref, sdb = pair
+    extra = _corpus(30, seed=9)
+    for i, doc in enumerate(extra):
+        ref.index_document(dict(doc), doc_id=f"x{i}")
+        sdb.index_document(dict(doc), doc_id=f"x{i}")
+    ref.commit()
+    sdb.commit()
+    assert len(sdb._generations) == 2
+    r1 = ref.search({"body": "alpha"}, k=15)
+    r2 = sdb.search({"body": "alpha"}, k=15)
+    assert r2.total == r1.total
+    assert [h.id for h in r2.hits] == [h.id for h in r1.hits]
+    # delete a matching doc from each generation; totals track the oracle
+    victims = [r1.hits[0].id, next(h.id for h in r1.hits
+                                   if h.id.startswith("x"))]
+    for v in victims:
+        ref.delete_document(v, commit=True)
+        sdb.delete_document(v, commit=True)
+    r1 = ref.search({"body": "alpha"}, k=15)
+    r2 = sdb.search({"body": "alpha"}, k=15)
+    assert r2.total == r1.total
+    assert [h.id for h in r2.hits] == [h.id for h in r1.hits]
+
+
+def test_mesh_fallback_features(pair):
+    """Features outside the mesh step (collapse, percentiles) transparently
+    fall back to the inherited per-segment path with identical results."""
+    ref, sdb = pair
+    slot = ref.schema.get_field("cat").slot
+    r1 = ref.search({"body": "alpha"}, k=5, collapse_slot=slot)
+    r2 = sdb.search({"body": "alpha"}, k=5, collapse_slot=slot)
+    assert [h.id for h in r2.hits] == [h.id for h in r1.hits]
+    aggs = {"pct": {"_percentiles": {"_field": "price"}}}
+    r3 = ref.search({"_match_all": {}}, k=0, aggs=aggs)
+    r4 = sdb.search({"_match_all": {}}, k=0, aggs=aggs)
+    # cross-segment percentiles are a documented approximation until the
+    # gathered-histogram order statistics land; keys + rough agreement
+    p3 = r3.aggregations["pct"]["_percentiles"]
+    p4 = r4.aggregations["pct"]["_percentiles"]
+    assert set(p4) == set(p3)
+    assert abs(p4["50"] - p3["50"]) <= 15
+
+
+def test_persistence_roundtrip(tmp_path):
+    path = str(tmp_path / "sdb")
+    docs = _corpus(25, seed=5)
+    db = ShardedDatabase(path=path, n_shards=4)
+    for i, doc in enumerate(docs):
+        db.index_document(doc, doc_id=str(i))
+    db.commit()
+    db.set_metadata("owner", "mesh-tests")
+    before = db.search({"body": "alpha"}, k=10)
+    db.close()
+
+    db2 = ShardedDatabase(path=path, n_shards=4)
+    assert db2.doc_count == 25
+    assert db2.get_metadata("owner") == "mesh-tests"
+    after = db2.search({"body": "alpha"}, k=10)
+    assert after.total == before.total
+    assert [h.id for h in after.hits] == [h.id for h in before.hits]
+    db2.close()
+
+
+def test_routing_parity_with_sharded_index():
+    """Doc routing matches ShardedIndex (fnv1ah64 % n, handler.cc:2004)."""
+    from xapiand_tpu.utils.hashing import fnv1ah64
+
+    sdb = ShardedDatabase(n_shards=4)
+    for did in ("1", "42", "user/7", "Ωmega"):
+        assert sdb.route(did) == fnv1ah64("Q" + did) % 4
+
+
+def test_compaction_rebuilds_one_generation():
+    db = ShardedDatabase(n_shards=4)
+    db.auto_merge_segments = 8  # 2 generations of 4 searchers
+    for gen in range(3):
+        for i in range(10):
+            db.index_document({"body": f"word{i % 4} filler"},
+                              doc_id=f"g{gen}d{i}")
+        db.commit()
+    assert len(db._searchers) <= 8
+    r = db.search({"body": "word1"}, k=10)
+    assert r.total > 0
+    oracle = Database()
+    for gen in range(3):
+        for i in range(10):
+            oracle.index_document({"body": f"word{i % 4} filler"},
+                                  doc_id=f"g{gen}d{i}")
+    oracle.commit()
+    assert r.total == oracle.search({"body": "word1"}, k=10).total

@@ -72,7 +72,7 @@ class Database:
         self.scheme = get_scheme(scheme, **scheme_params)
         self.device = device
         self.path = path
-        self._builder = SegmentBuilder()
+        self._builder = self._new_builder()
         self._pending_docs: dict[str, dict] = {}      # doc_id -> data
         self._docs_store: dict[str, dict] = {}
         self._searchers: list[SegmentSearcher] = []
@@ -127,6 +127,20 @@ class Database:
     @property
     def uuid(self) -> Optional[str]:
         return self.wal.uuid if self.wal is not None else None
+
+    def _new_builder(self):
+        """Pending-write accumulator factory (ShardedDatabase overrides
+        with a shard-routing façade)."""
+        return SegmentBuilder()
+
+    def _finalize_pending(self) -> list:
+        """Freeze the pending builder into new immutable segment(s); one
+        per shard on the sharded subclass."""
+        return [self._builder.finalize()]
+
+    def _segments_committed(self, seg_indices: list) -> None:
+        """Post-commit hook: the sharded subclass records the new segment
+        generation and stacks it over the mesh."""
 
     # -- write path ----------------------------------------------------------
 
@@ -224,24 +238,28 @@ class Database:
                 self.schema.mutated = False
             self.wal.write_commit(fsync=True)
         if len(self._builder):
-            seg = self._builder.finalize()
-            # apply deletes that targeted pending docs (replaced in-batch):
-            # keep only the LAST occurrence of every doc key
-            last = {}
-            for docid, key in enumerate(seg.doc_keys):
-                last[key] = docid
-            for docid, key in enumerate(seg.doc_keys):
-                if last[key] != docid or key in self._pending_deletes:
-                    seg.deleted[docid] = True
-            searcher = SegmentSearcher(seg, self.scheme, device=self.device)
-            seg_idx = len(self._searchers)
-            self._searchers.append(searcher)
-            for key, docid in last.items():
-                if not seg.deleted[docid]:
-                    self._locate[key] = (seg_idx, docid)
-            self._builder = SegmentBuilder()
+            new_indices = []
+            for seg in self._finalize_pending():
+                # apply deletes that targeted pending docs (replaced
+                # in-batch): keep only the LAST occurrence of each doc key
+                last = {}
+                for docid, key in enumerate(seg.doc_keys):
+                    last[key] = docid
+                for docid, key in enumerate(seg.doc_keys):
+                    if last[key] != docid or key in self._pending_deletes:
+                        seg.deleted[docid] = True
+                searcher = SegmentSearcher(seg, self.scheme,
+                                           device=self.device)
+                seg_idx = len(self._searchers)
+                self._searchers.append(searcher)
+                new_indices.append(seg_idx)
+                for key, docid in last.items():
+                    if not seg.deleted[docid]:
+                        self._locate[key] = (seg_idx, docid)
+            self._builder = self._new_builder()
             self._docs_store.update(self._pending_docs)
             self._pending_docs = {}
+            self._segments_committed(new_indices)
         self._pending_deletes.clear()
         self.revision += 1
         if not self._replaying and \
@@ -449,7 +467,7 @@ class Database:
         docs = list(self.dump_documents())
         self._searchers = []
         self._locate = {}
-        self._builder = SegmentBuilder()
+        self._builder = self._new_builder()
         self._pending_docs = {}
         self._pending_deletes = set()
         for doc in docs:
@@ -545,7 +563,9 @@ class Database:
                         continue
                     if searcher.segment.deleted[did]:
                         continue
-                    merged.append((-float(sc), seg_idx, int(did)))
+                    merged.append((-float(sc),
+                                   self._tiebreak(seg_idx, int(did)),
+                                   seg_idx, int(did)))
         result = SearchResult(total=total)
         if aggs and agg_parts:
             result.aggregations = aggs_mod.merge_and_shape(
@@ -561,8 +581,13 @@ class Database:
             merged = self._merge_sorted(merged, sort)
         else:
             merged.sort()
+        if collapse_slot is not None and len(self._searchers) > 1:
+            # two-level collapse (≙ collapser.cc across shards): each
+            # segment collapsed locally during execution; the merged run
+            # re-collapses so at most collapse_max survive per key globally
+            merged = self._recollapse(merged, collapse_slot, collapse_max)
         docs_store = getattr(self, "_docs_store", {})
-        for rank, (negscore, seg_idx, did) in enumerate(
+        for rank, (negscore, _tb, seg_idx, did) in enumerate(
                 merged[offset:offset + k]):
             seg = self._searchers[seg_idx].segment
             key = seg.doc_keys[did]
@@ -571,11 +596,39 @@ class Database:
                                    data=docs_store.get(key, {})))
         return result
 
+    def _collapse_key(self, seg, slot: int, did: int):
+        """Cross-segment-comparable collapse key for a doc, or None when
+        the doc has no value in the slot (uncollapsed, Xapian semantics)."""
+        col = seg.values.get(slot)
+        if col is None or not col.present[did]:
+            return None
+        if col.cats is not None and getattr(col, "cat_names", None) \
+                and col.cats[did] >= 0:
+            # category codes are segment-local; compare by name
+            return ("cat", col.cat_names[int(col.cats[did])])
+        return ("v", int(col.hi[did]), int(col.lo[did]))
+
+    def _recollapse(self, merged, slot: int, cmax: int):
+        seen: dict = {}
+        out = []
+        for item in merged:
+            seg_idx, did = item[2], item[3]
+            key = self._collapse_key(self._searchers[seg_idx].segment,
+                                     slot, did)
+            if key is None:
+                out.append(item)
+                continue
+            c = seen.get(key, 0)
+            if c < cmax:
+                seen[key] = c + 1
+                out.append(item)
+        return out
+
     def _merge_sorted(self, merged, sort):
         import math as _math
 
         def sort_key(item):
-            _, seg_idx, did = item
+            _, tiebreak, seg_idx, did = item
             seg = self._searchers[seg_idx].segment
             keys = []
             for spec in sort:
@@ -618,10 +671,18 @@ class Database:
                     keys.append((0, -kf if desc else kf, 0))
                 else:
                     keys.append((0, item[0], 0))
-            keys.append(did)
+            keys.append(tiebreak)
             return tuple(keys)
 
         return sorted(merged, key=sort_key)
+
+    def _tiebreak(self, seg_idx: int, did: int):
+        """Equal-score (or equal-sort-key) rank order: segment order then
+        docid = insertion order on a single node. ShardedDatabase overrides
+        with the global insertion sequence so sharded and unsharded indexes
+        rank ties identically (stricter than the reference, where tie order
+        follows the docid striping and so changes with num_shards)."""
+        return (seg_idx, did)
 
     def count(self, query: Any) -> int:
         return self.search(query, count_only=True).total

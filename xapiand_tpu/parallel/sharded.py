@@ -365,26 +365,36 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
             gdoc = out["docids"] * n_shards + my_shard
             invalid = jnp.isinf(out["scores"]) & (out["scores"] < 0)
             gdoc = jnp.where(invalid, jnp.int32(2**31 - 1), gdoc)
+            # tie-break key: the striped global docid (reference
+            # merge_mset docid_order ASCENDING, handler.cc:1168) - unless
+            # the segment carries insertion-order keys (ShardedDatabase:
+            # ties then rank exactly like the unsharded index)
+            if "orderkey" in seg1:
+                okey = seg1["orderkey"][out["docids"]]
+                okey = jnp.where(invalid, jnp.int32(2**31 - 1), okey)
+            else:
+                okey = gdoc
             all_docs = jax.lax.all_gather(gdoc, "shard", axis=1, tiled=True)
+            all_okeys = jax.lax.all_gather(okey, "shard", axis=1, tiled=True)
             all_scores = jax.lax.all_gather(out["scores"], "shard", axis=1,
                                             tiled=True)     # [Ql, S*k]
             if cfg.sort and "sort_keys" in out:
                 # value-ordered merge: per-shard top-ks are already in key
                 # order; re-sort the gathered union by the same keys with
-                # the GLOBAL docid tiebreak (merge_mset with a KeyMaker)
+                # the global-docid tiebreak (merge_mset with a KeyMaker)
                 gkeys = [jax.lax.all_gather(kk, "shard", axis=1, tiled=True)
                          for kk in out["sort_keys"]]
                 order = jax.lax.sort(
-                    tuple(gkeys) + (all_docs, all_scores),
+                    tuple(gkeys) + (all_okeys, all_docs, all_scores),
                     num_keys=len(gkeys) + 1, dimension=1)
                 top_docs = order[-2][:, : cfg.k]
                 top_scores = order[-1][:, : cfg.k]
             else:
-                # merge_mset: score desc, ties by ascending GLOBAL docid
-                # (reference docid_order ASCENDING, handler.cc:1168)
-                neg, docs_sorted = jax.lax.sort((-all_scores, all_docs),
-                                                num_keys=2, dimension=1)
-                top_scores = -neg[:, : cfg.k]
+                # merge_mset: score desc, ties by ascending global docid
+                _, _, docs_sorted, scores_sorted = jax.lax.sort(
+                    (-all_scores, all_okeys, all_docs, all_scores),
+                    num_keys=2, dimension=1)
+                top_scores = scores_sorted[:, : cfg.k]
                 top_docs = docs_sorted[:, : cfg.k]
             count = jax.lax.psum(out["count"], "shard")
             return top_docs, top_scores, count, agg_packed
@@ -574,21 +584,83 @@ class ShardedIndex:
 
         aggs: shared aggregation spec; sufficient statistics merge across
         shards as psum/pmin/pmax over ICI inside the shard_map step (the
-        collective form of AggregationMatchSpy::merge_results). Category-
-        coded and order-statistic aggs (terms, cardinality, percentiles,
-        median, mode, filter) need host-side category unification and stay
-        on the single-coordinator Database path for now."""
+        collective form of AggregationMatchSpy::merge_results)."""
         if self._stacked is None:
             raise RuntimeError("commit() before searching")
-        from xapiand_tpu.query.plan import resolve_special
+        dsl = QueryDSL(self.schema)
+        irs = [q if isinstance(q, Q) else dsl.parse(q) for q in queries]
+        ex = MeshExecutor(self.mesh, self.n_shards, self.scheme,
+                          self._step_cache)
+        raw = ex.run(self.segments, self._stacked, self.schema, self.stats(),
+                     self.global_termfreq, self.global_collfreq, irs, k,
+                     aggs=aggs, sort=sort)
+        S = self.n_shards
+        results = []
+        for qi in range(len(queries)):
+            hits = []
+            for gd, sc in zip(raw["docids"][qi], raw["scores"][qi]):
+                if not np.isfinite(sc) and sc < 0:
+                    continue
+                if gd == 2**31 - 1:
+                    continue
+                shard, local = int(gd) % S, int(gd) // S
+                seg = self.segments[shard]
+                if local >= len(seg.doc_keys):
+                    continue
+                key_ = seg.doc_keys[local]
+                hits.append({"id": key_, "score": float(sc),
+                             "data": self._docs.get(key_, {})})
+            out_q = {"total": int(raw["counts"][qi]), "hits": hits}
+            if raw["shaped_aggs"] is not None:
+                out_q["aggregations"] = raw["shaped_aggs"][qi]
+            results.append(out_q)
+        return results
 
+    def search(self, query, k: int = 10, aggs: Optional[dict] = None,
+               sort=None) -> dict:
+        return self.search_batch([query], k=k, aggs=aggs, sort=sort)[0]
+
+
+class MeshExecutor:
+    """The SPMD scatter-gather engine over one generation of stacked,
+    uniform-padded per-shard segments. Shared by ShardedIndex (library
+    mesh plane) and ShardedDatabase (REST-on-mesh): plan binding, agg
+    packing, category unification, step compile cache, and the shard_map
+    launch live here; callers own documents/hydration.
+
+    ≙ DocMatcher two-phase scatter-gather (handler.cc:1415-1553) with the
+    merge running as ICI collectives instead of a coordinator loop."""
+
+    def __init__(self, mesh: Mesh, n_shards: int, scheme,
+                 step_cache: Optional[dict] = None):
+        self.mesh = mesh
+        self.n_shards = n_shards
+        self.n_dp = mesh.shape["dp"]
+        self.scheme = scheme
+        self._step_cache = step_cache if step_cache is not None else {}
+
+    def run(self, segments, stacked, schema, stats, global_tf, global_cf,
+            irs: list, k: int, aggs: Optional[dict] = None, sort=None,
+            scheme=None) -> dict:
+        """Execute a same-signature batch of Q IRs over the mesh.
+
+        Returns {"docids": [nq,k] global-striped int, "scores": [nq,k],
+        "counts": [nq], "agg_parts": per-query parts fn or None,
+        "shaped_aggs": list per query or None, "agg_names"/"agg_metas"/
+        "mesh_cats" for callers that merge across generations}."""
+        from xapiand_tpu.query.plan import resolve_special, unify_cfgs
+
+        scheme = scheme or self.scheme
         agg_specs, agg_arrays, agg_names, agg_metas = (), {}, None, None
+        cat_remaps: dict = {}
+        cat_names: dict = {}
         if aggs:
             from xapiand_tpu import aggregations as aggs_mod
+            from xapiand_tpu.aggregations import _cat_bucket
 
             (agg_names, agg_specs, arrs,
              agg_metas) = aggs_mod.compile_for_segment(
-                self.schema, list(self.segments), aggs)
+                schema, list(segments), aggs)
             bad = [s[0] for s in agg_specs if s[0] not in MESH_AGG_KINDS]
             if bad:
                 raise ValueError(
@@ -598,10 +670,6 @@ class ShardedIndex:
             # terms buckets: unify per-shard category code spaces into one
             # global table; each shard carries a local->global remap array
             agg_specs = list(agg_specs)
-            self._mesh_cat_remaps = {}
-            self._mesh_cat_names = {}
-            from xapiand_tpu.aggregations import _cat_bucket
-
             for j, spec in enumerate(agg_specs):
                 if spec[0] != "terms":
                     continue
@@ -610,7 +678,7 @@ class ShardedIndex:
                 gcode = {}
                 local_tabs = []
                 nbl = 16
-                for seg in self.segments:
+                for seg in segments:
                     col = seg.values.get(slot)
                     names_l = (col.cat_names or []) if col is not None \
                         else []
@@ -627,8 +695,8 @@ class ShardedIndex:
                 remap = np.full((self.n_shards, nbl), -1, np.int32)
                 for si, tab in enumerate(local_tabs):
                     remap[si, : len(tab)] = tab
-                self._mesh_cat_remaps[j] = remap
-                self._mesh_cat_names[j] = global_names
+                cat_remaps[j] = remap
+                cat_names[j] = global_names
                 agg_specs[j] = ("terms", slot, nbg, spec[3])
                 agg_metas[j]["cat_names"] = global_names
             agg_specs = tuple(agg_specs)
@@ -638,17 +706,14 @@ class ShardedIndex:
             from xapiand_tpu.query.dsl import parse_sort
 
             sort_t = sort if isinstance(sort, tuple) \
-                else parse_sort(self.schema, sort)
+                else parse_sort(schema, sort)
             if any(s[0] == "strmetric" for s in sort_t):
                 raise ValueError("string-metric sort keys need per-shard "
                                  "category tables; not supported on the "
                                  "mesh batch path")
 
-        dsl = QueryDSL(self.schema)
-        stats = self.stats()
-        irs = [resolve_special(q if isinstance(q, Q) else dsl.parse(q),
-                               self.scheme, stats, self.global_termfreq,
-                               self.global_collfreq) for q in queries]
+        irs = [resolve_special(ir, scheme, stats, global_tf, global_cf)
+               for ir in irs]
         cqs = [compile_ir(ir) for ir in irs]
         sigs = {ir.signature() for ir in irs}
         if len(sigs) != 1:
@@ -659,30 +724,28 @@ class ShardedIndex:
                    "doclen_upper": jnp.float32(stats.doclen_upper),
                    "total_len": jnp.float32(stats.total_len)}
 
-        nq = len(queries)
+        nq = len(irs)
         q_pad = -(-nq // self.n_dp) * self.n_dp
         cqs = cqs + [cqs[-1]] * (q_pad - nq)
 
-        from xapiand_tpu.query.plan import unify_cfgs
-
         bounds = []
         for cq in cqs:
-            per_shard = [bind(cq, seg, self.scheme, stats,
-                              global_tf=self.global_termfreq, k=k,
-                              global_cf=self.global_collfreq,
+            per_shard = [bind(cq, seg, scheme, stats,
+                              global_tf=global_tf, k=k,
+                              global_cf=global_cf,
                               aggs=agg_specs, sort=sort_t)
-                         for seg in self.segments]
+                         for seg in segments]
             bounds.append(per_shard)
         cfg = unify_cfgs([b.cfg for per in bounds for b in per], k=k)
         if sort_t:
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, emit_sort_keys=True)
-        T, L = cfg.T, cfg.L
+        T = cfg.T
         S = self.n_shards
         offsets = np.zeros((q_pad, S, T), np.int32)
         lens = np.zeros((q_pad, S, T), np.int32)
-        C = getattr(self.scheme, "n_constants", 1)
+        C = getattr(scheme, "n_constants", 1)
         tconst = np.zeros((q_pad, T) if C == 1 else (q_pad, T, C),
                           np.float32)
         scoring = np.zeros((q_pad, T), np.float32)
@@ -709,19 +772,18 @@ class ShardedIndex:
             shared_plan["sort_targets"] = st
         import jax.tree_util as _tu
 
-        remaps = getattr(self, "_mesh_cat_remaps", {}) if aggs else {}
         digest = tuple(
             np.asarray(leaf).tobytes()
-            for leaf in _tu.tree_leaves((shared_plan, remaps))) \
-            if (shared_plan or remaps) else ()
-        key = (cfg, self.scheme.key(), digest)
+            for leaf in _tu.tree_leaves((shared_plan, cat_remaps))) \
+            if (shared_plan or cat_remaps) else ()
+        key = (cfg, scheme.key(), digest)
         cached = self._step_cache.get(key)
         if cached is None:
             layout_holder: dict = {}
-            step = make_sharded_step(cfg, self.scheme, self.mesh, S,
+            step = make_sharded_step(cfg, scheme, self.mesh, S,
                                      agg_arrays=shared_plan,
                                      layout_out=layout_holder,
-                                     cat_remaps=remaps)
+                                     cat_remaps=cat_remaps)
             cached = (step, layout_holder)
             self._step_cache[key] = cached
         step, layout_holder = cached
@@ -735,15 +797,17 @@ class ShardedIndex:
                 st = per_shard[0].arrays.get("syn_tconst")
                 if st is not None:
                     syn[qi, : st.shape[0]] = st
-        args = [self._stacked, jnp.asarray(offsets), jnp.asarray(lens),
+        args = [stacked, jnp.asarray(offsets), jnp.asarray(lens),
                 jnp.asarray(tconst), jnp.asarray(scoring),
                 jnp.asarray(gbits), stats_d, jnp.asarray(fparams),
                 jnp.asarray(syn)]
         top_docs, top_scores, counts, agg_packed = step(*args)
-        top_docs = np.asarray(top_docs)[:nq]
-        top_scores = np.asarray(top_scores)[:nq]
-        counts = np.asarray(counts)[:nq]
-        per_query_aggs = None
+        out = {"docids": np.asarray(top_docs)[:nq],
+               "scores": np.asarray(top_scores)[:nq],
+               "counts": np.asarray(counts)[:nq],
+               "agg_parts": None, "shaped_aggs": None,
+               "agg_names": agg_names, "agg_metas": agg_metas,
+               "mesh_cats": cat_names}
         if aggs and layout_holder.get("layout") is not None:
             from xapiand_tpu import aggregations as aggs_mod
 
@@ -751,33 +815,9 @@ class ShardedIndex:
                          "min": np.asarray(agg_packed[1])[:nq],
                          "max": np.asarray(agg_packed[2])[:nq]}
             per_query = unpack_agg_parts(layout_holder["layout"], packed_np)
-            mesh_cats = [getattr(self, "_mesh_cat_names", {})]
-            per_query_aggs = [
+            out["agg_parts"] = per_query
+            out["shaped_aggs"] = [
                 aggs_mod.merge_and_shape(agg_names, agg_metas,
-                                         [per_query(qi)], mesh_cats)
+                                         [per_query(qi)], [cat_names])
                 for qi in range(nq)]
-
-        results = []
-        for qi in range(nq):
-            hits = []
-            for gd, sc in zip(top_docs[qi], top_scores[qi]):
-                if not np.isfinite(sc) and sc < 0:
-                    continue
-                if gd == 2**31 - 1:
-                    continue
-                shard, local = int(gd) % S, int(gd) // S
-                seg = self.segments[shard]
-                if local >= len(seg.doc_keys):
-                    continue
-                key_ = seg.doc_keys[local]
-                hits.append({"id": key_, "score": float(sc),
-                             "data": self._docs.get(key_, {})})
-            out_q = {"total": int(counts[qi]), "hits": hits}
-            if per_query_aggs is not None:
-                out_q["aggregations"] = per_query_aggs[qi]
-            results.append(out_q)
-        return results
-
-    def search(self, query, k: int = 10, aggs: Optional[dict] = None,
-               sort=None) -> dict:
-        return self.search_batch([query], k=k, aggs=aggs, sort=sort)[0]
+        return out

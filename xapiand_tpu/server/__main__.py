@@ -21,6 +21,9 @@ def main(argv=None):
                    help="index data directory (WAL + volumes)")
     p.add_argument("--scheme", default="bm25",
                    help="default weighting scheme")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="default shards per new index (≙ opts.h:85 "
+                        "num_shards; >1 backs indexes with the device mesh)")
     p.add_argument("--name", default=None,
                    help="node name (cluster mode; default: hostname)")
     p.add_argument("--discovery-port", type=int, default=None,
@@ -57,8 +60,10 @@ def main(argv=None):
             "peers": peers,
         }
 
-    app = create_app(manager=IndexManager(args.data_dir, scheme=args.scheme),
-                     cluster_config=cluster_config)
+    app = create_app(manager=IndexManager(
+        args.data_dir, scheme=args.scheme,
+        default_num_shards=args.num_shards),
+        cluster_config=cluster_config)
     web.run_app(app, host=args.bind, port=args.port)
 
 

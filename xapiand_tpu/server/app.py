@@ -48,13 +48,23 @@ class ApiError(web.HTTPException):
 
 
 class IndexManager:
-    """Open-index registry (DatabasePool/XapiandManager-lite for one node)."""
+    """Open-index registry (DatabasePool/XapiandManager-lite for one node).
 
-    def __init__(self, data_dir: Optional[str] = None, scheme: str = "bm25"):
+    Per-index settings (≙ IndexSettings persisted in `.xapiand/indices`,
+    src/index_resolver_lru.h:41-66): ``num_shards`` selects the mesh-backed
+    ShardedDatabase behind every REST route; defaults come from the server
+    flags (≙ opts.h:85-86 num_shards/num_replicas defaults). Settings are
+    fixed at index creation - resharding needs dump/restore, matching the
+    reference (index settings are created on first write and immutable)."""
+
+    def __init__(self, data_dir: Optional[str] = None, scheme: str = "bm25",
+                 default_num_shards: int = 1):
         self.data_dir = data_dir
         self.scheme = scheme
+        self.default_num_shards = int(default_num_shards)
         self.post_open = None          # hook: (name, db) -> None
         self.indexes: dict[str, Database] = {}
+        self.settings: dict[str, dict] = {}
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
             for name in sorted(os.listdir(data_dir)):
@@ -71,13 +81,77 @@ class IndexManager:
             if not seg or not _SAFE_SEG.match(seg) or seg.startswith(":"):
                 raise ApiError(400, f"invalid index name {name!r}")
 
+    # -- per-index settings (num_shards; resolver analog) ----------------------
+
+    def get_settings(self, name: str) -> dict:
+        s = self.settings.get(name)
+        if s is not None:
+            return s
+        path = self._path_for(name)
+        if path is not None:
+            import json as _json
+
+            fp = os.path.join(path, "settings.json")
+            if os.path.exists(fp):
+                with open(fp) as fh:
+                    s = _json.load(fh)
+                self.settings[name] = s
+                return s
+        s = {"num_shards": self.default_num_shards}
+        self.settings[name] = s
+        return s
+
+    def set_settings(self, name: str, new: dict) -> dict:
+        self.validate(name)
+        if not isinstance(new, dict):
+            raise ApiError(400, "settings body must be an object")
+        ns = new.get("num_shards", self.default_num_shards)
+        if not isinstance(ns, int) or not (1 <= ns <= 256):
+            raise ApiError(400, "num_shards must be an int in [1, 256]")
+        cur = self.indexes.get(name)
+        if cur is not None and cur.doc_count + len(cur._builder) > 0 \
+                and self.get_settings(name).get("num_shards") != ns:
+            raise ApiError(400,
+                           f"index {name!r} already has documents; "
+                           "num_shards is fixed at creation "
+                           "(dump + restore into a new index to reshard)")
+        s = {"num_shards": ns}
+        for k in ("num_replicas",):
+            if k in new:
+                s[k] = int(new[k])
+        self.settings[name] = s
+        path = self._path_for(name)
+        if path is not None:
+            import json as _json
+
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "settings.json"), "w") as fh:
+                _json.dump(s, fh)
+        if cur is not None and cur.doc_count + len(cur._builder) == 0 and \
+                getattr(cur, "n_shards", 1) != ns:
+            # empty index: rebuild the backend with the new shard count
+            cur.close()
+            self.indexes.pop(name, None)
+        return s
+
+    def _open(self, name: str) -> Database:
+        s = self.get_settings(name)
+        n_shards = int(s.get("num_shards", 1))
+        if n_shards > 1:
+            from xapiand_tpu.parallel.sharded_db import ShardedDatabase
+
+            return ShardedDatabase(path=self._path_for(name),
+                                   scheme=self.scheme, n_shards=n_shards)
+        return Database(path=self._path_for(name), scheme=self.scheme)
+
     def get(self, name: str, create: bool = False) -> Database:
         self.validate(name)
         db = self.indexes.get(name)
         if db is None:
-            if name not in self.indexes and not create:
+            if name not in self.indexes and not create and \
+                    name not in self.settings:
                 raise ApiError(404, f"index {name!r} not found")
-            db = Database(path=self._path_for(name), scheme=self.scheme)
+            db = self._open(name)
             self.indexes[name] = db
             if self.post_open is not None:
                 self.post_open(name, db)
@@ -88,6 +162,7 @@ class IndexManager:
 
     def delete(self, name: str):
         db = self.indexes.pop(name, None)
+        self.settings.pop(name, None)
         if db is None:
             raise ApiError(404, f"index {name!r} not found")
         db.close()
@@ -254,6 +329,13 @@ class RestServer:
             return self._info(index), 200
         if cmd == "schema":
             return self.man.get(index).schema.to_dict(), 200
+        if cmd == "settings":
+            # per-index IndexSettings (num_shards -> mesh-sharded backend;
+            # ≙ index_resolver_lru.h:41-66, persisted like .xapiand/indices)
+            if method in ("PUT", "POST", "UPDATE"):
+                body = await self._body(request)
+                return self.man.set_settings(index, body), 200
+            return dict(self.man.get_settings(index)), 200
         if cmd == "metadata":
             return await self._metadata(request, method, index)
         if cmd == "commit":
