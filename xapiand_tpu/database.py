@@ -142,6 +142,9 @@ class Database:
         """Post-commit hook: the sharded subclass records the new segment
         generation and stacks it over the mesh."""
 
+    def _defer_text(self) -> bool:
+        return getattr(self._builder, "wants_deferred_text", False)
+
     # -- write path ----------------------------------------------------------
 
     def index_document(self, obj: dict, doc_id: Optional[str] = None,
@@ -153,7 +156,8 @@ class Database:
         raises VersionConflict otherwise)."""
         if isinstance(obj, dict) and "_script" in obj:
             obj = self._run_script(dict(obj), doc_id)
-        idoc = self.schema.index(obj, doc_id)
+        idoc = self.schema.index(obj, doc_id,
+                                 defer_text=self._defer_text())
         did = idoc.doc_id
         cur = self._versions.get(did, 0)
         if version is not None and int(version) != cur:
@@ -291,7 +295,10 @@ class Database:
                 doc = self._docs_store.get(key)
                 if doc is None:
                     continue
-                builder.add(self.schema.index(doc, key))
+                builder.add(self.schema.index(
+                    doc, key,
+                    defer_text=getattr(builder, "wants_deferred_text",
+                                       False)))
         merged = builder.finalize() if len(builder) else None
         new_searchers, remap = [], {}
         for i, s in enumerate(self._searchers):
@@ -472,7 +479,8 @@ class Database:
         self._pending_deletes = set()
         for doc in docs:
             did = doc.pop("_id")
-            idoc = self.schema.index(doc, did)
+            idoc = self.schema.index(doc, did,
+                                     defer_text=self._defer_text())
             self._builder.add(idoc)
             self._pending_docs[did] = idoc.data
         self.commit()

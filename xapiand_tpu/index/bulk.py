@@ -62,7 +62,10 @@ class BulkIndexer:
         self._futures.append((doc_id, obj, fut))
 
     def _prepare_one(self, obj, doc_id):
-        idoc = self.db.schema.index(obj, doc_id)
+        idoc = self.db.schema.index(
+            obj, doc_id,
+            defer_text=getattr(self.db._builder, "wants_deferred_text",
+                               False))
         self.counters.prepared += 1
         return idoc
 

@@ -20,8 +20,26 @@ from xapiand_tpu.utils import serialise as ser
 _I32MAX = np.int32(2**31 - 1)
 
 
+def _materialize_text_ops(idoc: IndexedDocument) -> None:
+    """Run deferred text ops through the Python TermGenerator (used when a
+    deferred document lands in a pure-Python builder)."""
+    from xapiand_tpu.analysis import termgen as tg_mod
+
+    termpos = 0
+    for (value, prefixes, language, stem_s, stop_s, weight,
+         with_pos, pos_start, cjk) in idoc.text_ops:
+        tg = tg_mod.TermGenerator(language, stem_strategy=stem_s,
+                                  stop_strategy=stop_s, cjk_ngram=cjk)
+        tg.position = max(termpos, pos_start)
+        tg.index_text(idoc.terms, value, wdf_inc=weight, prefixes=prefixes,
+                      with_positions=with_pos)
+        tg.increase_termpos()
+        termpos = tg.position
+    idoc.text_ops = []
+
+
 class SegmentBuilder:
-    def __init__(self):
+    def __init__(self, native: bool = True):
         self._postings = defaultdict(list)   # term -> [(docid, wdf)]
         self._positions = defaultdict(list)  # term -> [(docid, [pos...])]
         self._doclen: list[float] = []
@@ -30,11 +48,29 @@ class SegmentBuilder:
         self._doc_keys: list[str] = []
         self._collfreq = defaultdict(int)
         self._uniq: list[int] = []
+        self._inv = None
+        if native:
+            from xapiand_tpu.native import lib as _nlib
+
+            if _nlib is not None and hasattr(_nlib._c, "xt_inv_new"):
+                from xapiand_tpu.analysis.stopwords import get_stopwords
+
+                self._inv = _nlib.make_inverter(get_stopwords("english"))
+
+    @property
+    def wants_deferred_text(self) -> bool:
+        """True when Schema.index should defer text analysis to add()'s
+        native inverter (tokenise+stem+accumulate in C++)."""
+        return self._inv is not None
 
     def __len__(self):
         return len(self._doc_keys)
 
     def add(self, idoc: IndexedDocument) -> int:
+        if self._inv is not None:
+            return self._add_native(idoc)
+        if idoc.text_ops:
+            _materialize_text_ops(idoc)
         docid = len(self._doc_keys)
         self._doc_keys.append(idoc.doc_id)
         # distinct terms incl. the id term (Xapian UNIQUE_TERMS = termlist
@@ -58,9 +94,65 @@ class SegmentBuilder:
         self._postings[idoc.id_term].append((docid, 0))
         return docid
 
+    def _add_native(self, idoc: IndexedDocument) -> int:
+        """Stream one analysed document through the C++ inverter: non-text
+        terms via add_term, deferred text ops via index_text (which does
+        tokenise+stem+per-doc accumulation natively); non-ASCII or
+        non-English text ops fall back to the Python TermGenerator per op
+        but still land their terms in the inverter."""
+        from xapiand_tpu.analysis import termgen as tg_mod
+        from xapiand_tpu.analysis.stem import resolve_language
+
+        inv = self._inv
+        docid = len(self._doc_keys)
+        self._doc_keys.append(idoc.doc_id)
+        inv.begin_doc(docid)
+        for term, entry in idoc.terms.items():
+            inv.add_term(term, float(entry.wdf), entry.positions or None)
+        termpos = 0
+        for (value, prefixes, language, stem_s, stop_s, weight,
+             with_pos, pos_start, cjk) in idoc.text_ops:
+            base = max(termpos, pos_start)
+            r = None
+            lang = resolve_language(language)
+            if lang in (None, "english"):
+                # no language => TermGenerator forces stem none and an
+                # empty stopword set; mirror that before going native
+                eff_stem = stem_s if lang else tg_mod.STEM_NONE
+                eff_stop = stop_s if lang else tg_mod.STOP_NONE
+                r = inv.index_text(value, list(prefixes), base,
+                                   float(weight), with_pos, eff_stem,
+                                   eff_stop)
+            if r is None:
+                tg = tg_mod.TermGenerator(language, stem_strategy=stem_s,
+                                          stop_strategy=stop_s,
+                                          cjk_ngram=cjk)
+                tg.position = base
+                tmp = tg_mod.DocumentTerms()
+                tg.index_text(tmp, value, wdf_inc=weight, prefixes=prefixes,
+                              with_positions=with_pos)
+                for term, entry in tmp.items():
+                    inv.add_term(term, float(entry.wdf),
+                                 entry.positions or None)
+                r = tg.position
+            termpos = r + 100   # ≙ tg.increase_termpos() between fields
+        inv.add_term(idoc.id_term, 0.0, None)
+        doclen, uniq = inv.end_doc()
+        self._doclen.append(float(doclen))
+        self._uniq.append(int(uniq))
+        for slot, vals in idoc.values.items():
+            if vals:
+                self._values[slot][docid] = list(vals)
+        for slot, ranges in idoc.geo_ranges.items():
+            if ranges:
+                self._geo[slot].setdefault(docid, []).extend(ranges)
+        return docid
+
     # -- pack ------------------------------------------------------------------
 
     def finalize(self) -> Segment:
+        if self._inv is not None:
+            return self._finalize_native()
         nd = len(self._doc_keys)
         terms = sorted(self._postings.keys())
         total_post = sum(len(self._postings[t]) for t in terms)
@@ -136,6 +228,77 @@ class SegmentBuilder:
         for slot, per_doc in self._values.items():
             values[slot] = self._pack_value_column(slot, per_doc, nd)
 
+        geo = {}
+        for slot, per_doc in self._geo.items():
+            geo[slot] = self._pack_geo_column(per_doc, nd)
+
+        return Segment(
+            num_docs=nd,
+            total_doclen=float(sum(self._doclen)),
+            post_docids=post_docids,
+            post_wdf=post_wdf,
+            post_doclen=post_doclen,
+            post_posoff=post_posoff,
+            post_poslen=post_poslen,
+            positions=positions,
+            doclen=doclen,
+            deleted=deleted,
+            terms=term_infos,
+            values=values,
+            geo=geo,
+            doc_keys=list(self._doc_keys),
+            guard=guard,
+            uniqterms=uniqterms,
+        )
+
+    def _finalize_native(self) -> Segment:
+        """Pack the C++ inverter's exported arrays into a Segment - the
+        postings/positions/term-stats equivalents of the Python pack below,
+        with the per-term loops replaced by one export call."""
+        nd = len(self._doc_keys)
+        ex = self._inv.export()
+        nt = ex["n_terms"]
+        total_post = ex["n_postings"]
+        guard = size_class(max(int(ex["max_post_len"]), 1))
+        P = total_post + guard
+        post_docids = np.full(P, nd, dtype=np.int32)
+        post_wdf = np.zeros(P, dtype=np.float32)
+        post_posoff = np.zeros(P, dtype=np.int32)
+        post_poslen = np.zeros(P, dtype=np.int32)
+        post_docids[:total_post] = ex["docids"]
+        post_wdf[:total_post] = ex["wdf"]
+        post_posoff[:total_post] = ex["posoff"]
+        post_poslen[:total_post] = ex["poslen"]
+        positions = np.concatenate(
+            [ex["positions"], np.zeros(128, dtype=np.int32)])  # guard
+
+        term_infos: dict[str, TermInfo] = {}
+        buf = ex["term_buf"]
+        lens = ex["term_lens"][:nt].tolist()
+        offs = ex["offsets"].tolist()
+        cfs = ex["collfreq"][:nt].tolist()
+        mws = ex["maxwdf"][:nt].tolist()
+        b = 0
+        for tid in range(nt):
+            tl = lens[tid]
+            term = buf[b: b + tl].decode("utf-8")
+            b += tl
+            off = offs[tid]
+            term_infos[term] = TermInfo(
+                tid=tid, offset=off, length=offs[tid + 1] - off,
+                collfreq=int(round(cfs[tid])), max_wdf=float(mws[tid]))
+
+        doclen = np.zeros(nd + 1, dtype=np.float32)
+        uniqterms = np.ones(nd + 1, dtype=np.float32)
+        if nd:
+            doclen[:nd] = np.asarray(self._doclen, dtype=np.float32)
+            uniqterms[:nd] = np.asarray(self._uniq, dtype=np.float32)
+        deleted = np.zeros(nd + 1, dtype=bool)
+        post_doclen = doclen[np.minimum(post_docids, nd)]
+
+        values = {}
+        for slot, per_doc in self._values.items():
+            values[slot] = self._pack_value_column(slot, per_doc, nd)
         geo = {}
         for slot, per_doc in self._geo.items():
             geo[slot] = self._pack_geo_column(per_doc, nd)

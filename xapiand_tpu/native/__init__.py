@@ -42,6 +42,30 @@ class NativeLib:
         c.xt_delta_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                       ctypes.POINTER(ctypes.c_uint32),
                                       ctypes.c_int64]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        c.xt_inv_new.restype = ctypes.c_void_p
+        c.xt_inv_free.argtypes = [ctypes.c_void_p]
+        c.xt_inv_set_stopwords.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                           ctypes.c_int64]
+        c.xt_inv_begin_doc.restype = ctypes.c_int32
+        c.xt_inv_begin_doc.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        c.xt_inv_index_text.restype = ctypes.c_int64
+        c.xt_inv_index_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, i32p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        c.xt_inv_add_term.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int32, ctypes.c_float,
+                                      i32p, ctypes.c_int32]
+        c.xt_inv_end_doc.argtypes = [ctypes.c_void_p, f64p, i32p]
+        c.xt_inv_counts.argtypes = [ctypes.c_void_p, i64p, i64p, i64p,
+                                    i64p, i64p]
+        c.xt_inv_export.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, i32p, i64p, f64p, f32p,
+            i32p, f32p, i32p, i32p, i32p]
 
     def fnv1a64(self, data: bytes) -> int:
         return self._c.xt_fnv1a64(data, len(data))
@@ -98,6 +122,9 @@ class NativeLib:
             raise ValueError("delta encode overflow")
         return out.raw[:n]
 
+    def make_inverter(self, stopwords=None) -> "Inverter":
+        return Inverter(self, stopwords)
+
     def delta_decode(self, data: bytes, max_out: int):
         import numpy as np
 
@@ -107,6 +134,100 @@ class NativeLib:
         if n < 0:
             raise ValueError("delta decode failed")
         return arr[:n]
+
+
+_STEM_MODES = {"none": 0, "some": 1, "all": 2, "all_z": 3}
+_STOP_MODES = {"none": 0, "all": 1, "stemmed": 2}
+
+
+class Inverter:
+    """Native doc->terms inverter (TermGenerator + glass-inverter analog,
+    termgenerator_internal.cc + glass_inverter.cc). Owns the term
+    dictionary, postings, and positions; SegmentBuilder drives it and packs
+    the exported arrays into a Segment."""
+
+    def __init__(self, nlib: "NativeLib", stopwords=None):
+        self._c = nlib._c
+        self._h = self._c.xt_inv_new()
+        if stopwords:
+            blob = "\n".join(sorted(stopwords)).encode("utf-8")
+            self._c.xt_inv_set_stopwords(self._h, blob, len(blob))
+
+    def __del__(self):
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._c.xt_inv_free(h)
+
+    def begin_doc(self, docid: int):
+        self._c.xt_inv_begin_doc(self._h, docid)
+
+    def index_text(self, text: str, prefixes, pos_base: int, wdf_inc: float,
+                   with_positions: bool, stem_strategy: str,
+                   stop_strategy: str):
+        """-> next position base, or None for non-ASCII input (caller runs
+        the Python TermGenerator for this block instead)."""
+        if not text.isascii():
+            return None
+        raw = text.encode("ascii")
+        pbuf = "".join(prefixes).encode("utf-8")
+        plens = (ctypes.c_int32 * len(prefixes))(
+            *[len(p.encode("utf-8")) for p in prefixes])
+        r = self._c.xt_inv_index_text(
+            self._h, raw, len(raw), pbuf, plens, len(prefixes),
+            pos_base, wdf_inc, 1 if with_positions else 0,
+            _STEM_MODES[stem_strategy], _STOP_MODES[stop_strategy])
+        return None if r < 0 else int(r)
+
+    def add_term(self, term: str, wdf: float, positions=None):
+        raw = term.encode("utf-8")
+        if positions:
+            arr = (ctypes.c_int32 * len(positions))(*positions)
+            self._c.xt_inv_add_term(self._h, raw, len(raw), wdf, arr,
+                                    len(positions))
+        else:
+            self._c.xt_inv_add_term(self._h, raw, len(raw), wdf, None, 0)
+
+    def end_doc(self):
+        dl = ctypes.c_double()
+        uq = ctypes.c_int32()
+        self._c.xt_inv_end_doc(self._h, ctypes.byref(dl), ctypes.byref(uq))
+        return float(dl.value), int(uq.value)
+
+    def export(self):
+        """-> dict of packed numpy arrays + the sorted term table."""
+        import numpy as np
+
+        nt, npost, npos, tbytes, maxlen = (ctypes.c_int64() for _ in range(5))
+        self._c.xt_inv_counts(self._h, *(ctypes.byref(x) for x in
+                                         (nt, npost, npos, tbytes, maxlen)))
+        nt, npost, npos = nt.value, npost.value, npos.value
+        tbytes, maxlen = tbytes.value, maxlen.value
+        term_buf = ctypes.create_string_buffer(max(tbytes, 1))
+        term_lens = np.zeros(max(nt, 1), np.int32)
+        offsets = np.zeros(nt + 1, np.int64)
+        collfreq = np.zeros(max(nt, 1), np.float64)
+        maxwdf = np.zeros(max(nt, 1), np.float32)
+        docids = np.zeros(max(npost, 1), np.int32)
+        wdf = np.zeros(max(npost, 1), np.float32)
+        posoff = np.zeros(max(npost, 1), np.int32)
+        poslen = np.zeros(max(npost, 1), np.int32)
+        positions = np.zeros(max(npos, 1), np.int32)
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        self._c.xt_inv_export(
+            self._h, term_buf, p(term_lens, ctypes.c_int32),
+            p(offsets, ctypes.c_int64), p(collfreq, ctypes.c_double),
+            p(maxwdf, ctypes.c_float), p(docids, ctypes.c_int32),
+            p(wdf, ctypes.c_float), p(posoff, ctypes.c_int32),
+            p(poslen, ctypes.c_int32), p(positions, ctypes.c_int32))
+        return {"n_terms": nt, "n_postings": npost, "max_post_len": maxlen,
+                "term_buf": term_buf.raw[:tbytes], "term_lens": term_lens,
+                "offsets": offsets, "collfreq": collfreq, "maxwdf": maxwdf,
+                "docids": docids[:npost], "wdf": wdf[:npost],
+                "posoff": posoff[:npost], "poslen": poslen[:npost],
+                "positions": positions[:npos]}
 
 
 def _build() -> bool:

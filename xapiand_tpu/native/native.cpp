@@ -287,3 +287,794 @@ int64_t xt_delta_decode(const uint8_t* src, int64_t src_len,
 }
 
 }  // extern "C"
+
+// --------------------------------------------------------------------------
+// Inverter: tokenize + stem + per-doc accumulation + packed postings.
+//
+// Replaces the Python DocumentTerms/SegmentBuilder hot path (the reference
+// runs C++ TermGenerator + the glass inverter here:
+// src/xapian/queryparser/termgenerator_internal.cc, handler.h:256-361,
+// src/xapian/backends/glass/glass_inverter.cc). One xt_inv_index_text call
+// per text field does tokenize -> stopword check -> snowball(english) stem
+// -> per-doc wdf/position accumulation for every prefix namespace; end_doc
+// flushes into per-term posting vectors; export packs the flat segment
+// arrays consumed by models/segment.py.
+//
+// The English stemmer is a literal port of the NLTK Snowball English
+// stemmer's semantics (itself the standard Porter2 algorithm) so stems are
+// bit-identical to the Python analysis path, which remains the oracle.
+// --------------------------------------------------------------------------
+
+#include <algorithm>
+#include <string>
+#include <vector>
+
+namespace xtinv {
+
+static const char* kVowels = "aeiouy";
+
+static inline bool is_vowel(char c) {
+    return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' ||
+           c == 'y';
+}
+
+static inline bool ends_with(const std::string& s, const char* suf,
+                             size_t n) {
+    return s.size() >= n && memcmp(s.data() + s.size() - n, suf, n) == 0;
+}
+
+struct SpecialWord { const char* w; const char* stem; };
+static const SpecialWord kSpecial[] = {
+    {"skis", "ski"}, {"skies", "sky"}, {"dying", "die"}, {"lying", "lie"},
+    {"tying", "tie"}, {"idly", "idl"}, {"gently", "gentl"}, {"ugly", "ugli"},
+    {"early", "earli"}, {"only", "onli"}, {"singly", "singl"}, {"sky", "sky"},
+    {"news", "news"}, {"howe", "howe"}, {"atlas", "atlas"},
+    {"cosmos", "cosmos"}, {"bias", "bias"}, {"andes", "andes"},
+    {"inning", "inning"}, {"innings", "inning"}, {"outing", "outing"},
+    {"outings", "outing"}, {"canning", "canning"}, {"cannings", "canning"},
+    {"herring", "herring"}, {"herrings", "herring"}, {"earring", "earring"},
+    {"earrings", "earring"}, {"proceed", "proceed"}, {"proceeds", "proceed"},
+    {"proceeded", "proceed"}, {"proceeding", "proceed"},
+    {"exceed", "exceed"}, {"exceeds", "exceed"}, {"exceeded", "exceed"},
+    {"exceeding", "exceed"}, {"succeed", "succeed"}, {"succeeds", "succeed"},
+    {"succeeded", "succeed"}, {"succeeding", "succeed"},
+};
+
+// drop `n` chars from the tail (python s[:-n], clamped like slicing)
+static inline void chop(std::string& s, size_t n) {
+    s.resize(s.size() > n ? s.size() - n : 0);
+}
+
+// python suffix_replace(s, old, new) when s is known to end with old
+static inline void suffix_replace(std::string& s, size_t oldn,
+                                  const char* repl) {
+    chop(s, oldn);
+    s += repl;
+}
+
+// r-region update used all over the NLTK code:
+//   if len(r) >= len(suffix): r = suffix_replace(r, suffix, repl)
+//   else: r = fallback
+static inline void r_replace(std::string& r, size_t sufn, const char* repl,
+                             const char* fallback) {
+    if (r.size() >= sufn) {
+        chop(r, sufn);
+        r += repl;
+    } else {
+        r = fallback;
+    }
+}
+
+// Porter2 ("english" Snowball); semantics identical to
+// nltk.stem.snowball.EnglishStemmer.stem for lowercase input.
+static std::string stem_english(const std::string& input) {
+    std::string word = input;
+    if (word.size() <= 2) return word;
+    for (const auto& sp : kSpecial)
+        if (word == sp.w) return sp.stem;
+
+    if (word[0] == '\'') word.erase(0, 1);
+    if (!word.empty() && word[0] == 'y') word[0] = 'Y';
+    for (size_t i = 1; i < word.size(); i++)
+        if (word[i] == 'y' && is_vowel(word[i - 1])) word[i] = 'Y';
+
+    std::string r1, r2;
+    bool special_prefix =
+        (word.compare(0, 5, "gener") == 0 || word.compare(0, 5, "arsen") == 0);
+    bool commun = (word.compare(0, 6, "commun") == 0);
+    if (special_prefix || commun) {
+        r1 = word.substr(special_prefix ? 5 : 6);
+        for (size_t i = 1; i < r1.size(); i++) {
+            if (!is_vowel(r1[i]) && is_vowel(r1[i - 1])) {
+                r2 = r1.substr(i + 1);
+                break;
+            }
+        }
+    } else {
+        for (size_t i = 1; i < word.size(); i++) {
+            if (!is_vowel(word[i]) && is_vowel(word[i - 1])) {
+                r1 = word.substr(i + 1);
+                break;
+            }
+        }
+        for (size_t i = 1; i < r1.size(); i++) {
+            if (!is_vowel(r1[i]) && is_vowel(r1[i - 1])) {
+                r2 = r1.substr(i + 1);
+                break;
+            }
+        }
+    }
+
+    // STEP 0
+    {
+        static const char* sufs[] = {"'s'", "'s", "'"};
+        for (const char* suf : sufs) {
+            size_t n = strlen(suf);
+            if (ends_with(word, suf, n)) {
+                chop(word, n);
+                chop(r1, n);
+                chop(r2, n);
+                break;
+            }
+        }
+    }
+
+    // STEP 1a
+    {
+        static const char* sufs[] = {"sses", "ied", "ies", "us", "ss", "s"};
+        for (const char* suf : sufs) {
+            size_t n = strlen(suf);
+            if (!ends_with(word, suf, n)) continue;
+            if (strcmp(suf, "sses") == 0) {
+                chop(word, 2); chop(r1, 2); chop(r2, 2);
+            } else if (strcmp(suf, "ied") == 0 || strcmp(suf, "ies") == 0) {
+                if (word.size() - n > 1) {
+                    chop(word, 2); chop(r1, 2); chop(r2, 2);
+                } else {
+                    chop(word, 1); chop(r1, 1); chop(r2, 1);
+                }
+            } else if (strcmp(suf, "s") == 0) {
+                bool vowel_found = false;
+                for (size_t i = 0; i + 2 < word.size(); i++)
+                    if (is_vowel(word[i])) { vowel_found = true; break; }
+                if (vowel_found) {
+                    chop(word, 1); chop(r1, 1); chop(r2, 1);
+                }
+            }
+            break;
+        }
+    }
+
+    // STEP 1b
+    {
+        static const char* sufs[] = {"eedly", "ingly", "edly",
+                                     "eed", "ing", "ed"};
+        for (const char* suf : sufs) {
+            size_t n = strlen(suf);
+            if (!ends_with(word, suf, n)) continue;
+            if (strcmp(suf, "eed") == 0 || strcmp(suf, "eedly") == 0) {
+                if (ends_with(r1, suf, n)) {
+                    suffix_replace(word, n, "ee");
+                    r_replace(r1, n, "ee", "");
+                    r_replace(r2, n, "ee", "");
+                }
+            } else {
+                bool vowel_found = false;
+                for (size_t i = 0; i + n < word.size(); i++)
+                    if (is_vowel(word[i])) { vowel_found = true; break; }
+                if (vowel_found) {
+                    chop(word, n); chop(r1, n); chop(r2, n);
+                    if (ends_with(word, "at", 2) || ends_with(word, "bl", 2)
+                        || ends_with(word, "iz", 2)) {
+                        word += 'e';
+                        r1 += 'e';
+                        if (word.size() > 5 || r1.size() >= 3) r2 += 'e';
+                    } else if (ends_with(word, "bb", 2) ||
+                               ends_with(word, "dd", 2) ||
+                               ends_with(word, "ff", 2) ||
+                               ends_with(word, "gg", 2) ||
+                               ends_with(word, "mm", 2) ||
+                               ends_with(word, "nn", 2) ||
+                               ends_with(word, "pp", 2) ||
+                               ends_with(word, "rr", 2) ||
+                               ends_with(word, "tt", 2)) {
+                        chop(word, 1); chop(r1, 1); chop(r2, 1);
+                    } else if ((r1.empty() && word.size() >= 3 &&
+                                !is_vowel(word[word.size() - 1]) &&
+                                word[word.size() - 1] != 'w' &&
+                                word[word.size() - 1] != 'x' &&
+                                word[word.size() - 1] != 'Y' &&
+                                is_vowel(word[word.size() - 2]) &&
+                                !is_vowel(word[word.size() - 3])) ||
+                               (r1.empty() && word.size() == 2 &&
+                                is_vowel(word[0]) && !is_vowel(word[1]))) {
+                        word += 'e';
+                        if (!r1.empty()) r1 += 'e';
+                        if (!r2.empty()) r2 += 'e';
+                    }
+                }
+            }
+            break;
+        }
+    }
+
+    // STEP 1c
+    if (word.size() > 2 && (word.back() == 'y' || word.back() == 'Y') &&
+        !is_vowel(word[word.size() - 2])) {
+        word.back() = 'i';
+        if (!r1.empty()) r1.back() = 'i';
+        if (!r2.empty()) r2.back() = 'i';
+    }
+
+    // STEP 2
+    {
+        static const char* sufs[] = {
+            "ization", "ational", "fulness", "ousness", "iveness", "tional",
+            "biliti", "lessli", "entli", "ation", "alism", "aliti", "ousli",
+            "iviti", "fulli", "enci", "anci", "abli", "izer", "ator", "alli",
+            "bli", "ogi", "li"};
+        for (const char* suf : sufs) {
+            size_t n = strlen(suf);
+            if (!ends_with(word, suf, n)) continue;
+            if (ends_with(r1, suf, n)) {
+                if (strcmp(suf, "tional") == 0) {
+                    chop(word, 2); chop(r1, 2); chop(r2, 2);
+                } else if (strcmp(suf, "enci") == 0 ||
+                           strcmp(suf, "anci") == 0 ||
+                           strcmp(suf, "abli") == 0) {
+                    word.back() = 'e';
+                    if (!r1.empty()) r1.back() = 'e'; else r1 = "";
+                    if (!r2.empty()) r2.back() = 'e'; else r2 = "";
+                } else if (strcmp(suf, "entli") == 0) {
+                    chop(word, 2); chop(r1, 2); chop(r2, 2);
+                } else if (strcmp(suf, "izer") == 0 ||
+                           strcmp(suf, "ization") == 0) {
+                    suffix_replace(word, n, "ize");
+                    r_replace(r1, n, "ize", "");
+                    r_replace(r2, n, "ize", "");
+                } else if (strcmp(suf, "ational") == 0 ||
+                           strcmp(suf, "ation") == 0 ||
+                           strcmp(suf, "ator") == 0) {
+                    suffix_replace(word, n, "ate");
+                    r_replace(r1, n, "ate", "");
+                    r_replace(r2, n, "ate", "e");
+                } else if (strcmp(suf, "alism") == 0 ||
+                           strcmp(suf, "aliti") == 0 ||
+                           strcmp(suf, "alli") == 0) {
+                    suffix_replace(word, n, "al");
+                    r_replace(r1, n, "al", "");
+                    r_replace(r2, n, "al", "");
+                } else if (strcmp(suf, "fulness") == 0) {
+                    chop(word, 4); chop(r1, 4); chop(r2, 4);
+                } else if (strcmp(suf, "ousli") == 0 ||
+                           strcmp(suf, "ousness") == 0) {
+                    suffix_replace(word, n, "ous");
+                    r_replace(r1, n, "ous", "");
+                    r_replace(r2, n, "ous", "");
+                } else if (strcmp(suf, "iveness") == 0 ||
+                           strcmp(suf, "iviti") == 0) {
+                    suffix_replace(word, n, "ive");
+                    r_replace(r1, n, "ive", "");
+                    r_replace(r2, n, "ive", "e");
+                } else if (strcmp(suf, "biliti") == 0 ||
+                           strcmp(suf, "bli") == 0) {
+                    suffix_replace(word, n, "ble");
+                    r_replace(r1, n, "ble", "");
+                    r_replace(r2, n, "ble", "");
+                } else if (strcmp(suf, "ogi") == 0) {
+                    if (word.size() >= 4 && word[word.size() - 4] == 'l') {
+                        chop(word, 1); chop(r1, 1); chop(r2, 1);
+                    }
+                } else if (strcmp(suf, "fulli") == 0 ||
+                           strcmp(suf, "lessli") == 0) {
+                    chop(word, 2); chop(r1, 2); chop(r2, 2);
+                } else if (strcmp(suf, "li") == 0) {
+                    char prev = word.size() >= 3 ? word[word.size() - 3] : 0;
+                    if (prev && strchr("cdeghkmnrt", prev)) {
+                        chop(word, 2); chop(r1, 2); chop(r2, 2);
+                    }
+                }
+            }
+            break;
+        }
+    }
+
+    // STEP 3
+    {
+        static const char* sufs[] = {"ational", "tional", "alize", "icate",
+                                     "iciti", "ative", "ical", "ness", "ful"};
+        for (const char* suf : sufs) {
+            size_t n = strlen(suf);
+            if (!ends_with(word, suf, n)) continue;
+            if (ends_with(r1, suf, n)) {
+                if (strcmp(suf, "tional") == 0) {
+                    chop(word, 2); chop(r1, 2); chop(r2, 2);
+                } else if (strcmp(suf, "ational") == 0) {
+                    suffix_replace(word, n, "ate");
+                    r_replace(r1, n, "ate", "");
+                    r_replace(r2, n, "ate", "");
+                } else if (strcmp(suf, "alize") == 0) {
+                    chop(word, 3); chop(r1, 3); chop(r2, 3);
+                } else if (strcmp(suf, "icate") == 0 ||
+                           strcmp(suf, "iciti") == 0 ||
+                           strcmp(suf, "ical") == 0) {
+                    suffix_replace(word, n, "ic");
+                    r_replace(r1, n, "ic", "");
+                    r_replace(r2, n, "ic", "");
+                } else if (strcmp(suf, "ful") == 0 ||
+                           strcmp(suf, "ness") == 0) {
+                    chop(word, n); chop(r1, n); chop(r2, n);
+                } else if (strcmp(suf, "ative") == 0) {
+                    if (ends_with(r2, suf, n)) {
+                        chop(word, 5); chop(r1, 5); chop(r2, 5);
+                    }
+                }
+            }
+            break;
+        }
+    }
+
+    // STEP 4
+    {
+        static const char* sufs[] = {"ement", "ance", "ence", "able", "ible",
+                                     "ment", "ant", "ent", "ism", "ate",
+                                     "iti", "ous", "ive", "ize", "ion", "al",
+                                     "er", "ic"};
+        for (const char* suf : sufs) {
+            size_t n = strlen(suf);
+            if (!ends_with(word, suf, n)) continue;
+            if (ends_with(r2, suf, n)) {
+                if (strcmp(suf, "ion") == 0) {
+                    char prev = word.size() >= 4 ? word[word.size() - 4] : 0;
+                    if (prev == 's' || prev == 't') {
+                        chop(word, 3); chop(r1, 3); chop(r2, 3);
+                    }
+                } else {
+                    chop(word, n); chop(r1, n); chop(r2, n);
+                }
+            }
+            break;
+        }
+    }
+
+    // STEP 5
+    if (ends_with(r2, "l", 1) && word.size() >= 2 &&
+        word[word.size() - 2] == 'l') {
+        chop(word, 1);
+    } else if (ends_with(r2, "e", 1)) {
+        chop(word, 1);
+    } else if (ends_with(r1, "e", 1)) {
+        if (word.size() >= 4 && (is_vowel(word[word.size() - 2]) ||
+                                 word[word.size() - 2] == 'w' ||
+                                 word[word.size() - 2] == 'x' ||
+                                 word[word.size() - 2] == 'Y' ||
+                                 !is_vowel(word[word.size() - 3]) ||
+                                 is_vowel(word[word.size() - 4]))) {
+            chop(word, 1);
+        }
+    }
+
+    for (auto& c : word)
+        if (c == 'Y') c = 'y';
+    return word;
+}
+
+// ---- open-addressing string hash tables -----------------------------------
+
+struct StrTable {
+    // maps interned strings -> 0-based id; strings live in `arena`
+    std::vector<char> arena;
+    struct Ref { uint32_t off, len; };
+    std::vector<Ref> refs;
+    std::vector<uint32_t> slots;  // id + 1, 0 = empty
+    uint64_t mask = 0;
+
+    StrTable() { slots.assign(1 << 16, 0); mask = (1 << 16) - 1; }
+
+    const char* str(uint32_t id) const { return arena.data() + refs[id].off; }
+    uint32_t len(uint32_t id) const { return refs[id].len; }
+
+    void grow() {
+        size_t ns = slots.size() * 2;
+        std::vector<uint32_t> fresh(ns, 0);
+        uint64_t nmask = ns - 1;
+        for (uint32_t v : slots) {
+            if (!v) continue;
+            const Ref& r = refs[v - 1];
+            uint64_t h = xt_fnv1a64(
+                (const uint8_t*)arena.data() + r.off, r.len);
+            uint64_t i = h & nmask;
+            while (fresh[i]) i = (i + 1) & nmask;
+            fresh[i] = v;
+        }
+        slots.swap(fresh);
+        mask = nmask;
+    }
+
+    // returns id; `created` reports insertion
+    uint32_t intern(const char* s, uint32_t n, bool* created = nullptr) {
+        uint64_t h = xt_fnv1a64((const uint8_t*)s, n);
+        uint64_t i = h & mask;
+        while (slots[i]) {
+            const Ref& r = refs[slots[i] - 1];
+            if (r.len == n && memcmp(arena.data() + r.off, s, n) == 0) {
+                if (created) *created = false;
+                return slots[i] - 1;
+            }
+            i = (i + 1) & mask;
+        }
+        uint32_t id = (uint32_t)refs.size();
+        uint32_t off = (uint32_t)arena.size();
+        arena.insert(arena.end(), s, s + n);
+        refs.push_back({off, n});
+        slots[i] = id + 1;
+        if (refs.size() * 10 > slots.size() * 7) grow();
+        if (created) *created = true;
+        return id;
+    }
+
+    int64_t find(const char* s, uint32_t n) const {
+        uint64_t h = xt_fnv1a64((const uint8_t*)s, n);
+        uint64_t i = h & mask;
+        while (slots[i]) {
+            const Ref& r = refs[slots[i] - 1];
+            if (r.len == n && memcmp(arena.data() + r.off, s, n) == 0)
+                return slots[i] - 1;
+            i = (i + 1) & mask;
+        }
+        return -1;
+    }
+};
+
+struct PostRec {
+    int32_t docid;
+    float wdf;
+    int32_t posoff;
+    int32_t poslen;
+};
+
+struct DocTerm {
+    uint32_t tid;
+    float wdf;
+    std::vector<int32_t> pos;
+};
+
+struct Inverter {
+    StrTable terms;                          // global term dictionary
+    std::vector<std::vector<PostRec>> postings;  // per tid
+    std::vector<double> collfreq;
+    std::vector<float> maxwdf;
+    std::vector<int32_t> positions;          // flat, aligned via PostRec
+
+    StrTable stopwords;                      // membership only
+    StrTable stemcache;                      // word -> stem id in stems
+    std::vector<uint32_t> stem_of;           // stemcache id -> stems id
+    StrTable stems;
+
+    // per-doc state
+    int32_t cur_doc = -1;
+    std::vector<DocTerm> doc_terms;          // pooled; doc_used live
+    size_t doc_used = 0;
+    std::vector<uint32_t> doc_slots;         // local idx + 1, keyed by tid
+    std::vector<uint32_t> doc_slot_epoch;
+    uint32_t epoch = 0;
+    uint64_t doc_mask = 0;
+
+    // tokenizer scratch
+    std::vector<uint8_t> tok_text;
+    std::vector<int32_t> tok_spans;
+    std::string scratch;
+
+    // finalize cache
+    std::vector<uint32_t> sorted_tids;
+    bool sorted_valid = false;
+
+    Inverter() {
+        doc_slots.assign(1 << 10, 0);
+        doc_slot_epoch.assign(1 << 10, 0);
+        doc_mask = (1 << 10) - 1;
+    }
+
+    void grow_doc_slots() {
+        size_t ns = doc_slots.size() * 2;
+        std::vector<uint32_t> fresh(ns, 0);
+        std::vector<uint32_t> fep(ns, 0);
+        uint64_t nmask = ns - 1;
+        for (size_t i = 0; i < doc_slots.size(); i++) {
+            if (doc_slot_epoch[i] != epoch || !doc_slots[i]) continue;
+            uint32_t v = doc_slots[i];
+            uint64_t h = (uint64_t)doc_terms[v - 1].tid * 0x9e3779b97f4a7c15ULL;
+            uint64_t j = h & nmask;
+            while (fep[j] == epoch && fresh[j]) j = (j + 1) & nmask;
+            fresh[j] = v;
+            fep[j] = epoch;
+        }
+        doc_slots.swap(fresh);
+        doc_slot_epoch.swap(fep);
+        doc_mask = nmask;
+    }
+
+    DocTerm& doc_term_for(uint32_t tid) {
+        uint64_t h = (uint64_t)tid * 0x9e3779b97f4a7c15ULL;
+        uint64_t i = h & doc_mask;
+        while (doc_slot_epoch[i] == epoch && doc_slots[i]) {
+            DocTerm& dt = doc_terms[doc_slots[i] - 1];
+            if (dt.tid == tid) return dt;
+            i = (i + 1) & doc_mask;
+        }
+        if (doc_used >= doc_terms.size()) doc_terms.emplace_back();
+        DocTerm& dt = doc_terms[doc_used];
+        dt.tid = tid;
+        dt.wdf = 0.0f;
+        dt.pos.clear();
+        doc_slots[i] = (uint32_t)(++doc_used);
+        doc_slot_epoch[i] = epoch;
+        if (doc_used * 10 > doc_slots.size() * 7) grow_doc_slots();
+        return dt;
+    }
+
+    void emit(const char* term, uint32_t n, float wdf_inc, int32_t pos) {
+        bool created = false;
+        uint32_t tid = terms.intern(term, n, &created);
+        if (created) {
+            postings.emplace_back();
+            collfreq.push_back(0.0);
+            maxwdf.push_back(0.0f);
+            sorted_valid = false;
+        }
+        DocTerm& dt = doc_term_for(tid);
+        dt.wdf += wdf_inc;
+        if (pos >= 0) dt.pos.push_back(pos);
+    }
+
+    const std::string& stem(const char* w, uint32_t n) {
+        bool created = false;
+        uint32_t cid = stemcache.intern(w, n, &created);
+        if (created) {
+            std::string s = stem_english(std::string(w, n));
+            uint32_t sid = stems.intern(s.data(), (uint32_t)s.size());
+            if (cid >= stem_of.size()) stem_of.resize(cid + 1);
+            stem_of[cid] = sid;
+        }
+        scratch.assign(stems.str(stem_of[cid]), stems.len(stem_of[cid]));
+        return scratch;
+    }
+};
+
+}  // namespace xtinv
+
+extern "C" {
+
+void* xt_inv_new() { return new xtinv::Inverter(); }
+
+void xt_inv_free(void* h) { delete (xtinv::Inverter*)h; }
+
+void xt_inv_set_stopwords(void* h, const uint8_t* data, int64_t len) {
+    auto* inv = (xtinv::Inverter*)h;
+    int64_t start = 0;
+    for (int64_t i = 0; i <= len; i++) {
+        if (i == len || data[i] == '\n') {
+            if (i > start)
+                inv->stopwords.intern((const char*)data + start,
+                                      (uint32_t)(i - start));
+            start = i + 1;
+        }
+    }
+}
+
+int32_t xt_inv_begin_doc(void* h, int32_t docid) {
+    auto* inv = (xtinv::Inverter*)h;
+    inv->cur_doc = docid;
+    inv->doc_used = 0;
+    if (++inv->epoch == 0) {   // epoch wrap: hard-clear stamps
+        std::fill(inv->doc_slot_epoch.begin(), inv->doc_slot_epoch.end(), 0);
+        inv->epoch = 1;
+    }
+    return docid;
+}
+
+// stem_mode: 0=none 1=some 2=all 3=all_z; stop_mode: 0=none 1=all 2=stemmed
+// returns base + last_pos + 1 (the TermGenerator position contract), or -1
+// for non-ASCII input (caller falls back; no partial state was written).
+int64_t xt_inv_index_text(void* h, const uint8_t* text, int64_t len,
+                          const uint8_t* prefix_buf,
+                          const int32_t* prefix_lens, int32_t n_prefixes,
+                          int64_t pos_base, float wdf_inc,
+                          int32_t with_positions, int32_t stem_mode,
+                          int32_t stop_mode) {
+    auto* inv = (xtinv::Inverter*)h;
+    int64_t max_tokens = len / 2 + 2;
+    inv->tok_text.resize(len + 8);
+    inv->tok_spans.resize(2 * max_tokens);
+    int64_t n = xt_tokenize_ascii(text, len, inv->tok_text.data(), len + 8,
+                                  inv->tok_spans.data(), max_tokens);
+    if (n < 0) return -1;
+
+    // prefix offsets into prefix_buf
+    int32_t poffs[17];
+    int32_t maxplen = 0;
+    if (n_prefixes > 16) n_prefixes = 16;
+    poffs[0] = 0;
+    for (int32_t p = 0; p < n_prefixes; p++) {
+        poffs[p + 1] = poffs[p] + prefix_lens[p];
+        if (prefix_lens[p] > maxplen) maxplen = prefix_lens[p];
+    }
+
+    const char* tt = (const char*)inv->tok_text.data();
+    std::string& buf = inv->scratch;
+    std::string term;
+    int64_t last_pos = -1;
+    for (int64_t k = 0; k < n; k++) {
+        const char* w = tt + inv->tok_spans[2 * k];
+        uint32_t wl = (uint32_t)inv->tok_spans[2 * k + 1];
+        if (!wl) continue;
+        int64_t tpos = k;
+        if (tpos > last_pos) last_pos = tpos;
+        bool is_stop = inv->stopwords.find(w, wl) >= 0;
+        if (is_stop && stop_mode == 1) continue;
+        bool has_digit = false;
+        for (uint32_t i = 0; i < wl; i++)
+            if (w[i] >= '0' && w[i] <= '9') { has_digit = true; break; }
+        int32_t pos = with_positions ? (int32_t)(pos_base + tpos) : -1;
+        int mode = (stem_mode == 0 || has_digit) ? 0 : stem_mode;
+        if (mode == 0) {
+            for (int32_t p = 0; p < n_prefixes; p++) {
+                uint32_t pl = (uint32_t)prefix_lens[p];
+                if (pl + wl > 245) continue;
+                term.assign((const char*)prefix_buf + poffs[p], pl);
+                term.append(w, wl);
+                inv->emit(term.data(), (uint32_t)term.size(), wdf_inc, pos);
+            }
+        } else if (mode == 1) {   // STEM_SOME
+            bool do_z = !(is_stop && stop_mode == 2);
+            uint32_t zl = 0;
+            if (do_z) {
+                buf = inv->stem(w, wl);
+                zl = (uint32_t)buf.size();
+            }
+            for (int32_t p = 0; p < n_prefixes; p++) {
+                uint32_t pl = (uint32_t)prefix_lens[p];
+                if (pl + wl <= 245) {
+                    term.assign((const char*)prefix_buf + poffs[p], pl);
+                    term.append(w, wl);
+                    inv->emit(term.data(), (uint32_t)term.size(), wdf_inc,
+                              pos);
+                }
+                if (do_z && 1 + pl + zl <= 245) {
+                    term.assign(1, 'Z');
+                    term.append((const char*)prefix_buf + poffs[p], pl);
+                    term.append(buf);
+                    inv->emit(term.data(), (uint32_t)term.size(), wdf_inc,
+                              -1);
+                }
+            }
+        } else {                  // STEM_ALL / STEM_ALL_Z
+            buf = inv->stem(w, wl);
+            uint32_t zl = (uint32_t)buf.size();
+            bool zmark = (mode == 3);
+            for (int32_t p = 0; p < n_prefixes; p++) {
+                uint32_t pl = (uint32_t)prefix_lens[p];
+                uint32_t total = (zmark ? 1 : 0) + pl + zl;
+                if (total > 245) continue;
+                term.clear();
+                if (zmark) term += 'Z';
+                term.append((const char*)prefix_buf + poffs[p], pl);
+                term.append(buf);
+                inv->emit(term.data(), (uint32_t)term.size(), wdf_inc, pos);
+            }
+        }
+    }
+    return pos_base + last_pos + 1;
+}
+
+void xt_inv_add_term(void* h, const uint8_t* term, int32_t len, float wdf,
+                     const int32_t* positions, int32_t npos) {
+    auto* inv = (xtinv::Inverter*)h;
+    bool created = false;
+    uint32_t tid = inv->terms.intern((const char*)term, (uint32_t)len,
+                                     &created);
+    if (created) {
+        inv->postings.emplace_back();
+        inv->collfreq.push_back(0.0);
+        inv->maxwdf.push_back(0.0f);
+        inv->sorted_valid = false;
+    }
+    xtinv::DocTerm& dt = inv->doc_term_for(tid);
+    dt.wdf += wdf;
+    for (int32_t i = 0; i < npos; i++) dt.pos.push_back(positions[i]);
+}
+
+void xt_inv_end_doc(void* h, double* doclen_out, int32_t* uniq_out) {
+    auto* inv = (xtinv::Inverter*)h;
+    double doclen = 0.0;
+    for (size_t i = 0; i < inv->doc_used; i++) {
+        xtinv::DocTerm& dt = inv->doc_terms[i];
+        int32_t posoff = 0, poslen = (int32_t)dt.pos.size();
+        if (poslen) {
+            // positions are appended in ascending order on the text path;
+            // add_term merges may interleave - keep them sorted like the
+            // Python builder (sorted(plist))
+            for (size_t j = 1; j < dt.pos.size(); j++)
+                if (dt.pos[j] < dt.pos[j - 1]) {
+                    std::sort(dt.pos.begin(), dt.pos.end());
+                    break;
+                }
+            posoff = (int32_t)inv->positions.size();
+            inv->positions.insert(inv->positions.end(), dt.pos.begin(),
+                                  dt.pos.end());
+        }
+        inv->postings[dt.tid].push_back(
+            {inv->cur_doc, dt.wdf, posoff, poslen});
+        inv->collfreq[dt.tid] += dt.wdf;
+        if (dt.wdf > inv->maxwdf[dt.tid]) inv->maxwdf[dt.tid] = dt.wdf;
+        doclen += dt.wdf;
+    }
+    *doclen_out = doclen;
+    *uniq_out = (int32_t)inv->doc_used;
+    inv->cur_doc = -1;
+}
+
+void xt_inv_counts(void* h, int64_t* n_terms, int64_t* n_postings,
+                   int64_t* n_positions, int64_t* term_bytes,
+                   int64_t* max_post_len) {
+    auto* inv = (xtinv::Inverter*)h;
+    *n_terms = (int64_t)inv->terms.refs.size();
+    int64_t np = 0, mx = 0;
+    for (const auto& pl : inv->postings) {
+        np += (int64_t)pl.size();
+        if ((int64_t)pl.size() > mx) mx = (int64_t)pl.size();
+    }
+    *n_postings = np;
+    *n_positions = (int64_t)inv->positions.size();
+    *term_bytes = (int64_t)inv->terms.arena.size();
+    *max_post_len = mx;
+}
+
+void xt_inv_export(void* h, uint8_t* term_buf, int32_t* term_lens,
+                   int64_t* post_offsets, double* collfreq_out,
+                   float* maxwdf_out, int32_t* post_docids, float* post_wdf,
+                   int32_t* post_posoff, int32_t* post_poslen,
+                   int32_t* positions_out) {
+    auto* inv = (xtinv::Inverter*)h;
+    size_t nt = inv->terms.refs.size();
+    if (!inv->sorted_valid) {
+        inv->sorted_tids.resize(nt);
+        for (size_t i = 0; i < nt; i++) inv->sorted_tids[i] = (uint32_t)i;
+        const xtinv::StrTable& T = inv->terms;
+        std::sort(inv->sorted_tids.begin(), inv->sorted_tids.end(),
+                  [&T](uint32_t a, uint32_t b) {
+                      uint32_t la = T.len(a), lb = T.len(b);
+                      int c = memcmp(T.str(a), T.str(b),
+                                     la < lb ? la : lb);
+                      if (c) return c < 0;
+                      return la < lb;
+                  });
+        inv->sorted_valid = true;
+    }
+    uint8_t* tb = term_buf;
+    int64_t off = 0;
+    for (size_t i = 0; i < nt; i++) {
+        uint32_t tid = inv->sorted_tids[i];
+        uint32_t l = inv->terms.len(tid);
+        memcpy(tb, inv->terms.str(tid), l);
+        tb += l;
+        term_lens[i] = (int32_t)l;
+        post_offsets[i] = off;
+        const auto& pl = inv->postings[tid];
+        for (const auto& pr : pl) {
+            post_docids[off] = pr.docid;
+            post_wdf[off] = pr.wdf;
+            post_posoff[off] = pr.posoff;
+            post_poslen[off] = pr.poslen;
+            off++;
+        }
+        collfreq_out[i] = inv->collfreq[tid];
+        maxwdf_out[i] = inv->maxwdf[tid];
+    }
+    post_offsets[nt] = off;
+    if (!inv->positions.empty())
+        memcpy(positions_out, inv->positions.data(),
+               inv->positions.size() * sizeof(int32_t));
+}
+
+}  // extern "C"

@@ -492,7 +492,10 @@ class ShardedIndex:
 
     def index_document(self, obj: dict, doc_id: Optional[str] = None,
                        _log: bool = True) -> str:
-        idoc = self.schema.index(obj, doc_id)
+        idoc = self.schema.index(
+            obj, doc_id,
+            defer_text=getattr(self._builders[0], "wants_deferred_text",
+                               False))
         shard = self.route(idoc.doc_id)
         if self._wals is not None and _log:
             self._wals[shard].write_replace_document(idoc.doc_id, obj)

@@ -65,6 +65,10 @@ class _ShardRoutedBuilder:
         self.order: list[list[int]] = [[] for _ in range(n_shards)]
         self._n = 0
 
+    @property
+    def wants_deferred_text(self) -> bool:
+        return self.builders[0].wants_deferred_text
+
     def route(self, doc_id: str) -> int:
         return fnv1ah64("Q" + str(doc_id)) % self.n_shards
 
@@ -191,7 +195,8 @@ class ShardedDatabase(Database):
                         docs.append((key, doc))
         builder = self._new_builder()
         for key, doc in docs:
-            builder.add(self.schema.index(doc, key))
+            builder.add(self.schema.index(
+                doc, key, defer_text=builder.wants_deferred_text))
         self._builder = builder   # freeze via the standard path (orderkeys)
         segs = self._finalize_pending()
         self._builder = self._new_builder()

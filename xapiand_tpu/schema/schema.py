@@ -89,6 +89,10 @@ class IndexedDocument:
     values: dict  # slot -> list of typed values (float | str | bool | tuple)
     data: dict    # the stored document object
     geo_ranges: dict = dfield(default_factory=dict)  # slot -> HTM ranges
+    # text analysis ops deferred to the builder's native inverter (each is
+    # (value, prefixes, language, stem_strategy, stop_strategy, weight,
+    # with_positions, position_start)); empty on the eager path
+    text_ops: list = dfield(default_factory=list)
 
 
 def field_prefix(path: str) -> str:
@@ -359,10 +363,14 @@ class Schema:
 
     # -- indexing --------------------------------------------------------------
 
-    def index(self, obj: dict, doc_id: str | None = None) -> IndexedDocument:
+    def index(self, obj: dict, doc_id: str | None = None,
+              defer_text: bool = False) -> IndexedDocument:
         """Walk a document, producing terms/values and updating the schema.
 
-        ≙ Schema::index (schema.cc:2709)."""
+        ≙ Schema::index (schema.cc:2709). With defer_text, text fields are
+        recorded as IndexedDocument.text_ops instead of being analysed here
+        - the segment builder streams them through the native inverter
+        (tokenise+stem+accumulate in C++), its hottest path."""
         if not isinstance(obj, dict):
             raise SchemaError("document must be an object")
         obj = copy.deepcopy(obj)
@@ -380,6 +388,7 @@ class Schema:
             data=obj,
         )
         out.values[SLOT_ID] = [doc_id]
+        out._defer = defer_text
         root_spec = self._root_defaults()
         schema_node = self.props["schema"]
         for name, value in obj.items():
@@ -564,6 +573,12 @@ class Schema:
                 out.values.setdefault(spec.slot, []).append(tv)
 
     def _emit_text_terms(self, out, spec, value, prefixes: tuple):
+        if getattr(out, "_defer", False):
+            out.text_ops.append(
+                (str(value), prefixes, spec.language, spec.stem_strategy,
+                 spec.stop_strategy, spec.weight, spec.positions,
+                 spec.position_start, spec.cjk_ngram))
+            return
         tg = tg_mod.TermGenerator(spec.language,
                                   stem_strategy=spec.stem_strategy,
                                   stop_strategy=spec.stop_strategy,
