@@ -108,80 +108,39 @@ def main():
     log("segment uploaded")
 
     # terms sorted by df desc so per-position size classes align across
-    # queries; queries grouped by max size class so a single huge-df query
-    # doesn't inflate every query's sort width (a scheduler concern the
-    # reference never has - its per-query iterators are naturally sized)
+    # queries; the library's BatchSearcher owns the shape bucketing
+    # (signature -> size-class terciles -> equal-work batch widths), so the
+    # benchmark now drives the same code path real mixed traffic uses
     queries = [sorted(q, key=lambda t: -seg.terms[t].length)
                for q in queries]
-    bounds = [bind(compile_ir(Q.or_terms(q)), seg, scheme, stats, k=K)
-              for q in queries]
-    from xapiand_tpu.query.plan import unify_cfgs
+    from xapiand_tpu.search import BatchSearcher
 
-    # three shape groups at cmax terciles: compile cost stays bounded while
-    # small-term queries stop paying the biggest query's sort width
-    cmaxes = sorted(max(b.cfg.term_classes()) for b in bounds)
-    cuts = sorted({cmaxes[len(cmaxes) // 3], cmaxes[2 * len(cmaxes) // 3],
-                   cmaxes[-1]})
-    groups: dict = {c: [] for c in cuts}
-    for qi, b in enumerate(bounds):
-        cm = max(b.cfg.term_classes())
-        groups[next(c for c in cuts if cm <= c)].append(qi)
-    groups = {c: v for c, v in groups.items() if v}
-
-    def batch_sizes(n):
-        """One width per group (one compile per group): BATCH when the
-        group is big enough, else the next pow2 that covers it."""
-        if n >= BATCH // 2:
-            w = BATCH
-        else:
-            w = 32
-            while w < n:
-                w *= 2
-        return [w] * (-(-n // w))
-
-    batches = []       # (cfg, batch_arrays, chunk_query_idxs)
-    group_cfgs = {}
-    for cmax in sorted(groups):
-        idxs = groups[cmax]
-        cfg_g = unify_cfgs([bounds[i].cfg for i in idxs], k=K)
-        group_cfgs[cmax] = cfg_g
-        T = cfg_g.T
-        s = 0
-        for bs in batch_sizes(len(idxs)):
-            chunk = list(idxs[s: s + bs])
-            s += bs
-            while len(chunk) < bs:         # wraparound pad (same work/row)
-                chunk.append(chunk[0])
-            batch = {
-                k: jnp.asarray(np.stack([
-                    np.pad(bounds[i].arrays[k],
-                           [(0, T - bounds[i].arrays[k].shape[0])])
-                    for i in chunk]))
-                for k in ("offsets", "lens", "tconst", "scoring",
-                          "group_bits")
-            }
-            batches.append((cfg_g, batch, chunk))
-    log("binding done; group classes=" +
-        str({c: group_cfgs[c].classes for c in sorted(groups)}) +
-        " sizes=" + str({c: len(groups[c]) for c in sorted(groups)}))
+    bsearch = BatchSearcher(searcher, k=K, max_batch=BATCH)
+    planned = bsearch.plan([Q.or_terms(q) for q in queries], stats=stats)
+    batches = [(cfg_g, fn, batch, chunk)
+               for cfg_g, fn, batch, chunk in planned]
+    group_shapes = {}
+    for cfg_g, _fn, batch, chunk in batches:
+        key = str(max(cfg_g.classes))
+        info = group_shapes.setdefault(
+            key, {"classes": list(cfg_g.classes), "width": 0, "n": 0})
+        info["width"] = max(info["width"], int(batch["offsets"].shape[0]))
+        info["n"] += len(set(chunk))
+    log("binding done; groups=" + str(group_shapes))
 
     # warmup / compile every distinct (classes, batch-width) shape
     t0 = time.time()
-    fns = {}
     warmed = set()
     out0 = None
-    for cfg_g, batch, chunk in batches:
-        key = cfg_g.classes
-        if key not in fns:
-            fns[key] = searcher.batched(cfg_g)
-        skey = (key, batch["offsets"].shape[0])
+    for cfg_g, fn, batch, chunk in batches:
+        skey = (cfg_g.classes, batch["offsets"].shape[0])
         if skey not in warmed:
             warmed.add(skey)
-            o = fns[key](seg_arrays, batch, stats_d)
+            o = fn(seg_arrays, batch, stats_d)
             jax.block_until_ready(o)
             if out0 is None:
                 out0, chunk0 = o, chunk
-    log(f"compile+warmup ({len(fns)} shapes) {time.time()-t0:.1f}s")
+    log(f"compile+warmup ({len(warmed)} shapes) {time.time()-t0:.1f}s")
 
     # recall parity vs the CPU baseline on a sample (BASELINE.md gate)
     sample = min(8, len(chunk0))
@@ -208,8 +167,8 @@ def main():
     t0 = time.time()
     o = None
     for _ in range(reps):
-        for cfg_g, b, _chunk in batches:
-            o = fns[cfg_g.classes](seg_arrays, b, stats_d)
+        for _cfg, fn, b, _chunk in batches:
+            o = fn(seg_arrays, b, stats_d)
     float(np.asarray(o["scores"])[0, 0])   # one honest end-of-run fence
     dt = (time.time() - t0) / reps
     qps = len(queries) / dt
@@ -217,10 +176,9 @@ def main():
     # per-batch round-trip latencies (include host<->device transfer):
     # p50/p99 of a single batch submitted and synced in isolation
     lats = []
-    for cfa, ba, _ in batches[: min(len(batches), 12)]:
+    for _cfa, fn, ba, _ in batches[: min(len(batches), 12)]:
         t0 = time.time()
-        float(np.asarray(fns[cfa.classes](seg_arrays, ba, stats_d)
-                         ["scores"])[0, 0])
+        float(np.asarray(fn(seg_arrays, ba, stats_d)["scores"])[0, 0])
         lats.append((time.time() - t0) * 1000)
     lats.sort()
     lat_ms = lats[len(lats) // 2]
@@ -251,9 +209,7 @@ def main():
             "cpu_numpy_1core_qps": round(cpu_qps, 2),
             "n_docs": N_DOCS, "n_queries": len(queries),
             "terms_per_query": TERMS_PER_QUERY,
-            "posting_class_groups": {
-                str(c): list(group_cfgs[c].classes) for c in sorted(groups)},
-            "group_sizes": {str(c): len(groups[c]) for c in sorted(groups)},
+            "groups": group_shapes,
             "corpus_build_s": round(build_s, 1),
             "platform": jax.devices()[0].platform,
             "baseline_kind": ("measured from-source xapiand reference, "

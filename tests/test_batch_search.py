@@ -1,0 +1,96 @@
+"""Mixed-shape batch search: the library owns query-shape bucketing.
+
+Round-1 gap: ShardedIndex.search_batch raised on heterogeneous query
+shapes and the benchmark hand-rolled its grouping. Now BatchSearcher
+(single chip) and ShardedIndex.search_batch (mesh) bucket by plan
+signature / size class and results are exact vs per-query execution.
+"""
+
+import numpy as np
+import pytest
+
+from test_engine import make_docs
+
+from xapiand_tpu.database import Database
+from xapiand_tpu.models.weights import CollectionStats, get_scheme
+from xapiand_tpu.parallel import ShardedIndex, make_mesh
+from xapiand_tpu.query.ir import Q
+from xapiand_tpu.search import BatchSearcher, SegmentSearcher
+from xapiand_tpu.utils.synth import build_synthetic_segment, sample_queries
+
+
+@pytest.fixture(scope="module")
+def seg():
+    return build_synthetic_segment(4000, 3000, seed=2)
+
+
+def test_batch_searcher_mixed_shapes_exact(seg):
+    searcher = SegmentSearcher(seg, get_scheme("bm25"))
+    bs = BatchSearcher(searcher, k=10, max_batch=32, min_batch=8)
+    irs = [Q.or_terms(q) for q in sample_queries(seg, 10, 3, seed=1)] + \
+          [Q.or_terms(q) for q in sample_queries(seg, 6, 2, seed=2)] + \
+          [Q.or_terms(q) for q in sample_queries(seg, 3, 5, seed=3)]
+    res = bs.run(irs)
+    assert len(res) == len(irs) and all(r is not None for r in res)
+
+    from xapiand_tpu.query.plan import bind, compile_ir
+
+    stats = CollectionStats(doc_count=seg.doc_count,
+                            avg_doclen=seg.avg_doclen, doclen_lower=1.0)
+    stats_d = {"N": float(stats.doc_count),
+               "avg_doclen": float(stats.avg_doclen), "doclen_lower": 1.0}
+    for qi, ir in enumerate(irs):
+        o = searcher.execute(
+            bind(compile_ir(ir), seg, searcher.scheme, stats, k=10),
+            stats_d)
+        exp = [(int(d), round(float(s), 4))
+               for d, s in zip(o["docids"], o["scores"]) if np.isfinite(s)]
+        got = [(int(d), round(float(s), 4))
+               for d, s in zip(res[qi]["docids"], res[qi]["scores"])
+               if np.isfinite(s)]
+        assert got == exp, qi
+        assert res[qi]["count"] == int(o["count"])
+
+
+def test_batch_searcher_equal_work_widths(seg):
+    """Groups with wider unified sort shapes get narrower batch widths
+    (bounded per-launch work -> bounded tail latency)."""
+    searcher = SegmentSearcher(seg, get_scheme("bm25"))
+    bs = BatchSearcher(searcher, k=10, max_batch=64, min_batch=8,
+                       work_ratio=1.0)
+    irs = [Q.or_terms(q) for q in sample_queries(seg, 60, 3, seed=4)]
+    planned = bs.plan(irs)
+    widths = {}
+    for cfg_g, _fn, batch, _chunk in planned:
+        widths[sum(cfg_g.classes)] = batch["offsets"].shape[0]
+    if len(widths) > 1:
+        works = sorted(widths)
+        assert widths[works[0]] >= widths[works[-1]]
+    # every query answered exactly once
+    seen = set()
+    for _cfg, _fn, _b, chunk in planned:
+        seen.update(chunk)
+    assert seen == set(range(len(irs)))
+
+
+def test_sharded_mixed_shape_batch(eight_devices):
+    mesh = make_mesh(n_shards=4, n_dp=2, devices=eight_devices)
+    idx = ShardedIndex(mesh=mesh)
+    for i, doc in enumerate(make_docs(150)):
+        idx.index_document(doc, doc_id=str(i))
+    idx.commit()
+    single = Database()
+    for i, doc in enumerate(make_docs(150)):
+        single.index_document(doc, doc_id=str(i))
+    single.commit()
+
+    # 1-term, 2-term and ranged queries in ONE batch (different signatures)
+    queries = [{"body": "fox"}, {"body": "quick brown"}, {"body": "dog"},
+               {"body": "fox", "price": {"_from": 100, "_to": 800}},
+               {"body": "river cat"}]
+    outs = idx.search_batch(queries, k=8)
+    assert len(outs) == len(queries)
+    for q, got in zip(queries, outs):
+        ref = single.search(q, k=8)
+        assert got["total"] == ref.total, q
+        assert [h["id"] for h in got["hits"]] == [h.id for h in ref.hits], q

@@ -582,41 +582,54 @@ class ShardedIndex:
     def search_batch(self, queries: list, k: int = 10,
                      aggs: Optional[dict] = None,
                      sort=None) -> list[dict]:
-        """Relevance-ordered batch search; all queries must share one plan
-        shape (same signature) - callers bucket them (SURVEY §7).
+        """Relevance-ordered batch search over mixed query shapes.
+
+        Queries are bucketed by plan signature (compilation shape) and each
+        bucket runs as one SPMD launch - the library owns the shape
+        grouping, so real mixed traffic never recompiles per query nor
+        fails on heterogeneous batches (SURVEY §7 bucketed compilation).
 
         aggs: shared aggregation spec; sufficient statistics merge across
         shards as psum/pmin/pmax over ICI inside the shard_map step (the
         collective form of AggregationMatchSpy::merge_results)."""
         if self._stacked is None:
             raise RuntimeError("commit() before searching")
+        from xapiand_tpu.query.plan import resolve_special
+
         dsl = QueryDSL(self.schema)
-        irs = [q if isinstance(q, Q) else dsl.parse(q) for q in queries]
+        stats = self.stats()
+        irs = [resolve_special(q if isinstance(q, Q) else dsl.parse(q),
+                               self.scheme, stats, self.global_termfreq,
+                               self.global_collfreq) for q in queries]
+        buckets: dict = {}
+        for qi, ir in enumerate(irs):
+            buckets.setdefault(ir.signature(), []).append(qi)
         ex = MeshExecutor(self.mesh, self.n_shards, self.scheme,
                           self._step_cache)
-        raw = ex.run(self.segments, self._stacked, self.schema, self.stats(),
-                     self.global_termfreq, self.global_collfreq, irs, k,
-                     aggs=aggs, sort=sort)
         S = self.n_shards
-        results = []
-        for qi in range(len(queries)):
-            hits = []
-            for gd, sc in zip(raw["docids"][qi], raw["scores"][qi]):
-                if not np.isfinite(sc) and sc < 0:
-                    continue
-                if gd == 2**31 - 1:
-                    continue
-                shard, local = int(gd) % S, int(gd) // S
-                seg = self.segments[shard]
-                if local >= len(seg.doc_keys):
-                    continue
-                key_ = seg.doc_keys[local]
-                hits.append({"id": key_, "score": float(sc),
-                             "data": self._docs.get(key_, {})})
-            out_q = {"total": int(raw["counts"][qi]), "hits": hits}
-            if raw["shaped_aggs"] is not None:
-                out_q["aggregations"] = raw["shaped_aggs"][qi]
-            results.append(out_q)
+        results: list = [None] * len(queries)
+        for idxs in buckets.values():
+            raw = ex.run(self.segments, self._stacked, self.schema, stats,
+                         self.global_termfreq, self.global_collfreq,
+                         [irs[i] for i in idxs], k, aggs=aggs, sort=sort)
+            for bi, qi in enumerate(idxs):
+                hits = []
+                for gd, sc in zip(raw["docids"][bi], raw["scores"][bi]):
+                    if not np.isfinite(sc) and sc < 0:
+                        continue
+                    if gd == 2**31 - 1:
+                        continue
+                    shard, local = int(gd) % S, int(gd) // S
+                    seg = self.segments[shard]
+                    if local >= len(seg.doc_keys):
+                        continue
+                    key_ = seg.doc_keys[local]
+                    hits.append({"id": key_, "score": float(sc),
+                                 "data": self._docs.get(key_, {})})
+                out_q = {"total": int(raw["counts"][bi]), "hits": hits}
+                if raw["shaped_aggs"] is not None:
+                    out_q["aggregations"] = raw["shaped_aggs"][bi]
+                results[qi] = out_q
         return results
 
     def search(self, query, k: int = 10, aggs: Optional[dict] = None,

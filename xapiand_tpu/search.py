@@ -71,3 +71,184 @@ class SegmentSearcher:
         out = fn(self.device_segment.arrays_pytree(), plan_arrays,
                  stats_arrays)
         return jax.tree.map(np.asarray, out)
+
+
+class BatchSearcher:
+    """Shape-bucketed batch execution over one segment - the library home
+    of the query-shape grouping the round-1 benchmark hand-rolled.
+
+    Mixed traffic is bucketed three ways before launch:
+      1. plan signature (compilation shape: operator tree, filters, sort),
+      2. size-class terciles within a signature, so a rare huge-df query
+         doesn't inflate every query's sort width (SURVEY §7 bucketed
+         compilation; the reference's per-query iterators are naturally
+         sized so it never faces this),
+      3. equal-work batch widths: a group whose unified sort width is W
+         times the smallest group's gets a batch width ~W times narrower,
+         so every launch does similar work and tail latency stays within
+         a small factor of the median (round-1 BENCH p99/p50 was 4.7x
+         because the widest group's launches dominated).
+
+    Launches are enqueued asynchronously (TPU executes them in order), so
+    consecutive batches double-buffer across the host tunnel naturally;
+    results are only synced when the caller consumes them.
+    """
+
+    def __init__(self, searcher: SegmentSearcher, k: int = 10,
+                 max_batch: int = 256, min_batch: int = 64,
+                 class_groups: int = 3, work_ratio: float = 2.0,
+                 scheme: Optional[WeightScheme] = None):
+        self.searcher = searcher
+        self.k = k
+        self.max_batch = max_batch
+        self.min_batch = min_batch
+        self.class_groups = class_groups
+        # per-launch work may exceed the lightest group's by this factor
+        # before the batch width narrows: 1.0 = strictly equal work (flat
+        # latency, more dispatch overhead), higher trades tail for QPS
+        self.work_ratio = work_ratio
+        self.scheme = scheme or searcher.scheme
+
+    def plan(self, irs: list, stats=None) -> list:
+        """Bind + bucket + pad a mixed list of Q IRs.
+
+        -> list of (cfg, fn, batch_arrays, chunk_query_idxs); feed each to
+        fn(seg_arrays, batch, stats_d) in order. Exposed separately so
+        benchmarks can drive the enqueue loop themselves."""
+        from xapiand_tpu.models.weights import CollectionStats
+        from xapiand_tpu.query.plan import (bind, compile_ir,
+                                            resolve_special, unify_cfgs)
+
+        seg = self.searcher.segment
+        if stats is None:
+            stats = CollectionStats(
+                doc_count=seg.doc_count, avg_doclen=seg.avg_doclen,
+                doclen_lower=1.0)
+
+        def gtf(t):
+            ti = seg.get_term(t)
+            return ti.length if ti else 0
+
+        def gcf(t):
+            ti = seg.get_term(t)
+            return ti.collfreq if ti else 0
+
+        irs = [resolve_special(ir, self.scheme, stats, gtf, gcf)
+               for ir in irs]
+        bounds = [bind(compile_ir(ir), seg, self.scheme, stats, k=self.k,
+                       global_tf=gtf, global_cf=gcf) for ir in irs]
+
+        # signature buckets, then size-class tercile sub-groups
+        sig_buckets: dict = {}
+        for qi, ir in enumerate(irs):
+            sig_buckets.setdefault(ir.signature(), []).append(qi)
+        groups: list[list[int]] = []
+        for idxs in sig_buckets.values():
+            if len(idxs) <= 1 or self.class_groups <= 1:
+                groups.append(idxs)
+                continue
+            # frequency-weighted quantile cuts over per-query max class, so
+            # each group holds a similar share of the traffic; a group
+            # smaller than half a launch merges upward (wraparound padding
+            # would otherwise waste most of its rows)
+            cmaxes = sorted(max(bounds[i].cfg.term_classes())
+                            for i in idxs)
+            n = len(cmaxes)
+            cuts = sorted({cmaxes[(j * n) // self.class_groups - 1]
+                           for j in range(1, self.class_groups)}
+                          | {cmaxes[-1]})
+            sub: dict = {c: [] for c in cuts}
+            for i in idxs:
+                cm = max(bounds[i].cfg.term_classes())
+                sub[next(c for c in cuts if cm <= c)].append(i)
+            pending: list[int] = []
+            for c in sorted(sub):
+                cur = pending + sub[c]
+                pending = []
+                if not cur:
+                    continue
+                if c != max(sub) and len(cur) < self.min_batch // 2:
+                    pending = cur
+                    continue
+                groups.append(cur)
+            if pending:
+                groups.append(pending)
+
+        # unify within each group; equal-work batch widths across groups
+        unified = [(unify_cfgs([bounds[i].cfg for i in idxs], k=self.k),
+                    idxs) for idxs in groups]
+        works = [max(sum(cfg.classes), 1) for cfg, _ in unified]
+        wmin = min(works)
+        out = []
+        for (cfg_g, idxs), work in zip(unified, works):
+            width = self.max_batch
+            while width > self.min_batch and \
+                    width * work > self.work_ratio * self.max_batch * wmin:
+                width //= 2
+            T = cfg_g.T
+            fn = self.searcher.batched(cfg_g, self.scheme)
+            s = 0
+            while s < len(idxs):
+                chunk = list(idxs[s: s + width])
+                s += width
+                bs = width if len(idxs) > width else _pow2_cover(
+                    len(chunk), self.min_batch)
+                while len(chunk) < bs:      # wraparound pad: same work/row
+                    chunk.append(chunk[0])
+                keys = [k for k in ("offsets", "lens", "tconst", "scoring",
+                                    "group_bits", "fparams", "syn_tconst")
+                        if k in bounds[chunk[0]].arrays]
+                batch = {
+                    key: jnp.asarray(np.stack([
+                        np.pad(bounds[i].arrays[key],
+                               _pad_spec(bounds[i].arrays[key],
+                                         T if key not in
+                                         ("fparams", "syn_tconst")
+                                         else bounds[i].arrays[key].shape[0]))
+                        for i in chunk]))
+                    for key in keys
+                }
+                out.append((cfg_g, fn, batch, chunk))
+        return out
+
+    def run(self, irs: list, stats=None) -> list[dict]:
+        """Execute a mixed batch; returns per-query dicts in input order:
+        {"docids": np[k], "scores": np[k], "count": int}. All launches are
+        enqueued before any readback (double-buffered over the tunnel)."""
+        planned = self.plan(irs, stats=stats)
+        seg_arrays = self.searcher.device_segment.arrays_pytree()
+        from xapiand_tpu.models.weights import CollectionStats
+
+        seg = self.searcher.segment
+        st = stats or CollectionStats(doc_count=seg.doc_count,
+                                      avg_doclen=seg.avg_doclen,
+                                      doclen_lower=1.0)
+        stats_d = {"N": jnp.float32(st.doc_count),
+                   "avg_doclen": jnp.float32(st.avg_doclen),
+                   "doclen_lower": jnp.float32(st.doclen_lower)}
+        pend = [(fn(seg_arrays, batch, stats_d), chunk)
+                for _cfg, fn, batch, chunk in planned]
+        results: list = [None] * len(irs)
+        for out, chunk in pend:
+            docids = np.asarray(out["docids"])
+            scores = np.asarray(out["scores"])
+            counts = np.asarray(out["count"])
+            for row, qi in enumerate(chunk):
+                if results[qi] is None:
+                    results[qi] = {"docids": docids[row],
+                                   "scores": scores[row],
+                                   "count": int(counts[row])}
+        return results
+
+
+def _pow2_cover(n: int, lo: int) -> int:
+    w = lo
+    while w < n:
+        w *= 2
+    return w
+
+
+def _pad_spec(arr, t):
+    spec = [(0, t - arr.shape[0])]
+    spec.extend((0, 0) for _ in range(arr.ndim - 1))
+    return spec
