@@ -102,11 +102,15 @@ def test_mesh_aggregations_psum_merge(eight_devices):
     rng = {b["_key"]: b for b in out["aggregations"]["rng"]}
     assert rng["lo"]["_doc_count"] == 20
     assert rng["hi"]["mx"]["_max"] == 39.0
-    # unsupported mesh agg kinds raise a clear error
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        idx.search({"body": "widget"}, aggs={
-            "p": {"_percentiles": {"_field": "price"}}})
+    # order statistics ride the mesh as psum'd fixed-grid histograms
+    out_p = idx.search({"body": "widget"}, aggs={
+        "p": {"_percentiles": {"_field": "price",
+                               "_percentiles": [0, 50, 100]}},
+        "m": {"_median": {"_field": "price"}}})
+    pcts = out_p["aggregations"]["p"]["_percentiles"]
+    assert pcts["0"] == 0.0 and pcts["100"] == 39.0
+    assert pcts["50"] == sorted(range(40))[int(0.5 * 39)]
+    assert out_p["aggregations"]["m"]["_median"] == 19.5
 
 
 def test_mesh_terms_agg_global_categories(eight_devices):

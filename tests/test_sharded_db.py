@@ -128,12 +128,14 @@ def test_mesh_fallback_features(pair):
     aggs = {"pct": {"_percentiles": {"_field": "price"}}}
     r3 = ref.search({"_match_all": {}}, k=0, aggs=aggs)
     r4 = sdb.search({"_match_all": {}}, k=0, aggs=aggs)
-    # cross-segment percentiles are a documented approximation until the
-    # gathered-histogram order statistics land; keys + rough agreement
-    p3 = r3.aggregations["pct"]["_percentiles"]
-    p4 = r4.aggregations["pct"]["_percentiles"]
-    assert set(p4) == set(p3)
-    assert abs(p4["50"] - p3["50"]) <= 15
+    # order statistics ride the mesh now (psum'd fixed-grid histograms,
+    # exact on integer data): sharded == single-node
+    assert r4.aggregations == r3.aggregations
+    med = {"m": {"_median": {"_field": "price"}},
+           "mo": {"_mode": {"_field": "price"}}}
+    r5 = ref.search({"_match_all": {}}, k=0, aggs=med)
+    r6 = sdb.search({"_match_all": {}}, k=0, aggs=med)
+    assert r6.aggregations == r5.aggregations
 
 
 def test_persistence_roundtrip(tmp_path):
@@ -183,3 +185,17 @@ def test_compaction_rebuilds_one_generation():
                                   doc_id=f"g{gen}d{i}")
     oracle.commit()
     assert r.total == oracle.search({"body": "word1"}, k=10).total
+
+
+def test_strmetric_sort_on_mesh(pair):
+    """String-metric sort keys ride the mesh via one global category
+    metric table + per-shard code remaps (round-1 raised here)."""
+    from xapiand_tpu.query.dsl import parse_sort
+
+    ref, sdb = pair
+    sort = parse_sort(ref.schema, [{"cat": {"_order": "asc", "_value": "b",
+                                            "_metric": "levenshtein"}}])
+    r1 = ref.search({"body": "alpha"}, k=10, sort=sort)
+    r2 = sdb.search({"body": "alpha"}, k=10, sort=sort)
+    assert [h.id for h in r2.hits] == [h.id for h in r1.hits]
+    assert sdb._mesh_step_cache  # served by the SPMD step, not fallback

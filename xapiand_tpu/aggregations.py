@@ -169,11 +169,59 @@ def _bucket_code_desc(schema, segment, key, args, agg_params, agg_ranges,
     raise AggError(f"bucket kind {key!r} cannot nest")
 
 
-def compile_for_segment(schema, segment, aggs_dsl: dict):
+ORDER_STAT_BINS = 2048
+
+
+def _slot_range(segs, slot, slot_ranges=None):
+    """Global [lo, hi] of a value slot + the power-of-two bin scale for
+    the mergeable order-statistic histogram. slot_ranges overrides with a
+    range spanning MORE segments than this compile sees (Database passes
+    all its segments; ShardedDatabase all generations) so partials from
+    different compiles share one bin grid."""
+    if slot_ranges is not None and slot in slot_ranges:
+        lo, hi = slot_ranges[slot]
+    else:
+        lo, hi, seen = 0.0, 0.0, False
+        for sg in segs:
+            col = sg.values.get(slot)
+            if col is not None and col.present.any():
+                vals = col.fval[col.present]
+                l, h = float(vals.min()), float(vals.max())
+                lo, hi = (l, h) if not seen else (min(lo, l), max(hi, h))
+                seen = True
+    span = hi - lo
+    if span <= 0:
+        scale = 1.0
+    else:
+        scale = 2.0 ** math.floor(math.log2((ORDER_STAT_BINS - 1) / span))
+    return lo, scale
+
+
+def slot_ranges_of(segments) -> dict:
+    """{slot: (min, max)} over every value column - callers that merge
+    agg partials from SEPARATE compiles (Database across segments,
+    ShardedDatabase across generations) pass this so order-stat histograms
+    share one bin grid."""
+    out: dict = {}
+    for sg in segments:
+        for slot, col in sg.values.items():
+            if col.present.any():
+                vals = col.fval[col.present]
+                l, h = float(vals.min()), float(vals.max())
+                if slot in out:
+                    ol, oh = out[slot]
+                    out[slot] = (min(ol, l), max(oh, h))
+                else:
+                    out[slot] = (l, h)
+    return out
+
+
+def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
     """-> (names, specs tuple, agg_arrays dict, meta per agg).
 
     segment may be a list of segments (mesh path): data-dependent anchors
-    (date-histogram minimum) then span all of them."""
+    (date-histogram minimum, order-stat histogram ranges) then span all of
+    them; slot_ranges widens those ranges further (see _slot_range)."""
     segs = segment if isinstance(segment, list) else [segment]
     segment = segs[0]
     names, specs, meta = [], [], []
@@ -233,6 +281,12 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
             if kind == "count":
                 specs.append(("count",))
                 meta.append({"kind": kind})
+            elif kind in ("median", "mode"):
+                slot = _slot_of(schema, args)
+                lo, scale = _slot_range(segs, slot, slot_ranges)
+                specs.append((kind, slot, ORDER_STAT_BINS))
+                agg_params[i] = np.asarray([lo, scale], np.float32)
+                meta.append({"kind": kind, "lo": lo, "scale": scale})
             else:
                 slot = _slot_of(schema, args)
                 specs.append((kind, slot))
@@ -288,9 +342,10 @@ def compile_for_segment(schema, segment, aggs_dsl: dict):
             slot = _slot_of(schema, args)
             pcts = [float(p) / 100.0 for p in
                     args.get("_percentiles", [1, 5, 25, 50, 75, 95, 99])]
-            specs.append(("percentiles", slot))
-            agg_params[i] = np.asarray(pcts, np.float32)
-            meta.append({"kind": "percentiles",
+            lo, scale = _slot_range(segs, slot, slot_ranges)
+            specs.append(("percentiles", slot, ORDER_STAT_BINS))
+            agg_params[i] = np.asarray([lo, scale], np.float32)
+            meta.append({"kind": "percentiles", "lo": lo, "scale": scale,
                          "pcts": [p * 100 for p in pcts]})
         elif key in ("_range", "_date_range"):
             slot = _slot_of(schema, args)
@@ -514,9 +569,25 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
             vmin = min((float(p["min"]) for p in parts), default=math.inf)
             vmax = max((float(p["max"]) for p in parts), default=-math.inf)
             if kind == "median":
-                out[name] = {"_median": _weighted_pick(parts, "median")}
+                hist, htotal = _sum_hists(parts)
+                if htotal == 0:
+                    out[name] = {"_median": None}
+                else:
+                    lo_b, sc_b = meta["lo"], meta["scale"]
+                    v1 = _hist_rank_value(hist, (htotal - 1) // 2, lo_b,
+                                          sc_b)
+                    v2 = _hist_rank_value(hist, htotal // 2, lo_b, sc_b)
+                    out[name] = {"_median":
+                                 min(max((v1 + v2) / 2.0, vmin), vmax)}
             elif kind == "mode":
-                out[name] = {"_mode": _weighted_pick(parts, "mode")}
+                hist, htotal = _sum_hists(parts)
+                if htotal == 0:
+                    out[name] = {"_mode": None}
+                else:
+                    b = int(np.argmax(hist))
+                    out[name] = {"_mode":
+                                 min(max(meta["lo"] + b / meta["scale"],
+                                         vmin), vmax)}
             else:
                 out[name] = _shape_metric(kind, n, s, s2, vmin, vmax)
         elif kind == "cardinality":
@@ -547,19 +618,27 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
                                            for p in parts), default=None)},
                     "_count": int(n)}} if n else {"_geo_bounds": None}
         elif kind == "percentiles":
-            best, best_n = None, -1.0
-            total_n = 0
-            for p in parts:
-                pn = float(p["n"])
-                total_n += pn
-                if pn > best_n:
-                    best, best_n = p, pn
-            vals = [float(v) for v in np.asarray(best["values"])] \
-                if best is not None else []
-            out[name] = {"_percentiles": {
-                (str(int(pct)) if pct == int(pct) else str(pct)):
-                    (v if total_n else None)
-                for pct, v in zip(meta["pcts"], vals)}}
+            # exact-rank selection from the summed order-stat histogram
+            # (psum'd across shards / summed across segments); endpoint
+            # percentiles use the exact min/max partials
+            hist, htotal = _sum_hists(parts)
+            vmin = min((float(p["min"]) for p in parts), default=math.inf)
+            vmax = max((float(p["max"]) for p in parts), default=-math.inf)
+            shaped = {}
+            for pct in meta["pcts"]:
+                key_s = str(int(pct)) if pct == int(pct) else str(pct)
+                if htotal == 0:
+                    shaped[key_s] = None
+                elif pct <= 0:
+                    shaped[key_s] = vmin
+                elif pct >= 100:
+                    shaped[key_s] = vmax
+                else:
+                    rank = int(pct / 100.0 * (htotal - 1))
+                    v = _hist_rank_value(hist, rank, meta["lo"],
+                                         meta["scale"])
+                    shaped[key_s] = min(max(v, vmin), vmax)
+            out[name] = {"_percentiles": shaped}
         elif kind == "terms":
             has_subs = bool(meta.get("sub_names"))
             counts: dict[str, int] = {}
@@ -784,6 +863,25 @@ def _calendar_rollup(meta, daily_counts, merged_subs):
             bd.update(_shape_subs(meta, g["_subs"], 0))
         buckets.append(bd)
     return buckets
+
+
+def _sum_hists(parts):
+    hist = None
+    for p in parts:
+        h = np.asarray(p["hist"], np.float64)
+        hist = h if hist is None else hist + h
+    if hist is None:
+        return np.zeros(1), 0
+    return hist, int(round(hist.sum()))
+
+
+def _hist_rank_value(hist, rank, lo, scale):
+    """Value of the rank-th (0-based) element: the bin whose cumulative
+    count first covers it; bin lower edge = exact value on integer grids
+    (power-of-two scale)."""
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(cum, rank + 1))
+    return lo + min(b, len(hist) - 1) / scale
 
 
 def _weighted_pick(parts, field):

@@ -512,6 +512,10 @@ class Database:
         elif isinstance(scheme, str):
             scheme = get_scheme(scheme)
 
+        slot_ranges = None
+        if aggs:
+            slot_ranges = aggs_mod.slot_ranges_of(
+                [sr.segment for sr in self._searchers])
         scripted = None
         if aggs and any(isinstance(b, dict) and "_scripted_metric" in b
                         for b in aggs.values()):
@@ -540,7 +544,8 @@ class Database:
             if aggs:
                 (agg_names, specs, arrays,
                  agg_meta) = aggs_mod.compile_for_segment(
-                    self.schema, searcher.segment, aggs)
+                    self.schema, searcher.segment, aggs,
+                    slot_ranges=slot_ranges)
                 cats_j: dict = {}
                 for j, spec in enumerate(specs):
                     vals = searcher.segment.values

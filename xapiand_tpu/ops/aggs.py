@@ -31,6 +31,16 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _value_hist(v, m, lo, scale, nb):
+    """[nb] f32 histogram of masked values, bins floor((v-lo)*scale)
+    clipped into range. One-hot + column-sum keeps it an MXU-friendly
+    reduction (scatter-adds serialize on TPU)."""
+    b = jnp.clip(jnp.floor((v - lo) * scale).astype(jnp.int32), 0, nb - 1)
+    oh = ((b[:, None] == jnp.arange(nb)[None, :]) & m[:, None]) \
+        .astype(jnp.float32)
+    return jnp.sum(oh, axis=0)
+
+
 def _slot_vals(seg, slot, docids, mask):
     col = seg["values"][slot]
     d = jnp.minimum(docids, col["fval"].shape[0] - 1)
@@ -171,27 +181,18 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             # sufficient statistics so segment/shard partials merge exactly
             # host-side (≙ merge_results, src/database/handler.cc:1543-1545)
             res = {"n": n, "s": s, "s2": s2, "min": vmin, "max": vmax}
-            if kind == "median":
-                sorted_v = lax.sort(jnp.where(m, v, jnp.inf))
-                idx = jnp.maximum(n.astype(jnp.int32) - 1, 0) // 2
-                idx2 = n.astype(jnp.int32) // 2
-                med = jnp.where(
-                    n.astype(jnp.int32) % 2 == 1,
-                    sorted_v[jnp.minimum(idx2, sorted_v.shape[0] - 1)],
-                    (sorted_v[jnp.minimum(idx, sorted_v.shape[0] - 1)]
-                     + sorted_v[jnp.minimum(idx2, sorted_v.shape[0] - 1)]) * 0.5)
-                res["median"] = jnp.where(n > 0, med, jnp.nan)
-            elif kind == "mode":
-                sv = lax.sort(jnp.where(m, v, jnp.inf))
-                mvalid = jnp.isfinite(sv)
-                head = jnp.concatenate([jnp.ones((1,), bool),
-                                        sv[1:] != sv[:-1]])
-                run_start = jnp.where(head, jnp.arange(sv.shape[0]), -1)
-                run_start = lax.associative_scan(jnp.maximum, run_start)
-                run_len = jnp.arange(sv.shape[0]) - run_start + 1
-                run_len = jnp.where(mvalid, run_len, 0)
-                best = jnp.argmax(run_len)
-                res["mode"] = jnp.where(jnp.any(mvalid), sv[best], jnp.nan)
+            if kind in ("median", "mode"):
+                # order statistics as a MERGEABLE sufficient statistic: a
+                # fixed histogram over the globally-agreed [lo, lo+B/scale)
+                # range (agg_params) - partials psum across shards and sum
+                # across segments/generations, then the host picks ranks
+                # (VERDICT: "percentiles/median/mode via gathered
+                # per-shard histograms"); power-of-two scale keeps integer
+                # grids exact
+                lo = plan["agg_params"][i][0]
+                scale = plan["agg_params"][i][1]
+                nb = spec[2]
+                res["hist"] = _value_hist(v, m, lo, scale, nb)
             out.append(res)
         elif kind == "terms":
             ncats = spec[2]
@@ -297,13 +298,15 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             })
         elif kind == "percentiles":
             v, m = _slot_vals(seg, slot, docids, mask)
-            n = jnp.sum(m.astype(jnp.int32))
-            sv = lax.sort(jnp.where(m, v, jnp.inf))
-            pcts = plan["agg_params"][i]          # [P] fractions in [0,1]
-            idx = jnp.clip((pcts * jnp.maximum(
-                n.astype(jnp.float32) - 1, 0)).astype(jnp.int32),
-                0, sv.shape[0] - 1)
-            out.append({"n": n, "values": sv[idx]})
+            fm = m.astype(jnp.float32)
+            lo = plan["agg_params"][i][0]
+            scale = plan["agg_params"][i][1]
+            nb = spec[2]
+            out.append({
+                "n": jnp.sum(fm),
+                "min": jnp.min(jnp.where(m, v, jnp.inf)),
+                "max": jnp.max(jnp.where(m, v, -jnp.inf)),
+                "hist": _value_hist(v, m, lo, scale, nb)})
         else:
             raise ValueError(f"unknown aggregation {kind!r}")
     return tuple(out)

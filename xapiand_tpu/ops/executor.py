@@ -319,6 +319,12 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
             tab = plan["sort_strtabs"][si]
             code = col["cats"][d] if "cats" in col \
                 else jnp.full_like(d, -1)
+            srem = plan.get("sort_cat_remap", {}).get(si)
+            if srem is not None:
+                # mesh: local category codes -> the global metric table
+                code = jnp.where(
+                    code >= 0,
+                    srem[jnp.clip(code, 0, srem.shape[0] - 1)], -1)
             kf = tab[jnp.clip(code, 0, tab.shape[0] - 1)]
             kf = jnp.where(code >= 0, kf, jnp.inf)
             if desc:

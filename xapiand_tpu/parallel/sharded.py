@@ -196,7 +196,10 @@ def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
 MESH_AGG_KINDS = ("count", "sum", "avg", "min", "max", "variance",
                   "std_deviation", "stats", "extended_stats", "histogram",
                   "range", "geodist_range", "missing", "geo_stats",
-                  "terms", "cardinality")
+                  "terms", "cardinality",
+                  # order statistics psum as fixed-grid histograms
+                  # (aggregations.ORDER_STAT_BINS)
+                  "median", "mode", "percentiles")
 
 _MIN_KEYS = ("min", "minlat", "minlon")
 _MAX_KEYS = ("max", "maxlat", "maxlon")
@@ -304,7 +307,7 @@ def unpack_agg_parts(layout, packed_np):
 
 def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
                       agg_arrays=None, layout_out: dict | None = None,
-                      cat_remaps=None):
+                      cat_remaps=None, sort_remaps=None):
     """jit-compiled shard_map'd batch search step.
 
     plan arrays: offsets/lens [Q, S, T] (P('dp','shard',None)); tconst/
@@ -319,6 +322,7 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
 
     agg_arrays = agg_arrays or {}
     cat_remaps = cat_remaps or {}
+    sort_remaps = sort_remaps or {}
 
     def step(seg, offsets, lens, tconst, scoring, group_bits, stats,
              fparams, syn_tconst):
@@ -331,6 +335,8 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
             # go stale)
             remap_sh = {j: jnp.asarray(r)[my_shard]
                         for j, r in cat_remaps.items()}
+            sort_remap_sh = {si: jnp.asarray(r)[my_shard]
+                             for si, r in sort_remaps.items()}
 
             def one_query(off, ln, tc, sc, gb, fp, syn):
                 plan = {"offsets": off[0], "lens": ln[0], "tconst": tc,
@@ -341,6 +347,8 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
                     plan["syn_tconst"] = syn
                 if remap_sh:
                     plan["cat_remap"] = remap_sh
+                if sort_remap_sh:
+                    plan["sort_cat_remap"] = sort_remap_sh
                 for kk, vv in agg_arrays.items():
                     plan[kk] = jax.tree.map(jnp.asarray, vv)
                 return execute(seg1, plan, cfg, stats_blk, scheme)
@@ -657,7 +665,7 @@ class MeshExecutor:
 
     def run(self, segments, stacked, schema, stats, global_tf, global_cf,
             irs: list, k: int, aggs: Optional[dict] = None, sort=None,
-            scheme=None) -> dict:
+            scheme=None, slot_ranges=None) -> dict:
         """Execute a same-signature batch of Q IRs over the mesh.
 
         Returns {"docids": [nq,k] global-striped int, "scores": [nq,k],
@@ -676,7 +684,7 @@ class MeshExecutor:
 
             (agg_names, agg_specs, arrs,
              agg_metas) = aggs_mod.compile_for_segment(
-                schema, list(segments), aggs)
+                schema, list(segments), aggs, slot_ranges=slot_ranges)
             bad = [s[0] for s in agg_specs if s[0] not in MESH_AGG_KINDS]
             if bad:
                 raise ValueError(
@@ -718,15 +726,51 @@ class MeshExecutor:
             agg_specs = tuple(agg_specs)
 
         sort_t = ()
+        sort_overrides: dict = {}
+        sort_remaps: dict = {}
         if sort:
             from xapiand_tpu.query.dsl import parse_sort
 
             sort_t = sort if isinstance(sort, tuple) \
                 else parse_sort(schema, sort)
-            if any(s[0] == "strmetric" for s in sort_t):
-                raise ValueError("string-metric sort keys need per-shard "
-                                 "category tables; not supported on the "
-                                 "mesh batch path")
+            for si, spec in enumerate(sort_t):
+                if spec[0] != "strmetric":
+                    continue
+                # one GLOBAL category metric table + per-shard local->
+                # global remaps (same scheme as terms aggregations)
+                from xapiand_tpu.utils import strmetrics
+
+                slot_s = spec[1]
+                metric, target = spec[3]
+                global_names: list = []
+                gcode: dict = {}
+                local_tabs = []
+                nbl = 16
+                for seg in segments:
+                    col = seg.values.get(slot_s)
+                    names_l = (col.cat_names or []) if col is not None \
+                        else []
+                    tab_l = []
+                    for nm in names_l:
+                        if nm not in gcode:
+                            gcode[nm] = len(global_names)
+                            global_names.append(nm)
+                        tab_l.append(gcode[nm])
+                    local_tabs.append(tab_l)
+                    while nbl < len(names_l):
+                        nbl *= 2
+                nbg = 16
+                while nbg < len(global_names):
+                    nbg *= 2
+                gtab = np.full(nbg, np.inf, np.float32)
+                for code, nm in enumerate(global_names):
+                    gtab[code] = 1.0 - strmetrics.similarity(
+                        str(nm), target, metric)
+                remap = np.full((self.n_shards, nbl), -1, np.int32)
+                for sj, tab_l in enumerate(local_tabs):
+                    remap[sj, : len(tab_l)] = tab_l
+                sort_overrides[si] = gtab
+                sort_remaps[si] = remap
 
         irs = [resolve_special(ir, scheme, stats, global_tf, global_cf)
                for ir in irs]
@@ -749,7 +793,8 @@ class MeshExecutor:
             per_shard = [bind(cq, seg, scheme, stats,
                               global_tf=global_tf, k=k,
                               global_cf=global_cf,
-                              aggs=agg_specs, sort=sort_t)
+                              aggs=agg_specs, sort=sort_t,
+                              sort_strtabs_override=sort_overrides or None)
                          for seg in segments]
             bounds.append(per_shard)
         cfg = unify_cfgs([b.cfg for per in bounds for b in per], k=k)
@@ -786,12 +831,16 @@ class MeshExecutor:
         st = bounds[0][0].arrays.get("sort_targets")
         if st is not None:
             shared_plan["sort_targets"] = st
+        stt = bounds[0][0].arrays.get("sort_strtabs")
+        if stt is not None:
+            shared_plan["sort_strtabs"] = stt   # global tables (overrides)
         import jax.tree_util as _tu
 
         digest = tuple(
             np.asarray(leaf).tobytes()
-            for leaf in _tu.tree_leaves((shared_plan, cat_remaps))) \
-            if (shared_plan or cat_remaps) else ()
+            for leaf in _tu.tree_leaves((shared_plan, cat_remaps,
+                                         sort_remaps))) \
+            if (shared_plan or cat_remaps or sort_remaps) else ()
         key = (cfg, scheme.key(), digest)
         cached = self._step_cache.get(key)
         if cached is None:
@@ -799,7 +848,8 @@ class MeshExecutor:
             step = make_sharded_step(cfg, scheme, self.mesh, S,
                                      agg_arrays=shared_plan,
                                      layout_out=layout_holder,
-                                     cat_remaps=cat_remaps)
+                                     cat_remaps=cat_remaps,
+                                     sort_remaps=sort_remaps)
             cached = (step, layout_holder)
             self._step_cache[key] = cached
         step, layout_holder = cached

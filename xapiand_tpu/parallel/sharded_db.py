@@ -13,9 +13,8 @@ Design: a generation = one commit's per-shard segments, uniform-padded and
 stacked over the mesh ('shard' axis). Commits stay incremental (the delta-
 segment model of Database); searches run the SPMD step once per generation
 and merge host-side exactly like Database merges its segments. Features
-the mesh step cannot express (collapse, string-metric sort keys,
-order-statistic aggregations, scripted metrics) transparently fall back to
-the inherited per-segment path, so the sharded index serves the complete
+the mesh step cannot express (collapse, scripted metrics) transparently
+fall back to the inherited per-segment path, so the sharded index serves the complete
 API surface either way. With fewer devices than shards (e.g. one real
 chip) the mesh is skipped entirely and only the inherited path runs -
 routing and shard layout stay identical, so indexes move between
@@ -246,9 +245,9 @@ class ShardedDatabase(Database):
             return self._search_mesh(query, k, offset, sort, aggs,
                                      count_only, scheme)
         except ValueError:
-            # mesh-incompatible feature (agg kind outside MESH_AGG_KINDS,
-            # string-metric sort keys): the inherited per-segment path
-            # serves it instead - same results, coordinator execution
+            # mesh-incompatible feature (agg kind outside MESH_AGG_KINDS):
+            # the inherited per-segment path serves it instead - same
+            # results, coordinator execution
             return super().search(query, k=k, offset=offset, sort=sort,
                                   collapse_slot=collapse_slot, aggs=aggs,
                                   count_only=count_only, scheme=scheme,
@@ -271,6 +270,12 @@ class ShardedDatabase(Database):
         want = k + offset
         ex = MeshExecutor(self.mesh, self.n_shards, self.scheme,
                           self._mesh_step_cache)
+        slot_ranges = None
+        if aggs:
+            # one bin grid across ALL generations so per-generation
+            # order-stat histograms merge exactly
+            slot_ranges = aggs_mod.slot_ranges_of(
+                [s.segment for s in self._searchers])
         merged: list[tuple[float, int, int]] = []   # (-score, seg_idx, did)
         total = 0
         agg_parts, agg_cats, agg_names, agg_metas = [], [], None, None
@@ -279,7 +284,8 @@ class ShardedDatabase(Database):
             raw = ex.run(gen["segments"], stacked, self.schema, stats,
                          self.global_termfreq, self.global_collfreq,
                          [ir], max(want, 1), aggs=aggs,
-                         sort=tuple(sort) if sort else None, scheme=scheme)
+                         sort=tuple(sort) if sort else None, scheme=scheme,
+                         slot_ranges=slot_ranges)
             total += int(raw["counts"][0])
             if aggs and raw["agg_parts"] is not None:
                 agg_parts.append(raw["agg_parts"](0))

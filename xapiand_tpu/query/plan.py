@@ -237,7 +237,8 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
          aggs: tuple = (), agg_arrays: Optional[dict] = None,
          count_only: bool = False,
          global_cf: Optional[Callable[[str], int]] = None,
-         collapse_max: int = 1) -> BoundPlan:
+         collapse_max: int = 1,
+         sort_strtabs_override: Optional[dict] = None) -> BoundPlan:
     """Bind a compiled query to one segment, producing cfg + plan arrays.
 
     global_tf/global_cf supply cross-shard/segment termfreqs and collection
@@ -342,18 +343,25 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
                 sort_targets[si, 0], sort_targets[si, 1] = spec[3]
                 sort_static.append((kind, slot_s, desc))
             elif kind == "strmetric":
-                from xapiand_tpu.utils import strmetrics
+                override = (sort_strtabs_override or {}).get(si)
+                if override is not None:
+                    # mesh path: one GLOBAL category metric table shared by
+                    # every shard (local codes remap on device)
+                    tab = np.asarray(override, np.float32)
+                    nb = tab.shape[0]
+                else:
+                    from xapiand_tpu.utils import strmetrics
 
-                metric, target = spec[3]
-                col = seg.values.get(slot_s)
-                names = (col.cat_names or []) if col is not None else []
-                nb = 16
-                while nb < len(names):
-                    nb *= 2
-                tab = np.full(nb, np.inf, np.float32)
-                for code, nm in enumerate(names):
-                    tab[code] = 1.0 - strmetrics.similarity(
-                        str(nm), target, metric)
+                    metric, target = spec[3]
+                    col = seg.values.get(slot_s)
+                    names = (col.cat_names or []) if col is not None else []
+                    nb = 16
+                    while nb < len(names):
+                        nb *= 2
+                    tab = np.full(nb, np.inf, np.float32)
+                    for code, nm in enumerate(names):
+                        tab[code] = 1.0 - strmetrics.similarity(
+                            str(nm), target, metric)
                 strtabs[si] = tab
                 sort_static.append((kind, slot_s, desc, nb))
             else:
