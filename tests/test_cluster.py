@@ -120,3 +120,24 @@ def test_discovery_election_replication_failover(two_nodes):
     b.req("POST", "/r/:commit")
     status, out, _ = b.req("GET", "/r/:info")
     assert out["doc_count"] == 7
+
+
+def test_raft_log_replicates_commands(two_nodes):
+    """ADD_COMMAND-style log replication: a command added on either node
+    commits through the leader's log and applies on both (the reference
+    applies index-settings changes this way, discovery.h:65-85)."""
+    a, b = two_nodes
+    wait_for(lambda: a.req("GET", "/:nodes")[1].get("leader")
+             and a.req("GET", "/:nodes")[1].get("leader")
+             == b.req("GET", "/:nodes")[1].get("leader"),
+             desc="leader election")
+    # settings change on a; committed + applied on b via the log
+    status, out, _ = a.req("PUT", "/logged/:settings", {"num_shards": 2})
+    assert status == 200
+    wait_for(lambda: b.req("GET", "/logged/:settings")[1]
+             .get("num_shards") == 2, desc="log apply on b")
+    # and the reverse direction (forwarded to the leader if b follows)
+    status, out, _ = b.req("PUT", "/logged2/:settings", {"num_shards": 3})
+    assert status == 200
+    wait_for(lambda: a.req("GET", "/logged2/:settings")[1]
+             .get("num_shards") == 3, desc="log apply on a")

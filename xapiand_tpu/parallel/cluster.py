@@ -13,9 +13,13 @@ unicast peer list - the protocol is identical either way.
 The election is Raft-shaped (terms, randomised election timeouts, majority
 votes, leader heartbeats; discovery.cc:540,1509,1794) and is used for what
 the reference uses it for: choosing the cluster leader that arbitrates
-index-primary assignment. It does not replicate a command log - index data
-replication rides the WAL-changeset channel (parallel/replication.py),
-like the reference's replication protocol.
+index-primary assignment. Cluster-wide configuration changes (index
+settings) replicate through a Raft command log: followers forward commands
+to the leader (≙ RAFT_ADD_COMMAND, discovery.h:65-85), the leader appends
+and ships entries on its heartbeats (≙ RAFT_APPEND_ENTRIES), commits on
+majority ack, and every node applies committed commands in log order via
+``on_command``. Index DATA replication rides the WAL-changeset channel
+(parallel/replication.py), like the reference's replication protocol.
 """
 
 from __future__ import annotations
@@ -87,6 +91,12 @@ class ClusterNode:
         self._transport = None
         self._tasks: list = []
         self.index_primaries: dict[str, str] = {}   # index -> node name
+        # raft replicated log (RAFT_ADD_COMMAND / RAFT_APPEND_ENTRIES)
+        self.log: list[dict] = []          # {"term": t, "cmd": {...}}
+        self.commit_index = 0              # committed entry count
+        self._applied = 0                  # applied entry count
+        self._match: dict[str, int] = {}   # leader: follower acked lengths
+        self.on_command: Optional[Callable[[dict], None]] = None
 
     # -- lifecycle ---------------------------------------------------------------
 
@@ -167,6 +177,12 @@ class ClusterNode:
                 self.leader = None
         elif op == "heartbeat":
             self._on_heartbeat(msg)
+        elif op == "append_ack":
+            self._on_append_ack(msg)
+        elif op == "add_command":
+            # follower-forwarded command (RAFT_ADD_COMMAND)
+            if self.role == Role.LEADER:
+                self.add_command(msg["cmd"])
         elif op == "request_vote":
             self._on_request_vote(msg, addr)
         elif op == "vote":
@@ -199,10 +215,29 @@ class ClusterNode:
             self.role = Role.FOLLOWER
             self._last_heartbeat = time.monotonic()
             self._set_leader(msg["name"])
-            self._register(msg)
+            node = self._register(msg)
             prim = msg.get("primaries") or {}
             if prim:
                 self.index_primaries.update(prim)
+            # append entries (RAFT_APPEND_ENTRIES): reconcile the log tail
+            if "log_start" in msg:
+                start = msg["log_start"]
+                entries = msg.get("entries", [])
+                if start <= len(self.log):
+                    for i, e in enumerate(entries):
+                        pos = start + i
+                        if pos < len(self.log):
+                            if self.log[pos]["term"] != e["term"]:
+                                del self.log[pos:]   # conflict: truncate
+                                self.log.append(e)
+                        else:
+                            self.log.append(e)
+                self.commit_index = min(msg.get("commit", 0), len(self.log))
+                self._apply_committed()
+                self._send(node.addr, {"op": "append_ack",
+                                       "name": self.me.name,
+                                       "term": self.term,
+                                       "match": len(self.log)})
 
     def _on_request_vote(self, msg, addr):
         term = msg.get("term", 0)
@@ -281,8 +316,71 @@ class ClusterNode:
                 timeout = random.uniform(ELECTION_MIN_S, ELECTION_MAX_S)
 
     def _broadcast_heartbeat(self):
-        self._send_all({"op": "heartbeat", "term": self.term,
-                        **self._me_dict()})
+        # per-follower tailored append_entries ride the heartbeat: each
+        # node gets the log tail past what it has acked (commands are rare
+        # and small - index settings - so resending a tail is cheap)
+        base = {"op": "heartbeat", "term": self.term, **self._me_dict(),
+                "commit": self.commit_index}
+        seen = {self.me.addr}
+        targets = []
+        for n in self.nodes.values():
+            if n.addr not in seen:
+                targets.append((n.name, n.addr))
+                seen.add(n.addr)
+        for addr in self.peers:
+            if addr not in seen:
+                targets.append((None, addr))
+                seen.add(addr)
+        for name, addr in targets:
+            start = min(self._match.get(name, 0), len(self.log)) \
+                if name else 0
+            self._send(addr, {**base, "log_start": start,
+                              "entries": self.log[start: start + 64]})
+
+    # -- raft log (RAFT_ADD_COMMAND / APPEND_ENTRIES, discovery.h:65-85) ----
+
+    def add_command(self, cmd: dict) -> bool:
+        """Replicate a cluster-wide command through the log. On the
+        leader: append + ship on the next heartbeat; on a follower:
+        forward to the leader. Returns False when no leader is known."""
+        if self.role == Role.LEADER:
+            self.log.append({"term": self.term, "cmd": cmd})
+            if len(self._alive()) == 1:
+                self.commit_index = len(self.log)
+                self._apply_committed()
+            else:
+                self._broadcast_heartbeat()
+            return True
+        if self.leader and self.leader in self.nodes:
+            self._send(self.nodes[self.leader].addr,
+                       {"op": "add_command", "name": self.me.name,
+                        "cmd": cmd})
+            return True
+        return False
+
+    def _on_append_ack(self, msg):
+        if self.role != Role.LEADER:
+            return
+        self._match[msg["name"]] = int(msg.get("match", 0))
+        # majority commit: own log + follower acks (entries of current term)
+        lens = sorted([len(self.log)] + list(self._match.values()),
+                      reverse=True)
+        majority = lens[len(self._alive()) // 2] \
+            if len(lens) > len(self._alive()) // 2 else 0
+        if majority > self.commit_index and majority <= len(self.log) and \
+                self.log[majority - 1]["term"] == self.term:
+            self.commit_index = majority
+            self._apply_committed()
+
+    def _apply_committed(self):
+        while self._applied < self.commit_index:
+            entry = self.log[self._applied]
+            self._applied += 1
+            if self.on_command is not None:
+                try:
+                    self.on_command(entry["cmd"])
+                except Exception:   # applying must never kill the ticker
+                    pass
 
     def _start_election(self):
         self.term += 1

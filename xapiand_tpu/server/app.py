@@ -334,7 +334,15 @@ class RestServer:
             # ≙ index_resolver_lru.h:41-66, persisted like .xapiand/indices)
             if method in ("PUT", "POST", "UPDATE"):
                 body = await self._body(request)
-                return self.man.set_settings(index, body), 200
+                out = self.man.set_settings(index, body)
+                if self.cluster is not None:
+                    # cluster-wide settings ride the raft log
+                    # (≙ RAFT_ADD_COMMAND applying IndexSettings,
+                    # discovery.h:65-85)
+                    self.cluster.add_command({"type": "index_settings",
+                                              "index": index,
+                                              "settings": out})
+                return out, 200
             return dict(self.man.get_settings(index)), 200
         if cmd == "metadata":
             return await self._metadata(request, method, index)
@@ -781,6 +789,16 @@ def create_app(data_dir: Optional[str] = None,
                 cluster.me.revisions[name] = db.revision
 
         man.post_open = post_open
+
+        def apply_command(cmd):
+            # committed raft-log commands apply cluster-wide in log order
+            if cmd.get("type") == "index_settings":
+                try:
+                    man.set_settings(cmd["index"], cmd["settings"])
+                except ApiError:
+                    pass   # e.g. local index already non-empty
+
+        cluster.on_command = apply_command
     server = RestServer(man, cluster=cluster, replicator=replicator)
     app = web.Application(client_max_size=256 * 1024 * 1024)
     app["manager"] = man
