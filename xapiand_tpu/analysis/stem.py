@@ -20,8 +20,12 @@ _LANG_ALIASES = {
     "it": "italian", "no": "norwegian", "nb": "norwegian", "nn": "norwegian",
     "pt": "portuguese", "ro": "romanian", "ru": "russian", "es": "spanish",
     "sv": "swedish", "porter": "porter",
+    "id": "indonesian", "ga": "irish", "ne": "nepali",
+    "early_english": "earlyenglish",
 }
-_SUPPORTED = set(SnowballStemmer.languages)
+from xapiand_tpu.analysis.stem_extra import EXTRA_STEMMERS  # noqa: E402
+
+_SUPPORTED = set(SnowballStemmer.languages) | set(EXTRA_STEMMERS)
 
 
 class StemError(ValueError):
@@ -49,6 +53,9 @@ def _stemmer(lang: str) -> SnowballStemmer:
 def _stem_cached(lang: str, word: str) -> str:
     """Vocabulary repeats heavily during bulk indexing; memoising the
     Snowball call is the single biggest host-side analysis speedup."""
+    extra = EXTRA_STEMMERS.get(lang)
+    if extra is not None:
+        return extra(word)
     return _stemmer(lang).stem(word)
 
 
@@ -57,7 +64,10 @@ class Stem:
 
     def __init__(self, lang: str | None = "english"):
         self.language = resolve_language(lang)
-        self._impl = _stemmer(self.language) if self.language else None
+        self._impl = None
+        if self.language:
+            self._impl = EXTRA_STEMMERS.get(self.language) or \
+                _stemmer(self.language)
 
     def __call__(self, word: str) -> str:
         if self._impl is None:

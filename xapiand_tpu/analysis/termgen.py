@@ -37,7 +37,7 @@ MAX_TERM_LENGTH = 245  # bytes; longer words are dropped (glass key limit)
 _HAS_DIGIT = re.compile(r"\d").search
 
 
-def _token_pairs(text: str, cjk_ngram: bool):
+def _token_pairs(text: str, cjk_ngram: bool, cjk_words: bool = False):
     """(word, position) pairs - avoids 300k+ _Tok allocations per bulk
     batch on the native path."""
     if text.isascii():
@@ -48,7 +48,8 @@ def _token_pairs(text: str, cjk_ngram: bool):
             if toks is not None:
                 return toks
     return [(t.text, t.position)
-            for t in tokenize(text, cjk_ngram=cjk_ngram)]
+            for t in tokenize(text, cjk_ngram=cjk_ngram,
+                              cjk_words=cjk_words)]
 
 
 @dataclass
@@ -87,12 +88,13 @@ class TermGenerator:
     def __init__(self, language: str | None = "english",
                  stem_strategy: str = STEM_SOME,
                  stop_strategy: str = STOP_STEMMED,
-                 cjk_ngram: bool = True):
+                 cjk_ngram: bool = True, cjk_words: bool = False):
         self.stem = Stem(language)
         self.stem_strategy = stem_strategy if self.stem.language else STEM_NONE
         self.stop_strategy = stop_strategy
         self.stopwords = get_stopwords(self.stem.language)
         self.cjk_ngram = cjk_ngram
+        self.cjk_words = cjk_words
         self.position = 0  # running position across index_text calls
 
     def _stemmable(self, word: str) -> bool:
@@ -121,7 +123,8 @@ class TermGenerator:
         # 4 UTF-8 bytes/char, so only longer (rare) words pay the encodes.
         plens = tuple(len(p.encode("utf-8")) for p in prefixes)
         safe_len = (MAX_TERM_LENGTH - max(plens) - 1) // 4
-        for word, tpos in _token_pairs(text, self.cjk_ngram):
+        for word, tpos in _token_pairs(text, self.cjk_ngram,
+                                       self.cjk_words):
             if not word:
                 continue
             if len(word) > safe_len:
@@ -213,7 +216,8 @@ class TermGenerator:
         indexed under STEM_SOME, so an all-stopword query still matches."""
         out = []
         stopped = []
-        for tok in tokenize(text, cjk_ngram=self.cjk_ngram):
+        for tok in tokenize(text, cjk_ngram=self.cjk_ngram,
+                            cjk_words=self.cjk_words):
             w = tok.text
             if not w:
                 continue

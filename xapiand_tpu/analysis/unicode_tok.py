@@ -36,13 +36,60 @@ def _is_cjk(ch: str) -> bool:
     )
 
 
-def tokenize(text: str, cjk_ngram: bool = True) -> Iterator[Token]:
+def _is_han(ch: str) -> bool:
+    cp = ord(ch)
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2FA1F)
+
+
+def _is_hangul(ch: str) -> bool:
+    return 0xAC00 <= ord(ch) <= 0xD7AF
+
+
+_jieba = None
+
+
+def _segment_words(run: str) -> list[str]:
+    """Dictionary word segmentation of one CJK run (the reference's
+    CJKWordIterator / ICU BreakIterator path, termgenerator_internal.cc:
+    139-161 + cjk-tokenizer.cc). Han text segments with the jieba
+    dictionary; hangul runs are whole words (Korean is space-delimited);
+    kana-only runs fall back to unigrams+bigrams (the reference without
+    ICU does the same for everything)."""
+    global _jieba
+    if any(_is_han(c) for c in run):
+        if _jieba is None:
+            try:
+                import logging
+
+                import jieba
+
+                jieba.setLogLevel(logging.WARNING)
+                jieba.initialize()
+                _jieba = jieba
+            except Exception:
+                _jieba = False
+        if _jieba:
+            return [w for w in _jieba.cut(run) if w.strip()]
+    elif all(_is_hangul(c) for c in run):
+        return [run]
+    out = []
+    for k, c in enumerate(run):
+        out.append(c)
+        if k + 1 < len(run):
+            out.append(run[k: k + 2])
+    return out
+
+
+def tokenize(text: str, cjk_ngram: bool = True,
+             cjk_words: bool = False) -> Iterator[Token]:
     """Yield lowercase word tokens with word positions.
 
     Non-CJK: maximal word-char runs, internal ' and & join, trailing +/# kept.
     CJK runs: each character is a token and each adjacent pair is a bigram
     token at the first char's position (when cjk_ngram, the default — the
-    reference's CJK_NGRAM flag).
+    reference's CJK_NGRAM flag); with cjk_words, runs segment into
+    dictionary words instead (CJK_WORDS / ICU word-break analog).
     """
     text = unicodedata.normalize("NFC", text)
     n = len(text)
@@ -56,7 +103,11 @@ def tokenize(text: str, cjk_ngram: bool = True) -> Iterator[Token]:
             while j < n and _is_cjk(text[j]):
                 j += 1
             run = text[i:j]
-            if cjk_ngram:
+            if cjk_words:
+                for w in _segment_words(run.lower()):
+                    yield Token(w, pos)
+                    pos += 1
+            elif cjk_ngram:
                 for k, c in enumerate(run):
                     yield Token(c.lower(), pos)
                     if k + 1 < len(run):

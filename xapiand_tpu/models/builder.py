@@ -27,9 +27,10 @@ def _materialize_text_ops(idoc: IndexedDocument) -> None:
 
     termpos = 0
     for (value, prefixes, language, stem_s, stop_s, weight,
-         with_pos, pos_start, cjk) in idoc.text_ops:
+         with_pos, pos_start, cjk, cjk_w) in idoc.text_ops:
         tg = tg_mod.TermGenerator(language, stem_strategy=stem_s,
-                                  stop_strategy=stop_s, cjk_ngram=cjk)
+                                  stop_strategy=stop_s, cjk_ngram=cjk,
+                                  cjk_words=cjk_w)
         tg.position = max(termpos, pos_start)
         tg.index_text(idoc.terms, value, wdf_inc=weight, prefixes=prefixes,
                       with_positions=with_pos)
@@ -111,7 +112,7 @@ class SegmentBuilder:
             inv.add_term(term, float(entry.wdf), entry.positions or None)
         termpos = 0
         for (value, prefixes, language, stem_s, stop_s, weight,
-             with_pos, pos_start, cjk) in idoc.text_ops:
+             with_pos, pos_start, cjk, cjk_w) in idoc.text_ops:
             base = max(termpos, pos_start)
             r = None
             lang = resolve_language(language)
@@ -126,7 +127,7 @@ class SegmentBuilder:
             if r is None:
                 tg = tg_mod.TermGenerator(language, stem_strategy=stem_s,
                                           stop_strategy=stop_s,
-                                          cjk_ngram=cjk)
+                                          cjk_ngram=cjk, cjk_words=cjk_w)
                 tg.position = base
                 tmp = tg_mod.DocumentTerms()
                 tg.index_text(tmp, value, wdf_inc=weight, prefixes=prefixes,

@@ -218,7 +218,9 @@ class QueryDSL:
             return [spec.prefix + w for w in str(text).split()]
         tg = tg_mod.TermGenerator(spec.language,
                                   stem_strategy=spec.stem_strategy,
-                                  stop_strategy=spec.stop_strategy)
+                                  stop_strategy=spec.stop_strategy,
+                                  cjk_ngram=spec.cjk_ngram,
+                                  cjk_words=spec.cjk_words)
         out = []
         for t in tg.index_query_text(str(text)):
             if t.startswith("Z"):
@@ -258,7 +260,9 @@ class QueryDSL:
         if ftype == FieldType.TEXT:
             tg = tg_mod.TermGenerator(spec.language,
                                       stem_strategy=spec.stem_strategy,
-                                      stop_strategy=spec.stop_strategy)
+                                      stop_strategy=spec.stop_strategy,
+                                      cjk_ngram=spec.cjk_ngram,
+                                      cjk_words=spec.cjk_words)
             toks = tg.index_query_text(str(value))
             terms = []
             for t in toks:

@@ -70,7 +70,7 @@ class FieldSpec:
     ignored: frozenset = dfield(default_factory=frozenset)
     spelling: bool = True        # feed this field's words to the spelling
                                  # dictionary (process_spelling)
-    cjk_words: bool = False      # CJK word segmentation request; falls
+    cjk_words: bool = False      # CJK dictionary word segmentation
                                  # back to bigrams (no segmenter shipped -
                                  # documented deviation from cjk-tokenizer)
     index_uuid_field: str = "both"   # uuid-typed field-name indexing
@@ -577,12 +577,13 @@ class Schema:
             out.text_ops.append(
                 (str(value), prefixes, spec.language, spec.stem_strategy,
                  spec.stop_strategy, spec.weight, spec.positions,
-                 spec.position_start, spec.cjk_ngram))
+                 spec.position_start, spec.cjk_ngram, spec.cjk_words))
             return
         tg = tg_mod.TermGenerator(spec.language,
                                   stem_strategy=spec.stem_strategy,
                                   stop_strategy=spec.stop_strategy,
-                                  cjk_ngram=spec.cjk_ngram)
+                                  cjk_ngram=spec.cjk_ngram,
+                                  cjk_words=spec.cjk_words)
         tg.position = max(getattr(out, "_termpos", 0),
                           spec.position_start)
         tg.index_text(out.terms, str(value), wdf_inc=spec.weight,
