@@ -141,3 +141,21 @@ def test_raft_log_replicates_commands(two_nodes):
     assert status == 200
     wait_for(lambda: a.req("GET", "/logged2/:settings")[1]
              .get("num_shards") == 3, desc="log apply on a")
+
+
+def test_cluster_survives_packet_loss(two_nodes):
+    """30% UDP message drop (chaos --random-errors-net analog): the
+    cluster still elects a leader and replicates a committed write."""
+    from xapiand_tpu.index.storage import faults
+
+    a, b = two_nodes
+    faults.set_rates(net=0.25, seed=7)
+    try:
+        wait_for(lambda: a.req("GET", "/:nodes")[1].get("leader")
+                 and b.req("GET", "/:nodes")[1].get("leader"),
+                 timeout=60, desc="election under packet loss")
+        a.req("PUT", "/lossy/1?commit", {"body": "through the noise"})
+        wait_for(lambda: b.req("GET", "/lossy/1")[0] == 200,
+                 timeout=60, desc="replication under packet loss")
+    finally:
+        faults.set_rates()

@@ -414,3 +414,62 @@ def test_document_info(srv):
     # index info still works
     status, out, _ = srv.req("GET", "/di/:info")
     assert out["doc_count"] == 1
+
+
+def test_autocommit_debouncer(tmp_path):
+    """Writes without ?commit become searchable after the committer
+    debounce fires (≙ reference committer, handler.h:398-401)."""
+    import time as _time
+
+    from xapiand_tpu.server.app import IndexManager
+
+    class AutoServer(ServerThread):
+        def _run(self):
+            from aiohttp import web
+
+            async def start():
+                from xapiand_tpu.server.app import create_app
+
+                app = create_app(manager=IndexManager(
+                    self.data_dir, autocommit_s=0.2,
+                    autocommit_force_s=0.6))
+                runner = web.AppRunner(app)
+                await runner.setup()
+                site = web.TCPSite(runner, "127.0.0.1", 0)
+                await site.start()
+                self.port = runner.addresses[0][1]
+                self._runner = runner
+                self._started.set()
+
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+            self._loop.run_until_complete(start())
+            self._loop.run_forever()
+
+    s = AutoServer.__new__(AutoServer)
+    s.data_dir = str(tmp_path / "auto")
+    s.http_port = 0
+    s.cluster_config = None
+    s.port = None
+    s._loop = None
+    s._started = threading.Event()
+    s._thread = threading.Thread(target=s._run, daemon=True)
+    s._thread.start()
+    assert s._started.wait(30)
+    try:
+        s.req("PUT", "/auto/1", {"body": "lazy commit"})   # no ?commit
+        deadline = _time.time() + 10
+        total = 0
+        while _time.time() < deadline:
+            _st, out, _ = s.req("POST", "/auto/:search",
+                                {"_query": {"body": "lazy"}})
+            total = out.get("total", 0)
+            if total:
+                break
+            _time.sleep(0.1)
+        assert total == 1, "autocommit never fired"
+        # the commit was real: revision advanced, WAL has a commit line
+        _st, info, _ = s.req("GET", "/auto/:info")
+        assert info["revision"] >= 1
+    finally:
+        s.stop()

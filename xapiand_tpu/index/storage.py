@@ -28,36 +28,56 @@ FLAG_COMPRESSED = 0x01
 
 
 class FaultInjector:
-    """Chaos-testing knobs (≙ --random-errors-io/db, opts.h:105-107; errno
-    injection in every io:: wrapper, io.cc:56-215).
+    """Chaos-testing knobs (≙ --random-errors-io/db/net, opts.h:105-107;
+    errno injection in every io:: wrapper, io.cc:56-215; net faults drop
+    discovery/replication messages).
 
-    Rates come from env vars XAPIAND_RANDOM_ERRORS_IO / _DB (probability in
-    [0,1]) or set_rates(); the RNG is seeded for reproducible chaos runs.
+    Rates come from env vars XAPIAND_RANDOM_ERRORS_IO / _DB / _NET
+    (probability in [0,1]) or set_rates(); the RNG is seeded for
+    reproducible chaos runs. IO faults carry a random errno like the
+    reference's io:: wrappers (EIO/ENOSPC/EBADF/EINTR...).
     """
+
+    _ERRNOS = (5, 28, 9, 4, 13, 24)   # EIO ENOSPC EBADF EINTR EACCES EMFILE
 
     def __init__(self):
         import random
 
         self.io_rate = float(os.environ.get("XAPIAND_RANDOM_ERRORS_IO", 0))
         self.db_rate = float(os.environ.get("XAPIAND_RANDOM_ERRORS_DB", 0))
+        self.net_rate = float(os.environ.get("XAPIAND_RANDOM_ERRORS_NET",
+                                             0))
         self._rng = random.Random(
             int(os.environ.get("XAPIAND_RANDOM_ERRORS_SEED", 42)))
 
-    def set_rates(self, io: float = 0.0, db: float = 0.0, seed: int = 42):
+    def set_rates(self, io: float = 0.0, db: float = 0.0,
+                  net: float = 0.0, seed: int = 42):
         import random
 
-        self.io_rate, self.db_rate = io, db
+        self.io_rate, self.db_rate, self.net_rate = io, db, net
         self._rng = random.Random(seed)
 
     def maybe_io(self, what: str):
         if self.io_rate and self._rng.random() < self.io_rate:
-            raise StorageError(f"injected IO error in {what} "
-                               "(RANDOM_ERRORS_IO)")
+            import errno as _errno
+            import os as _os
+
+            code = self._rng.choice(self._ERRNOS)
+            err = StorageError(
+                f"injected IO error in {what} "
+                f"[{_errno.errorcode.get(code, code)}] (RANDOM_ERRORS_IO)")
+            err.errno = code
+            err.strerror = _os.strerror(code)
+            raise err
 
     def maybe_db(self, what: str):
         if self.db_rate and self._rng.random() < self.db_rate:
             raise StorageError(f"injected DB error in {what} "
                                "(RANDOM_ERRORS_DB)")
+
+    def drop_net(self, what: str = "send") -> bool:
+        """True = drop this network message (packet-loss chaos)."""
+        return bool(self.net_rate and self._rng.random() < self.net_rate)
 
 
 class StorageError(IOError):

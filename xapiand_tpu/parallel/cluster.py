@@ -131,6 +131,10 @@ class ClusterNode:
     # -- wire --------------------------------------------------------------------
 
     def _send(self, addr, msg: dict):
+        from xapiand_tpu.index.storage import faults
+
+        if faults.drop_net("udp"):   # chaos: simulated packet loss
+            return
         if self._transport is not None:
             self._transport.sendto(pack_msgpack(msg), addr)
 

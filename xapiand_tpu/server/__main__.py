@@ -21,6 +21,9 @@ def main(argv=None):
                    help="index data directory (WAL + volumes)")
     p.add_argument("--scheme", default="bm25",
                    help="default weighting scheme")
+    p.add_argument("--autocommit", type=float, default=1.0,
+                   help="autocommit debounce seconds; 0 disables "
+                        "(≙ committer_debounce_timeout, opts.h:111)")
     p.add_argument("--num-shards", type=int, default=1,
                    help="default shards per new index (≙ opts.h:85 "
                         "num_shards; >1 backs indexes with the device mesh)")
@@ -31,6 +34,15 @@ def main(argv=None):
                         "reference default 58880)")
     p.add_argument("--peers", default="",
                    help="comma-separated host:port bootstrap peers")
+    p.add_argument("--random-errors-io", type=float, default=0.0,
+                   help="inject IO faults with this probability "
+                        "(≙ opts.h:105, io.cc errno injection)")
+    p.add_argument("--random-errors-db", type=float, default=0.0,
+                   help="inject DB faults (open/commit) with this "
+                        "probability (≙ opts.h:106)")
+    p.add_argument("--random-errors-net", type=float, default=0.0,
+                   help="drop cluster messages with this probability "
+                        "(≙ opts.h:107)")
     p.add_argument("--verbosity", "-v", action="count", default=0)
     args = p.parse_args(argv)
 
@@ -41,6 +53,14 @@ def main(argv=None):
     from aiohttp import web
 
     from xapiand_tpu.server.app import IndexManager, create_app
+
+    if args.random_errors_io or args.random_errors_db or \
+            args.random_errors_net:
+        from xapiand_tpu.index.storage import faults
+
+        faults.set_rates(io=args.random_errors_io,
+                         db=args.random_errors_db,
+                         net=args.random_errors_net)
 
     cluster_config = None
     if args.discovery_port is not None:
@@ -62,7 +82,8 @@ def main(argv=None):
 
     app = create_app(manager=IndexManager(
         args.data_dir, scheme=args.scheme,
-        default_num_shards=args.num_shards),
+        default_num_shards=args.num_shards,
+        autocommit_s=args.autocommit),
         cluster_config=cluster_config)
     web.run_app(app, host=args.bind, port=args.port)
 

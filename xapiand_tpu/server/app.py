@@ -58,13 +58,25 @@ class IndexManager:
     reference (index settings are created on first write and immutable)."""
 
     def __init__(self, data_dir: Optional[str] = None, scheme: str = "bm25",
-                 default_num_shards: int = 1):
+                 default_num_shards: int = 1,
+                 autocommit_s: float = 1.0, autocommit_force_s: float = 3.0):
         self.data_dir = data_dir
         self.scheme = scheme
         self.default_num_shards = int(default_num_shards)
         self.post_open = None          # hook: (name, db) -> None
         self.indexes: dict[str, Database] = {}
         self.settings: dict[str, dict] = {}
+        # autocommit debouncer (≙ the reference committer, handler.h:398-401
+        # via debouncer.h; defaults opts.h:111-114 = 1s debounce): writes
+        # without ?commit still become searchable shortly after the burst
+        self.commit_runner = None      # hook: post fn onto the serving loop
+        self._committer = None
+        if autocommit_s and autocommit_s > 0:
+            from xapiand_tpu.utils.debouncer import Debouncer
+
+            self._committer = Debouncer(self._autocommit,
+                                        debounce_s=autocommit_s,
+                                        max_force_s=autocommit_force_s)
         if data_dir:
             os.makedirs(data_dir, exist_ok=True)
             for name in sorted(os.listdir(data_dir)):
@@ -172,7 +184,31 @@ class IndexManager:
 
             shutil.rmtree(path)
 
+    def touch(self, name: str):
+        """Arm the autocommit debouncer after an uncommitted write."""
+        if self._committer is not None:
+            self._committer.trigger(name)
+
+    def _autocommit(self, name: str):
+        db = self.indexes.get(name)
+        if db is None:
+            return
+        def run():
+            if len(db._builder) or db._pending_deletes:
+                db.commit()
+        if self.commit_runner is not None:
+            # serialize with request handling (single-writer discipline)
+            self.commit_runner(run)
+        else:
+            run()
+
+    def flush_autocommit(self):
+        if self._committer is not None:
+            self._committer.flush()
+
     def close(self):
+        if self._committer is not None:
+            self._committer.close()
         for db in self.indexes.values():
             if db is not None:
                 db.close()
@@ -445,6 +481,8 @@ class RestServer:
         version = self._req_version(request, body)
         did = db.index_document(body, doc_id=doc_id, commit=commit,
                                 version=version)
+        if not commit:
+            self.man.touch(index)
         self._observe("index", t0)
         return {"_id": did, "_version": db.version_of(did),
                 "#commit": commit}, 200 if doc_id else 201
@@ -457,8 +495,11 @@ class RestServer:
                                     else None)
         doc = db.get_document(doc_id)
         new = apply_patch(doc, patch)
-        db.index_document(new, doc_id=doc_id,
-                          commit="commit" in request.query, version=version)
+        commit = "commit" in request.query
+        db.index_document(new, doc_id=doc_id, commit=commit,
+                          version=version)
+        if not commit:
+            self.man.touch(index)
         self._observe("patch", t0)
         return {"_id": doc_id, "_version": db.version_of(doc_id)}, 200
 
@@ -474,8 +515,11 @@ class RestServer:
             doc = {}
         version = self._req_version(request, body)
         merged = _deep_merge(doc, body)
-        db.index_document(merged, doc_id=doc_id,
-                          commit="commit" in request.query, version=version)
+        commit = "commit" in request.query
+        db.index_document(merged, doc_id=doc_id, commit=commit,
+                          version=version)
+        if not commit:
+            self.man.touch(index)
         self._observe("update", t0)
         return {"_id": doc_id, "_version": db.version_of(doc_id)}, 200
 
@@ -509,8 +553,10 @@ class RestServer:
         self._check_primary(index, request)
         db = self.man.get(index)
         version = self._req_version(request, None)
-        db.delete_document(doc_id, commit="commit" in request.query,
-                           version=version)
+        commit = "commit" in request.query
+        db.delete_document(doc_id, commit=commit, version=version)
+        if not commit:
+            self.man.touch(index)
         self._observe("delete", t0)
         return {"_id": doc_id, "#deleted": True}, 200
 
@@ -803,6 +849,12 @@ def create_app(data_dir: Optional[str] = None,
     app = web.Application(client_max_size=256 * 1024 * 1024)
     app["manager"] = man
     app["server"] = server
+
+    async def wire_commit_runner(app):
+        loop = asyncio.get_running_loop()
+        man.commit_runner = loop.call_soon_threadsafe
+
+    app.on_startup.append(wire_commit_runner)
     if cluster is not None:
         async def on_startup(app):
             await cluster.start()
