@@ -1,0 +1,352 @@
+"""BASELINE.json config 2 and 4 workload rows.
+
+Config 2: 100k docs with positional postings - phrase + boolean
+(AND/OR/NOT) queries through the query DSL.
+Config 4: geotagged + timestamped docs - HTM circle filters combined with
+datetime range filters (scale set by --docs; the config names 1M).
+
+Both engines run on the identical corpus and queries: the from-source
+reference binary over REST (sequential, its serving model), this engine
+via the batched on-device path. Our results are gated on correctness
+first: phrase hits verified by token-adjacency containment, booleans
+against a set-algebra + BM25 numpy oracle, geo+time against brute-force
+haversine/timestamp filtering.
+
+Usage:
+    python scripts/config_bench.py --config 2 [--docs 100000]
+    python scripts/config_bench.py --config 4 [--docs 250000]
+        [--binary /tmp/xbuild/bin/xapiand] [--skip-reference]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def zipf_vocab(n_vocab, rng):
+    words = [f"w{i}" for i in range(n_vocab)]
+    weights = [1.0 / (i + 1) ** 1.07 for i in range(n_vocab)]
+    return words, weights
+
+
+def build_corpus2(n_docs, seed=7):
+    rng = random.Random(seed)
+    words, weights = zipf_vocab(5000, rng)
+    docs = []
+    for _ in range(n_docs):
+        docs.append(" ".join(rng.choices(words, weights=weights, k=40)))
+    return docs
+
+
+def queries2(docs, n_each=128, seed=11):
+    rng = random.Random(seed)
+    phrases = []
+    seen = set()
+    while len(phrases) < n_each:
+        toks = docs[rng.randrange(len(docs))].split()
+        i = rng.randrange(len(toks) - 1)
+        p = (toks[i], toks[i + 1])
+        if p[0] != p[1] and p not in seen:
+            seen.add(p)
+            phrases.append(p)
+    vocab = sorted({t for d in docs[:2000] for t in d.split()})
+    booleans = []
+    for _ in range(n_each):
+        kind = rng.choice(("and", "or", "not"))
+        terms = rng.sample(vocab, 3)
+        booleans.append((kind, terms))
+    return phrases, booleans
+
+
+def dsl_for(kind, terms):
+    if kind == "and":
+        return {"_and": [{"body": t} for t in terms]}
+    if kind == "or":
+        return {"_or": [{"body": t} for t in terms]}
+    return {"_and_not": [{"_or": [{"body": t} for t in terms[:2]]},
+                         {"body": terms[2]}]}
+
+
+def run_ours_config2(docs, phrases, booleans):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import numpy as np
+
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.query.dsl import QueryDSL
+    from xapiand_tpu.search import BatchSearcher, SegmentSearcher
+
+    db = Database()
+    t0 = time.time()
+    for i, d in enumerate(docs):
+        db.index_document({"body": d}, doc_id=str(i))
+    db.commit()
+    index_s = time.time() - t0
+    seg = db._searchers[0].segment
+    dsl = QueryDSL(db.schema)
+    irs = [dsl.parse({"body": {"_phrase": f"{a} {b}"}})
+           for a, b in phrases] + \
+          [dsl.parse(dsl_for(kind, terms)) for kind, terms in booleans]
+    searcher = SegmentSearcher(seg, db.scheme)
+    bs = BatchSearcher(searcher, k=10)
+    res = bs.run(irs)   # warm + compile + correctness material
+
+    # correctness gates ----------------------------------------------------
+    tok_docs = [d.split() for d in docs]
+    for qi in range(0, len(phrases), 16):
+        a, b = phrases[qi]
+        got = {int(d) for d, s in zip(res[qi]["docids"], res[qi]["scores"])
+               if np.isfinite(s)}
+        for d in got:
+            toks = tok_docs[d]
+            assert any(toks[j] == a and toks[j + 1] == b
+                       for j in range(len(toks) - 1)), \
+                ("phrase hit not adjacent", a, b, d)
+    # boolean counts vs set algebra
+    posting = {}
+
+    def ids_of(t):
+        if t not in posting:
+            ti = seg.terms.get(t)
+            posting[t] = set() if ti is None else set(
+                int(x) for x in
+                seg.post_docids[ti.offset: ti.offset + ti.length])
+        return posting[t]
+
+    for bi in range(0, len(booleans), 16):
+        kind, terms = booleans[bi]
+        if kind == "and":
+            expect = ids_of(terms[0]) & ids_of(terms[1]) & ids_of(terms[2])
+        elif kind == "or":
+            expect = ids_of(terms[0]) | ids_of(terms[1]) | ids_of(terms[2])
+        else:
+            expect = (ids_of(terms[0]) | ids_of(terms[1])) - ids_of(terms[2])
+        assert res[len(phrases) + bi]["count"] == len(expect), \
+            ("boolean count mismatch", kind, terms)
+
+    qps = _timed_qps(bs, searcher, irs, seg)
+    return {"index_docs_s": len(docs) / index_s, "qps": qps}
+
+
+def _timed_qps(bs, searcher, irs, seg):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xapiand_tpu.models.weights import CollectionStats
+
+    planned = bs.plan(irs)
+    seg_arrays = searcher.device_segment.arrays_pytree()
+    stats = CollectionStats(doc_count=seg.doc_count,
+                            avg_doclen=seg.avg_doclen, doclen_lower=1.0)
+    stats_d = {"N": jnp.float32(stats.doc_count),
+               "avg_doclen": jnp.float32(stats.avg_doclen),
+               "doclen_lower": jnp.float32(1.0)}
+    reps = max(3, -(-48 // len(planned)))
+    t0 = time.time()
+    o = None
+    for _ in range(reps):
+        for _cfg, fn, batch, _chunk in planned:
+            o = fn(seg_arrays, batch, stats_d)
+    float(np.asarray(o["scores"])[0, 0])
+    return len(irs) * reps / (time.time() - t0)
+
+
+def build_corpus4(n_docs, seed=7):
+    rng = random.Random(seed)
+    words, weights = zipf_vocab(2000, rng)
+    docs = []
+    for _ in range(n_docs):
+        docs.append({
+            "body": " ".join(rng.choices(words, weights=weights, k=12)),
+            "loc": {"_point": {"_longitude": rng.uniform(-120.0, -70.0),
+                               "_latitude": rng.uniform(25.0, 48.0)}},
+            "ts": f"2024-{rng.randint(1, 12):02d}-"
+                  f"{rng.randint(1, 28):02d}T{rng.randint(0, 23):02d}"
+                  f":00:00",
+        })
+    return docs
+
+
+def queries4(n_queries=96, seed=11):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_queries):
+        lon = rng.uniform(-115.0, -75.0)
+        lat = rng.uniform(28.0, 45.0)
+        radius = rng.uniform(100_000, 400_000)
+        m0 = rng.randint(1, 9)
+        out.append({
+            "_and": [
+                {"loc": {"_circle": {"_longitude": lon, "_latitude": lat,
+                                     "_radius": radius}}},
+                {"ts": {"_from": f"2024-{m0:02d}-01T00:00:00",
+                        "_to": f"2024-{m0 + 3:02d}-01T00:00:00"}},
+            ]})
+    return out
+
+
+def run_ours_config4(docs, queries):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import numpy as np
+
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.query.dsl import QueryDSL
+    from xapiand_tpu.search import BatchSearcher, SegmentSearcher
+    from xapiand_tpu.utils import dtutils
+
+    db = Database()
+    t0 = time.time()
+    for i, d in enumerate(docs):
+        db.index_document(dict(d), doc_id=str(i))
+    db.commit()
+    index_s = time.time() - t0
+    seg = db._searchers[0].segment
+    dsl = QueryDSL(db.schema)
+    irs = [dsl.parse(q) for q in queries]
+    searcher = SegmentSearcher(seg, db.scheme)
+    bs = BatchSearcher(searcher, k=10)
+    res = bs.run(irs)
+
+    # brute-force parity on a sample: haversine circle + ts range
+    def hav_m(lat1, lon1, lat2, lon2):
+        r = 6371008.8
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp = p2 - p1
+        dl = math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + \
+            math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+
+    for qi in range(0, len(queries), 12):
+        q = queries[qi]
+        circ = q["_and"][0]["loc"]["_circle"]
+        rng_ts = q["_and"][1]["ts"]
+        t_lo = dtutils.parse_datetime(rng_ts["_from"])
+        t_hi = dtutils.parse_datetime(rng_ts["_to"])
+        expect = 0
+        for d in docs:
+            p = d["loc"]["_point"]
+            ts = dtutils.parse_datetime(d["ts"])
+            if t_lo <= ts <= t_hi and hav_m(
+                    p["_latitude"], p["_longitude"], circ["_latitude"],
+                    circ["_longitude"]) <= circ["_radius"]:
+                expect += 1
+        got = res[qi]["count"]
+        # HTM trixel covers are conservative at the configured error
+        # bound; counts must match brute force exactly here because the
+        # engine re-filters candidates with the exact geometry
+        assert got == expect, ("geo+time count mismatch", qi, got, expect)
+
+    qps = _timed_qps(bs, searcher, irs, seg)
+    return {"index_docs_s": len(docs) / index_s, "qps": qps}
+
+
+def run_reference(binary, docs_json, query_bodies, port=18897):
+    import shutil
+    import subprocess
+    import tempfile
+
+    from ref_baseline import req, wait_http
+
+    data_dir = tempfile.mkdtemp(prefix="xapiand-cfg-")
+    proc = subprocess.Popen(
+        [binary, "-D", data_dir, "--port", str(port), "--http-servers",
+         "1", "--http-clients", "2", "--uid", "root", "--gid", "root",
+         "--solo"], stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        if not wait_http(port):
+            raise SystemExit("reference server did not come up")
+        t0 = time.time()
+        chunk = []
+        for line in docs_json:
+            chunk.append(line)
+            if len(chunk) == 2000:
+                req(port, "POST", "/cfg/:restore",
+                    ("\n".join(chunk) + "\n").encode(),
+                    ct="application/x-ndjson")
+                chunk = []
+        if chunk:
+            req(port, "POST", "/cfg/:restore",
+                ("\n".join(chunk) + "\n").encode(),
+                ct="application/x-ndjson")
+        req(port, "POST", "/cfg/:commit")
+        index_s = time.time() - t0
+        for q in query_bodies[:8]:
+            req(port, "POST", "/cfg/:search", {"_query": q, "_limit": 10})
+        t0 = time.time()
+        for q in query_bodies:
+            req(port, "POST", "/cfg/:search", {"_query": q, "_limit": 10})
+        dt = time.time() - t0
+        return {"index_docs_s": len(docs_json) / index_s,
+                "qps": len(query_bodies) / dt}
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, required=True, choices=(2, 4))
+    ap.add_argument("--docs", type=int, default=None)
+    ap.add_argument("--binary", default="/tmp/xbuild/bin/xapiand")
+    ap.add_argument("--skip-reference", action="store_true")
+    args = ap.parse_args()
+
+    if args.config == 2:
+        n = args.docs or 100_000
+        print(f"[cfg2] building {n} positional docs...", file=sys.stderr)
+        docs = build_corpus2(n)
+        phrases, booleans = queries2(docs)
+        ours = run_ours_config2(docs, phrases, booleans)
+        print(f"[cfg2] ours: {ours['qps']:.0f} qps", file=sys.stderr)
+        ref = None
+        if not args.skip_reference and os.path.exists(args.binary):
+            lines = [json.dumps({"_id": str(i), "body": d})
+                     for i, d in enumerate(docs)]
+            bodies = [{"body": {"_phrase": f"{a} {b}"}}
+                      for a, b in phrases] + \
+                     [dsl_for(k, t) for k, t in booleans]
+            ref = run_reference(args.binary, lines, bodies)
+            print(f"[cfg2] reference: {ref['qps']:.0f} qps",
+                  file=sys.stderr)
+        metric = f"config2_phrase_bool_qps_{n // 1000}k_docs"
+    else:
+        n = args.docs or 250_000
+        print(f"[cfg4] building {n} geotagged docs...", file=sys.stderr)
+        docs = build_corpus4(n)
+        queries = queries4()
+        ours = run_ours_config4(docs, queries)
+        print(f"[cfg4] ours: {ours['qps']:.0f} qps", file=sys.stderr)
+        ref = None
+        if not args.skip_reference and os.path.exists(args.binary):
+            lines = [json.dumps({"_id": str(i), **d})
+                     for i, d in enumerate(docs)]
+            ref = run_reference(args.binary, lines, queries)
+            print(f"[cfg4] reference: {ref['qps']:.0f} qps",
+                  file=sys.stderr)
+        metric = f"config4_geo_time_qps_{n // 1000}k_docs"
+
+    print(json.dumps({
+        "metric": metric, "value": round(ours["qps"], 2),
+        "unit": "qps/chip",
+        "vs_baseline": round(ours["qps"] / ref["qps"], 2) if ref else None,
+        "detail": {"ours_index_docs_s": round(ours["index_docs_s"], 1),
+                   "reference": {k: round(v, 2) for k, v in ref.items()}
+                   if ref else "skipped", "docs": n},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -211,10 +211,12 @@ class SegmentBuilder:
                     if pi is not None:
                         post_posoff[off + k] = pi[0]
                         post_poslen[off + k] = pi[1]
+            mp = int(post_poslen[off: off + L].max()) if L else 0
             term_infos[term] = TermInfo(
                 tid=tid, offset=off, length=L,
                 collfreq=self._collfreq.get(term, 0),
-                max_wdf=float(maxw[tid]) if L else 0.0)
+                max_wdf=float(maxw[tid]) if L else 0.0,
+                max_poslen=mp)
 
         doclen = np.zeros(nd + 1, dtype=np.float32)
         uniqterms = np.ones(nd + 1, dtype=np.float32)
@@ -279,6 +281,16 @@ class SegmentBuilder:
         offs = ex["offsets"].tolist()
         cfs = ex["collfreq"][:nt].tolist()
         mws = ex["maxwdf"][:nt].tolist()
+        if nt and total_post:
+            mps = np.maximum.reduceat(
+                ex["poslen"], np.minimum(ex["offsets"][:nt],
+                                         total_post - 1))
+            # reduceat spans [off_i, off_{i+1}); empty terms read a
+            # neighbour's value - zero them via the length mask
+            span = ex["offsets"][1:] - ex["offsets"][:nt]
+            mps = np.where(span > 0, mps, 0).tolist()
+        else:
+            mps = [0] * nt
         b = 0
         for tid in range(nt):
             tl = lens[tid]
@@ -287,7 +299,8 @@ class SegmentBuilder:
             off = offs[tid]
             term_infos[term] = TermInfo(
                 tid=tid, offset=off, length=offs[tid + 1] - off,
-                collfreq=int(round(cfs[tid])), max_wdf=float(mws[tid]))
+                collfreq=int(round(cfs[tid])), max_wdf=float(mws[tid]),
+                max_poslen=int(mps[tid]))
 
         doclen = np.zeros(nd + 1, dtype=np.float32)
         uniqterms = np.ones(nd + 1, dtype=np.float32)

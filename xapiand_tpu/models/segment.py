@@ -57,6 +57,7 @@ class TermInfo:
     length: int      # termfreq within this segment (#docs carrying the term)
     collfreq: int    # total wdf
     max_wdf: float
+    max_poslen: int = 0   # longest position list (0 = none/unknown)
 
 
 @dataclass

@@ -151,6 +151,25 @@ def lower_bound(a, x, L: int):
     return pos
 
 
+def lower_bound_sorted(a, x):
+    """lower_bound for an ASCENDING query vector: leftmost i with
+    a[i] >= x, for every x, via two sorts instead of |x|*log|a| gather
+    rounds (gathers serialize on TPU; sorts stream - measured ~10x).
+
+    a: [L] ascending; x: [C] ascending (pad suffix = INT32_MAX on both)."""
+    L = a.shape[0]
+    C = x.shape[0]
+    vals = jnp.concatenate([a, x])
+    # ties: x before equal a-elements, so equal keys don't count as "< x"
+    tags = jnp.concatenate([jnp.ones(L, jnp.int32),
+                            jnp.zeros(C, jnp.int32)])
+    sv, st = lax.sort((vals, tags), num_keys=2)
+    a_before = jnp.cumsum(st) - st          # #a-elements strictly before
+    slots = jnp.arange(L + C, dtype=jnp.int32)
+    _, xslots = lax.sort((st, slots), num_keys=2)
+    return a_before[xslots[:C]]             # x is ascending => in x order
+
+
 def _eval_tree(tree, leaf_fns):
     """Compile the static boolean tree to a vectorised predicate.
 

