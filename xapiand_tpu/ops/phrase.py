@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from xapiand_tpu.ops.executor import (SENTINEL, lower_bound,
-                                      lower_bound_sorted)
+from xapiand_tpu.ops.executor import SENTINEL, lower_bound_sorted
 
 
 def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
@@ -39,8 +38,12 @@ def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
         for g in group_idxs:
             allbits |= (1 << g)
         cand_ok = first & ((bits & allbits) == allbits)
-        # compact matching docids to the front (ascending docid)
-        cand_d = lax.sort(jnp.where(cand_ok, ids_all, SENTINEL))[:C]
+        # compact matching docids to the front (ascending docid), carrying
+        # each candidate's source ROW so verdicts scatter straight back
+        rsrc = jnp.arange(ids_all.shape[0], dtype=jnp.int32)
+        cand_d, cand_src = lax.sort(
+            (jnp.where(cand_ok, ids_all, SENTINEL), rsrc), num_keys=1)
+        cand_d, cand_src = cand_d[:C], cand_src[:C]
         cand_valid = cand_d != SENTINEL
 
         pos_lists = []
@@ -88,10 +91,13 @@ def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
                 ok_all = ok_all & near.any(axis=2)
             verdict = ok_all.any(axis=1)
 
-        # map verdict back to rows: row docids are ascending too (the
-        # executor's global docid sort), so the same sort-join applies
-        ridx = lower_bound_sorted(cand_d, ids_all)
-        rc = jnp.minimum(ridx, C - 1)
-        row_ok = (cand_d[rc] == ids_all) & verdict[rc]
+        # verdicts are only consumed at first-occurrence rows (executor:
+        # eligible = first & match), which is exactly where candidates
+        # came from - scatter them back by source row instead of joining
+        # against all R rows (the join's (C+R)-wide sorts were the single
+        # most expensive stage of the whole phrase batch)
+        row_ok = jnp.zeros(ids_all.shape[0], bool).at[
+            jnp.where(cand_valid, cand_src, ids_all.shape[0])
+        ].set(verdict & cand_valid, mode="drop")
         outs.append(row_ok)
     return outs
