@@ -1,0 +1,167 @@
+"""IP field type, _ip_range / _geo_ip / _geo_trixels aggregations.
+
+These three aggregation names are reserved-but-disabled in the reference
+(src/aggregations/aggregations.cc:82-87 commented out); the semantics here
+are this build's (documented in xapiand_tpu/aggregations.py).
+"""
+
+import pytest
+
+from xapiand_tpu.database import Database
+from xapiand_tpu.geo import htm
+from xapiand_tpu.utils import iputils
+
+IPDOCS = [
+    {"addr": {"_type": "ip", "_value": "10.0.0.5"}, "bytes": 100.0},
+    {"addr": {"_type": "ip", "_value": "10.0.1.7"}, "bytes": 200.0},
+    {"addr": {"_type": "ip", "_value": "192.168.1.1"}, "bytes": 300.0},
+    {"addr": {"_type": "ip", "_value": "192.168.1.2"}, "bytes": 400.0},
+    {"addr": {"_type": "ip", "_value": "8.8.8.8"}, "bytes": 500.0},
+    {"bytes": 999.0},                                  # no addr
+]
+
+
+@pytest.fixture(scope="module")
+def ipdb():
+    db = Database()
+    for i, d in enumerate(IPDOCS):
+        db.index_document(dict(d), doc_id=f"d{i}")
+    db.commit()
+    return db
+
+
+def test_ip_parse():
+    assert iputils.parse_ip("1.2.3.4") == float((1 << 24) + (2 << 16)
+                                                + (3 << 8) + 4)
+    lo, hi = iputils.parse_ip_interval("10.0.0.0/24")
+    assert hi - lo == 256
+    lo6, hi6 = iputils.parse_ip_interval("2001:db8::/32")
+    assert hi6 > lo6
+
+
+def test_ip_exact_term_query(ipdb):
+    res = ipdb.search({"addr": "192.168.1.1"}, k=10)
+    assert len(res.hits) == 1
+    assert res.hits[0].data["bytes"] == 300.0
+
+
+def test_ip_cidr_query(ipdb):
+    res = ipdb.search({"addr": "10.0.0.0/16"}, k=10)
+    assert len(res.hits) == 2
+    res = ipdb.search({"addr": "192.168.0.0/16"}, k=10)
+    assert len(res.hits) == 2
+    res = ipdb.search({"addr": "8.0.0.0/8"}, k=10)
+    assert len(res.hits) == 1
+
+
+def test_ip_range_query(ipdb):
+    res = ipdb.search({"addr": {"_range": {"_from": "10.0.0.0",
+                                           "_to": "10.255.255.255"}}}, k=10)
+    assert len(res.hits) == 2
+
+
+def test_ip_range_agg(ipdb):
+    res = ipdb.search({"_match_all": {}}, k=0, aggs={"nets": {
+        "_ip_range": {"_field": "addr", "_ranges": [
+            {"_key": "ten", "_cidr": "10.0.0.0/8"},
+            {"_key": "private192", "_from": "192.168.0.0",
+             "_to": "192.169.0.0"},
+            {"_key": "all4", "_from": "0.0.0.0"},
+        ]}}})
+    buckets = {b["_key"]: b["_doc_count"] for b in res.aggregations["nets"]}
+    assert buckets == {"ten": 2, "private192": 2, "all4": 5}
+
+
+def test_ip_range_agg_with_subs(ipdb):
+    res = ipdb.search({"_match_all": {}}, k=0, aggs={"nets": {
+        "_ip_range": {"_field": "addr", "_ranges": [
+            {"_key": "ten", "_cidr": "10.0.0.0/8"}]},
+        "_aggs": {"total": {"_sum": {"_field": "bytes"}}}}})
+    b = res.aggregations["nets"][0]
+    assert b["_doc_count"] == 2
+    assert b["total"]["_sum"] == pytest.approx(300.0)
+
+
+def test_geo_ip_agg(ipdb):
+    res = ipdb.search({"_match_all": {}}, k=0, aggs={"locs": {
+        "_geo_ip": {"_field": "addr", "_networks": [
+            {"_key": "dc-a", "_cidrs": ["10.0.0.0/8", "8.8.8.0/24"]},
+            {"_key": "office", "_cidrs": ["192.168.0.0/16"]},
+        ]},
+        "_aggs": {"total": {"_sum": {"_field": "bytes"}}}}})
+    buckets = {b["_key"]: b for b in res.aggregations["locs"]}
+    assert buckets["dc-a"]["_doc_count"] == 3
+    assert buckets["dc-a"]["total"]["_sum"] == pytest.approx(800.0)
+    assert buckets["office"]["_doc_count"] == 2
+    assert buckets["office"]["total"]["_sum"] == pytest.approx(700.0)
+
+
+def test_ipv6_ordering_and_cidr():
+    db = Database()
+    db.index_document({"a": {"_type": "ip", "_value": "2001:db8::1"}},
+                      doc_id="a")
+    db.index_document({"a": {"_type": "ip", "_value": "2001:db9::1"}},
+                      doc_id="b")
+    db.commit()
+    res = db.search({"a": "2001:db8::/32"}, k=10)
+    assert [h.id for h in res.hits] == ["a"]
+
+
+GEODOCS = [
+    {"name": "nyc1", "loc": {"_point": {"_latitude": 40.7128,
+                                        "_longitude": -74.0060}}},
+    {"name": "nyc2", "loc": {"_point": {"_latitude": 40.7130,
+                                        "_longitude": -74.0062}}},
+    {"name": "sydney", "loc": {"_point": {"_latitude": -33.87,
+                                          "_longitude": 151.21}}},
+    {"name": "nowhere"},                               # no loc
+]
+
+
+@pytest.fixture(scope="module")
+def geodb():
+    db = Database()
+    for i, d in enumerate(GEODOCS):
+        db.index_document(dict(d), doc_id=f"g{i}")
+    db.commit()
+    return db
+
+
+def _expected_trixel(lat, lon, level):
+    # buckets key on the FIRST indexed level-13 range's start trixel
+    # (point covers span a few level-13 trixels around the point, so at
+    # levels coarser than the cover this equals the point's own trixel)
+    from xapiand_tpu.geo import geospatial
+
+    ranges, _ = geospatial.extract(
+        {"_point": {"_latitude": lat, "_longitude": lon}})
+    tid = ranges[0][0] >> (2 * (htm.MAX_LEVEL - level))
+    return htm.trixel_name(tid, level)
+
+
+def test_geo_trixels_agg(geodb):
+    res = geodb.search({"_match_all": {}}, k=0, aggs={"tiles": {
+        "_geo_trixels": {"_field": "loc", "_level": 5}}})
+    buckets = {b["_key"]: b["_doc_count"] for b in res.aggregations["tiles"]}
+    nyc = _expected_trixel(40.7128, -74.0060, 5)
+    syd = _expected_trixel(-33.87, 151.21, 5)
+    assert buckets[nyc] == 2
+    assert buckets[syd] == 1
+    assert sum(buckets.values()) == 3                  # "nowhere" excluded
+
+
+def test_geo_trixels_device_level(geodb):
+    # at device level (13, ~1km trixels) the two nyc points (~25m apart)
+    # still share a trixel; keys must match point_to_trixel exactly
+    res = geodb.search({"_match_all": {}}, k=0, aggs={"tiles": {
+        "_geo_trixels": {"_field": "loc", "_level": 13}}})
+    buckets = {b["_key"]: b["_doc_count"] for b in res.aggregations["tiles"]}
+    assert buckets[_expected_trixel(40.7128, -74.0060, 13)] == 2
+    assert buckets[_expected_trixel(-33.87, 151.21, 13)] == 1
+
+
+def test_geo_trixels_respects_query(geodb):
+    res = geodb.search({"name": "sydney"}, k=0, aggs={"tiles": {
+        "_geo_trixels": {"_field": "loc", "_level": 5}}})
+    buckets = {b["_key"]: b["_doc_count"] for b in res.aggregations["tiles"]}
+    assert buckets == {_expected_trixel(-33.87, 151.21, 5): 1}

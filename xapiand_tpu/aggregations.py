@@ -416,6 +416,111 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
             agg_params[i] = np.asarray([lat, lon], np.float32)
             meta.append({"kind": "range", "labels": labels, "sort": sort,
                          "sub_names": sub_names, "sub_metas": sub_metas})
+        elif key == "_ip_range":
+            # reserved-but-disabled in the reference (aggregations.cc:86) -
+            # semantics defined here: exact u64-key range buckets over an ip
+            # field; _from inclusive, _to exclusive (like _range), or _cidr
+            from xapiand_tpu.utils import iputils
+            from xapiand_tpu.utils import serialise as _ser
+
+            slot = _slot_of(schema, args)
+            rs = args.get("_ranges")
+            if not rs:
+                raise AggError(f"_ip_range aggregation {name!r} needs _ranges")
+            bounds = np.zeros((len(rs), 4), np.int32)
+            labels = []
+            for j, r in enumerate(rs):
+                if "_cidr" in r or "_mask" in r:
+                    cidr = r.get("_cidr", r.get("_mask"))
+                    lo_v, hi_v = iputils.parse_ip_interval(cidr)
+                    labels.append(r.get("_key", str(cidr)))
+                else:
+                    lo_v = iputils.parse_ip(r["_from"]) if "_from" in r \
+                        else None
+                    hi_v = iputils.parse_ip(r["_to"]) if "_to" in r else None
+                    labels.append(r.get("_key",
+                                        f"{r.get('_from', '*')}.."
+                                        f"{r.get('_to', '*')}"))
+                fkey = _ser.sortable_key_u64(lo_v) if lo_v is not None else 0
+                tkey = (_ser.sortable_key_u64(hi_v) - 1) \
+                    if hi_v is not None else 2**64 - 1
+                bounds[j, 0], bounds[j, 1] = _ser.split_key(fkey)
+                bounds[j, 2], bounds[j, 3] = _ser.split_key(tkey)
+            specs.append(("key_range", slot, len(rs), sub_specs))
+            agg_ranges[i] = bounds
+            meta.append({"kind": "range", "labels": labels, "sort": sort,
+                         "sub_names": sub_names, "sub_metas": sub_metas})
+        elif key == "_geo_ip":
+            # reserved-but-disabled in the reference (aggregations.cc:87).
+            # No GeoIP database ships with either engine, so the location
+            # table is caller-supplied: _networks = [{"_key": "us-east",
+            # "_cidrs": ["3.0.0.0/8", ...]}, ...]; docs bucket into every
+            # location whose CIDRs cover their address.
+            from xapiand_tpu.utils import iputils
+            from xapiand_tpu.utils import serialise as _ser
+
+            slot = _slot_of(schema, args)
+            nets = args.get("_networks")
+            if not nets:
+                raise AggError(f"_geo_ip aggregation {name!r} needs "
+                               "_networks")
+            rows, assign, labels = [], [], []
+            for j, net in enumerate(nets):
+                cidrs = net.get("_cidrs")
+                if cidrs is None and "_cidr" in net:
+                    cidrs = [net["_cidr"]]
+                if not cidrs:
+                    raise AggError(f"_geo_ip network #{j} needs _cidrs")
+                labels.append(net.get("_key", str(cidrs[0])))
+                for cidr in cidrs:
+                    lo_v, hi_v = iputils.parse_ip_interval(cidr)
+                    fh, fl = _ser.split_key(_ser.sortable_key_u64(lo_v))
+                    th, tl = _ser.split_key(_ser.sortable_key_u64(hi_v) - 1)
+                    rows.append((fh, fl, th, tl))
+                    assign.append(j)
+            specs.append(("geo_ip", slot, len(nets), len(rows), sub_specs))
+            agg_ranges[i] = np.asarray(rows, np.int32)
+            agg_params[i] = np.asarray(assign, np.int32)
+            meta.append({"kind": "range", "labels": labels, "sort": sort,
+                         "sub_names": sub_names, "sub_metas": sub_metas})
+        elif key == "_geo_trixels":
+            # reserved-but-disabled in the reference (aggregations.cc:82):
+            # facet geo docs by HTM trixel at _level (<= 13); buckets are
+            # codes into a sorted table of the trixels present, shaped like
+            # a terms facet with HTM names ("s0123...") as keys
+            from xapiand_tpu.geo import htm
+
+            slot = _slot_of(schema, args)
+            level = int(args.get("_level", 8))
+            if not (0 <= level <= htm.MAX_LEVEL):
+                raise AggError(f"_geo_trixels _level must be 0..13")
+            shift = 2 * (htm.MAX_LEVEL - level)
+            tris: set[int] = set()
+            for sg in segs:
+                g = sg.geo.get(slot)
+                if g is None or len(g.flat_start) == 0:
+                    continue
+                nd = sg.num_docs
+                lens = g.doc_len[:nd]
+                first = g.flat_start[np.minimum(g.doc_off[:nd],
+                                                max(len(g.flat_start) - 1,
+                                                    0))]
+                tris.update(np.unique(first[lens > 0] >> shift).tolist())
+            table = np.asarray(sorted(tris), np.int32)
+            nb = _cat_bucket(max(len(table), 1))
+            padded = np.full(nb, 2**31 - 1, np.int32)
+            padded[: len(table)] = table
+            specs.append(("geo_trixels", slot, nb, shift, sub_specs))
+            agg_params[i] = padded
+            meta.append({"kind": "terms",
+                         "cat_names": [htm.trixel_name(int(t), level)
+                                       for t in table],
+                         "size": int(args.get("_size",
+                                              args.get("_limit", 10))),
+                         "keyed": bool(args.get("_keyed", False)),
+                         "min_doc_count": int(args.get("_min_doc_count", 1)),
+                         "sort": sort,
+                         "sub_names": sub_names, "sub_metas": sub_metas})
         elif key == "_missing":
             slot = _slot_of(schema, args)
             specs.append(("missing", slot, sub_specs))

@@ -551,6 +551,10 @@ class Database:
                     vals = searcher.segment.values
                     if spec[0] == "terms" and spec[1] in vals:
                         cats_j[j] = vals[spec[1]].cat_names or []
+                    elif spec[0] == "geo_trixels":
+                        # per-compile trixel table -> HTM names live in this
+                        # segment's meta (codes are segment-local, like cats)
+                        cats_j[j] = agg_meta[j]["cat_names"]
                     elif spec[0] == "nested":
                         for tag, d in (("p", spec[1]), ("c", spec[2])):
                             if d[0] == "terms" and d[1] in vals:

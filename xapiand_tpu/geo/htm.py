@@ -99,6 +99,19 @@ def ancestor(tid: int, tid_level: int, level: int) -> int:
     return tid >> (2 * (tid_level - level))
 
 
+_ROOT_NAMES = {8: "s0", 9: "s1", 10: "s2", 11: "s3",
+               12: "n0", 13: "n1", 14: "n2", 15: "n3"}
+
+
+def trixel_name(tid: int, level: int) -> str:
+    """SDSS HTM name of a level-`level` trixel id, e.g. "s0231" (matches
+    the reference's HTM::getTrixelName digit encoding, htm.cc)."""
+    root = tid >> (2 * level)
+    digits = "".join(str((tid >> (2 * (level - 1 - i))) & 3)
+                     for i in range(level))
+    return _ROOT_NAMES.get(root, f"?{root}") + digits
+
+
 def ancestors_of_ranges(ranges, level: int) -> set[int]:
     """Unique ancestor trixel ids at `level` for level-MAX_LEVEL id ranges."""
     shift = 2 * (MAX_LEVEL - min(level, MAX_LEVEL))

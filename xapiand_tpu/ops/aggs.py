@@ -235,6 +235,86 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
                                                         docids, in_bucket)})
             else:
                 out.append(counts)
+        elif kind == "key_range":
+            # exact u64-sort-key range buckets (_ip_range: reserved-but-
+            # disabled in the reference, aggregations.cc:86). A doc lands in
+            # every range its [min,max] key interval overlaps, mirroring the
+            # value-filter overlap semantics (multivalue/range.h).
+            from xapiand_tpu.ops.executor import _lex_ge, _lex_le
+
+            nr = spec[2]
+            sub_specs = spec[3] if len(spec) > 3 else ()
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["hi"].shape[0] - 1)
+            m = mask & col["present"][d]
+            b = plan["agg_ranges"][i]               # [nr, 4] int32 key pairs
+            ge = _lex_ge(col["max_hi"][d][:, None], col["max_lo"][d][:, None],
+                         b[None, :, 0], b[None, :, 1])
+            le = _lex_le(col["hi"][d][:, None], col["lo"][d][:, None],
+                         b[None, :, 2], b[None, :, 3])
+            inr = ge & le & m[:, None]
+            counts = jnp.sum(inr.astype(jnp.int32), axis=0)
+            if sub_specs:
+                out.append({"counts": counts,
+                            "subs": _sub_stats_bucketed(seg, sub_specs,
+                                                        docids, inr)})
+            else:
+                out.append(counts)
+        elif kind == "geo_ip":
+            # _geo_ip (reserved-but-disabled, aggregations.cc:87): bucket an
+            # ip field by a caller-supplied network->location table; bucket
+            # membership = OR over the location's CIDR key intervals, folded
+            # through a one-hot matmul so it lands on the MXU.
+            from xapiand_tpu.ops.executor import _lex_ge, _lex_le
+
+            nb, ncidr = spec[2], spec[3]
+            sub_specs = spec[4] if len(spec) > 4 else ()
+            col = seg["values"][slot]
+            d = jnp.minimum(docids, col["hi"].shape[0] - 1)
+            m = mask & col["present"][d]
+            b = plan["agg_ranges"][i]               # [ncidr, 4]
+            ge = _lex_ge(col["max_hi"][d][:, None], col["max_lo"][d][:, None],
+                         b[None, :, 0], b[None, :, 1])
+            le = _lex_le(col["hi"][d][:, None], col["lo"][d][:, None],
+                         b[None, :, 2], b[None, :, 3])
+            inc = (ge & le).astype(jnp.float32)     # [rows, ncidr]
+            assign = plan["agg_params"][i]          # [ncidr] -> bucket idx
+            onehot = (assign[:, None] == jnp.arange(nb)[None, :]) \
+                .astype(jnp.float32)
+            in_bucket = (jnp.dot(inc, onehot,
+                                 preferred_element_type=jnp.float32) > 0) \
+                & m[:, None]
+            counts = jnp.sum(in_bucket.astype(jnp.int32), axis=0)
+            if sub_specs:
+                out.append({"counts": counts,
+                            "subs": _sub_stats_bucketed(seg, sub_specs,
+                                                        docids, in_bucket)})
+            else:
+                out.append(counts)
+        elif kind == "geo_trixels":
+            # _geo_trixels (reserved-but-disabled, aggregations.cc:82):
+            # bucket geo docs by the HTM trixel of their first level-13
+            # range at the requested level; codes resolve through a sorted
+            # per-compile trixel table (lower_bound, no scatter).
+            nb, shift = spec[2], spec[3]
+            sub_specs = spec[4] if len(spec) > 4 else ()
+            g = seg["geo"][slot]
+            d = jnp.minimum(docids, g["doc_off"].shape[0] - 1)
+            off = jnp.minimum(g["doc_off"][d], g["flat_start"].shape[0] - 1)
+            tri = g["flat_start"][off] >> shift    # ids positive: >> exact
+            valid = mask & (g["doc_len"][d] > 0)
+            table = plan["agg_params"][i]           # [nb] asc, pad INT32MAX
+            code = lower_bound(table, tri, nb)
+            m = valid & (table[jnp.minimum(code, nb - 1)] == tri)
+            in_bucket = (code[:, None] == jnp.arange(nb)[None, :]) \
+                & m[:, None]
+            counts = jnp.sum(in_bucket.astype(jnp.int32), axis=0)
+            if sub_specs:
+                out.append({"counts": counts,
+                            "subs": _sub_stats_bucketed(seg, sub_specs, d,
+                                                        in_bucket)})
+            else:
+                out.append(counts)
         elif kind in ("range", "geodist_range"):
             nr = spec[2]
             sub_specs = spec[3] if len(spec) > 3 else ()

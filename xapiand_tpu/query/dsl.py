@@ -298,6 +298,21 @@ class QueryDSL:
         if ftype == FieldType.UUID:
             return Q.term(pfx + ":" + uuid64.normalise_uuid(str(value)),
                           factor=factor)
+        if ftype == FieldType.IP:
+            from xapiand_tpu.utils import iputils
+
+            s = str(value)
+            if "/" in s:
+                # CIDR query = half-open value-range over the sortable keys
+                lo_v, hi_v = iputils.parse_ip_interval(s)
+                if spec.slot is None:
+                    raise QueryDSLError(f"CIDR query on {path!r} needs values")
+                # value ranges are inclusive; keys are a monotonic bijection
+                # over floats, so key(hi)-1 == "value < hi"
+                return Q.value_range(spec.slot, ser.sortable_key_u64(lo_v),
+                                     ser.sortable_key_u64(hi_v) - 1)
+            return Q.term(pfx + ":" + ser.serialise_float_term(
+                iputils.parse_ip(s)), factor=factor)
         if ftype == FieldType.GEO:
             return self._geo_query(spec, value)
         raise QueryDSLError(f"cannot query type {ftype} at {path!r}")
@@ -324,6 +339,12 @@ class QueryDSL:
             if lo_v is not None and hi_v is not None:
                 cover = acc_mod.numeric_range_terms(lo_v, hi_v, spec.accuracy,
                                                     spec.prefix)
+        elif ftype == FieldType.IP:
+            from xapiand_tpu.utils import iputils
+
+            lo_v = iputils.parse_ip(lo) if lo is not None else None
+            hi_v = iputils.parse_ip(hi) if hi is not None else None
+            cover = []
         elif ftype in (FieldType.KEYWORD, FieldType.TEXT):
             lo_key = ser.serialise_string_key(str(lo)) if lo is not None else None
             hi_key = (ser.serialise_string_key(str(hi)) + 1) \

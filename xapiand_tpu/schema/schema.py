@@ -621,6 +621,11 @@ class Schema:
             terms.add_boolean(prefix + ":" + ser.serialise_bool_term(_to_bool(value)))
         elif ftype == FieldType.UUID:
             terms.add_boolean(prefix + ":" + uuid64.normalise_uuid(str(value)))
+        elif ftype == FieldType.IP:
+            from xapiand_tpu.utils import iputils
+
+            ipf = iputils.parse_ip(value)
+            terms.add_boolean(prefix + ":" + ser.serialise_float_term(ipf))
         elif ftype == FieldType.GEO:
             from xapiand_tpu.geo import geospatial
 
@@ -647,6 +652,10 @@ class Schema:
             return str(value)
         if ftype == FieldType.UUID:
             return uuid64.normalise_uuid(str(value))
+        if ftype == FieldType.IP:
+            from xapiand_tpu.utils import iputils
+
+            return iputils.parse_ip(value)
         if ftype == FieldType.GEO:
             from xapiand_tpu.geo import geospatial
 

@@ -27,6 +27,7 @@ class FieldType(str, enum.Enum):
     TIME = "time"
     TIMEDELTA = "timedelta"
     UUID = "uuid"
+    IP = "ip"
 
     @property
     def is_numeric(self) -> bool:
@@ -45,6 +46,7 @@ TYPE_CHAR = {
     FieldType.FLOATING: "F", FieldType.GEO: "G", FieldType.INTEGER: "N",
     FieldType.KEYWORD: "K", FieldType.POSITIVE: "P", FieldType.TEXT: "S",
     FieldType.TIME: "Z", FieldType.TIMEDELTA: "Z", FieldType.UUID: "U",
+    FieldType.IP: "I",
 }
 
 
@@ -116,6 +118,7 @@ def parse_type(value: str) -> FieldType:
         "int": FieldType.INTEGER, "number": FieldType.FLOATING,
         "float": FieldType.FLOATING, "bool": FieldType.BOOLEAN,
         "term": FieldType.KEYWORD, "point": FieldType.GEO,
+        "ipv4": FieldType.IP, "ipv6": FieldType.IP,
     }
     if v in aliases:
         return aliases[v]
