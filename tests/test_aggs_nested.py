@@ -238,3 +238,68 @@ def test_scripted_metric(adb):
         "_init": 0, "_map": "state = state + 1"}},
         "mx": {"_max": {"_field": "balance"}}})
     assert out["cnt"]["_value"] == 6 and out["mx"]["_max"] == 999.0
+
+
+def test_three_level_nesting(adb):
+    # terms(state) -> terms(fruit) -> histogram(balance), metric subs at
+    # the top and leaf levels (nesting beyond one bucket level)
+    out = aggs_for(adb, {"by_state": {
+        "_terms": {"_field": "state", "_size": 10},
+        "_aggs": {
+            "avg_bal": {"_avg": {"_field": "balance"}},
+            "by_fruit": {
+                "_terms": {"_field": "fruit"},
+                "_aggs": {"bal_hist": {
+                    "_histogram": {"_field": "balance", "_interval": 500,
+                                   "_buckets": 8},
+                    "_aggs": {"mx": {"_max": {"_field": "balance"}}}}}}}}})
+    states = {b["_key"]: b for b in out["by_state"]}
+    # WA: apple@100 + banana@50
+    wa = states["WA"]
+    assert wa["_doc_count"] == 2
+    assert wa["avg_bal"]["_avg"] == pytest.approx(75.0)
+    wa_fruits = {b["_key"]: b for b in wa["by_fruit"]}
+    assert wa_fruits["apple"]["_doc_count"] == 1
+    assert wa_fruits["banana"]["_doc_count"] == 1
+    hist = {c["_key"]: c for c in wa_fruits["apple"]["bal_hist"]}
+    assert hist[0.0]["_doc_count"] == 1
+    assert hist[0.0]["mx"]["_max"] == pytest.approx(100.0)
+    # CA: cherry@700 + apple@200
+    ca_fruits = {b["_key"]: b for b in states["CA"]["by_fruit"]}
+    cherry_hist = {c["_key"]: c for c in ca_fruits["cherry"]["bal_hist"]}
+    assert cherry_hist[500.0]["_doc_count"] == 1
+    assert cherry_hist[500.0]["mx"]["_max"] == pytest.approx(700.0)
+    # NV doc has no fruit: present at level 0, absent below
+    assert states["NV"]["_doc_count"] == 1
+    assert states["NV"]["by_fruit"] == []
+
+
+def test_four_level_nesting_width_cap():
+    from xapiand_tpu.aggregations import AggError
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.index_document({"a": "x", "b": "y", "c": 1.0, "d": 2.0}, doc_id="1")
+    db.commit()
+    # four chained histograms below the cap compile and run
+    res = db.search({"_match_all": {}}, k=0, aggs={"h1": {
+        "_histogram": {"_field": "c", "_interval": 1, "_buckets": 4},
+        "_aggs": {"h2": {
+            "_histogram": {"_field": "d", "_interval": 1, "_buckets": 4},
+            "_aggs": {"h3": {
+                "_histogram": {"_field": "c", "_interval": 1,
+                               "_buckets": 4},
+                "_aggs": {"h4": {"_histogram": {
+                    "_field": "d", "_interval": 1, "_buckets": 4}}}}}}}}})
+    b1 = res.aggregations["h1"][0]
+    assert b1["_key"] == 1.0 and b1["_doc_count"] == 1
+    assert b1["h2"][0]["h3"][0]["h4"][0]["_key"] == 2.0
+    # exceeding the 4096 composite cap raises
+    with pytest.raises(AggError):
+        db.search({"_match_all": {}}, k=0, aggs={"h1": {
+            "_histogram": {"_field": "c", "_interval": 1, "_buckets": 64},
+            "_aggs": {"h2": {
+                "_histogram": {"_field": "d", "_interval": 1,
+                               "_buckets": 64},
+                "_aggs": {"h3": {"_histogram": {
+                    "_field": "c", "_interval": 1, "_buckets": 64}}}}}}})

@@ -248,31 +248,42 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
         sort = args.get("_sort") if isinstance(args, dict) else None
 
         if nested is not None:
-            # one level of bucket-in-bucket via composite codes
-            c_name, c_key, c_body = nested
-            c_args = c_body[c_key]
-            c_sub = c_body.get("_aggs", c_body.get("_aggregations"))
-            c_names, c_specs, c_metas = _compile_subs(schema, c_sub) \
-                if c_sub else ([], (), [])
-            pdesc = _bucket_code_desc(schema, segment, key, args,
-                                      agg_params, agg_ranges, f"{i}:p")
-            cdesc = _bucket_code_desc(schema, segment, c_key, c_args,
-                                      agg_params, agg_ranges, f"{i}:c")
-            if pdesc[2] * cdesc[2] > 4096:
+            # bucket-in-bucket chain of ANY depth via composite codes
+            # (reference aggregations.cc:118-207 nest through sub_aggs;
+            # the device computes one one-hot count per prefix level, so
+            # total composite width is capped at 4096)
+            chain = [(key, args, sub_dsl)]
+            cur = nested
+            child_names = []
+            while cur is not None:
+                c_name, c_key, c_body = cur
+                c_args = c_body[c_key]
+                c_sub = c_body.get("_aggs", c_body.get("_aggregations"))
+                c_metrics, cur = _split_nested(c_sub) if c_sub \
+                    else ({}, None)
+                child_names.append(c_name)
+                chain.append((c_key, c_args, c_metrics))
+            descs, level_metas, level_subs = [], [], []
+            total_nb = 1
+            for lvl, (l_key, l_args, l_sub) in enumerate(chain):
+                l_names, l_specs, l_metas = _compile_subs(schema, l_sub) \
+                    if l_sub else ([], (), [])
+                d = _bucket_code_desc(schema, segment, l_key, l_args,
+                                      agg_params, agg_ranges, f"{i}:{lvl}")
+                m = d[3]
+                m["sort"] = l_args.get("_sort") \
+                    if isinstance(l_args, dict) else None
+                m["sub_names"], m["sub_metas"] = l_names, l_metas
+                descs.append((d[0], d[1], d[2], f"{i}:{lvl}"))
+                level_metas.append(m)
+                level_subs.append(l_specs)
+                total_nb *= d[2]
+            if total_nb > 4096:
                 raise AggError(f"nested aggregation {name!r}: composite "
-                               f"bucket count {pdesc[2] * cdesc[2]} > 4096")
-            specs.append(("nested",
-                          (pdesc[0], pdesc[1], pdesc[2], f"{i}:p"),
-                          (cdesc[0], cdesc[1], cdesc[2], f"{i}:c"),
-                          sub_specs, c_specs))
-            pm = pdesc[3]
-            pm["sort"] = sort
-            pm["sub_names"], pm["sub_metas"] = sub_names, sub_metas
-            cm = cdesc[3]
-            cm["sub_names"], cm["sub_metas"] = c_names, c_metas
-            meta.append({"kind": "nested", "pmeta": pm, "cmeta": cm,
-                         "child_name": c_name,
-                         "sub_names": sub_names, "sub_metas": sub_metas})
+                               f"bucket count {total_nb} > 4096")
+            specs.append(("nested", tuple(descs), tuple(level_subs)))
+            meta.append({"kind": "nested", "levels": level_metas,
+                         "child_names": child_names})
             names.append(name)
             continue
 
@@ -859,75 +870,70 @@ def _bucket_key(bmeta, b, names):
 
 
 def _shape_nested(i, meta, parts, cat_names_per_segment):
-    """Shape one bucket-in-bucket aggregation: per-segment code spaces map
-    to keys first (terms codes are segment-local), then merge by key."""
-    pm, cm = meta["pmeta"], meta["cmeta"]
-    child_name = meta["child_name"]
-    acc: dict = {}
+    """Shape a bucket-in-bucket chain of any depth: per-segment code
+    spaces map to keys first (terms codes are segment-local), then merge
+    by key path into a tree and shape level by level."""
+    levels = meta["levels"]
+    child_names = meta["child_names"]
+    L = len(levels)
+    root: dict = {"children": {}}
     for seg_idx, p in enumerate(parts):
-        pnames = cat_names_per_segment[seg_idx].get((i, "p"), [])
-        cnames = cat_names_per_segment[seg_idx].get((i, "c"), [])
-        nb1 = len(np.asarray(p["pcounts"]))
-        counts = np.asarray(p["counts"])
-        nb2 = counts.shape[0] // nb1
-        counts = counts.reshape(nb1, nb2)
-        pcounts = np.asarray(p["pcounts"])
-        for b1 in range(nb1):
-            pk = _bucket_key(pm, b1, pnames)
-            if pk is None or (pcounts[b1] == 0 and counts[b1].sum() == 0):
-                continue
-            slot = acc.setdefault(pk, {"_doc_count": 0, "psubs": [],
-                                       "children": {}})
-            slot["_doc_count"] += int(pcounts[b1])
-            if "psubs" in p:
-                slot["psubs"].append(
-                    [{kk: np.asarray(vv)[b1: b1 + 1]
-                      for kk, vv in sm.items()} for sm in p["psubs"]])
-            for b2 in range(nb2):
-                if counts[b1, b2] == 0:
+        counts_list = [np.asarray(c) for c in p["counts"]]
+        subs_list = p.get("subs")
+        # per-segment level widths: counts_l has shape prod(nb_0..l)
+        nbs, prev = [], 1
+        for c in counts_list:
+            nbs.append(len(c) // prev)
+            prev = len(c)
+        tables = [cat_names_per_segment[seg_idx].get((i, lvl), [])
+                  for lvl in range(L)]
+        for lvl in range(L):
+            c = counts_list[lvl]
+            subs_l = subs_list[lvl] if subs_list else None
+            for comp_idx in np.nonzero(c)[0]:
+                x = int(comp_idx)
+                digits = [0] * (lvl + 1)
+                for j in range(lvl, -1, -1):
+                    digits[j] = x % nbs[j]
+                    x //= nbs[j]
+                keys = [_bucket_key(levels[j], digits[j], tables[j])
+                        for j in range(lvl + 1)]
+                if any(k is None for k in keys):
                     continue
-                ck = _bucket_key(cm, b2, cnames)
-                if ck is None:
-                    continue
-                cslot = slot["children"].setdefault(
-                    ck, {"_doc_count": 0, "subs": []})
-                cslot["_doc_count"] += int(counts[b1, b2])
-                if "subs" in p:
-                    cidx = b1 * nb2 + b2
-                    cslot["subs"].append(
-                        [{kk: np.asarray(vv)[cidx: cidx + 1]
-                          for kk, vv in sm.items()} for sm in p["subs"]])
-    buckets = []
-    for pk in sorted(acc, key=lambda x: (str(type(x)), x)):
-        slot = acc[pk]
-        bd = {"_key": pk, "_doc_count": slot["_doc_count"]}
-        if meta.get("sub_names") and slot["psubs"]:
-            merged = [
-                _merge_sub_parts([seg[si] for seg in slot["psubs"]])
-                for si in range(len(meta["sub_names"]))]
-            bd.update(_shape_subs(meta, merged, 0))
-        children = []
-        for ck in sorted(slot["children"],
-                         key=lambda x: (str(type(x)), x)):
-            cslot = slot["children"][ck]
-            cb = {"_key": ck, "_doc_count": cslot["_doc_count"]}
-            if cm.get("sub_names") and cslot["subs"]:
+                node = root
+                for k in keys:
+                    node = node["children"].setdefault(
+                        k, {"_doc_count": 0, "subs": [], "children": {}})
+                node["_doc_count"] += int(c[comp_idx])
+                if subs_l:
+                    node["subs"].append(
+                        [{kk: np.asarray(vv)[comp_idx: comp_idx + 1]
+                          for kk, vv in sm.items()} for sm in subs_l])
+
+    def shape_level(children: dict, lvl: int):
+        lm = levels[lvl]
+        buckets = []
+        for k in sorted(children, key=lambda x: (str(type(x)), x)):
+            nd = children[k]
+            bd = {"_key": k, "_doc_count": nd["_doc_count"]}
+            if lm.get("sub_names") and nd["subs"]:
                 merged = [
-                    _merge_sub_parts([seg[si] for seg in cslot["subs"]])
-                    for si in range(len(cm["sub_names"]))]
-                cb.update(_shape_subs(cm, merged, 0))
-            children.append(cb)
-        children.sort(key=lambda b: (-b["_doc_count"], str(b["_key"])))
-        bd[child_name] = children
-        buckets.append(bd)
-    key_fn, reverse = _bucket_sort_key(pm, None)
-    if key_fn is None:
-        buckets.sort(key=lambda b: (-b["_doc_count"], str(b["_key"])))
-    else:
-        buckets.sort(key=key_fn, reverse=reverse)
-    mdc = pm.get("min_doc_count", 1)
-    buckets = [b for b in buckets if b["_doc_count"] >= mdc]
-    return buckets[: pm.get("size", len(buckets))]
+                    _merge_sub_parts([seg[si] for seg in nd["subs"]])
+                    for si in range(len(lm["sub_names"]))]
+                bd.update(_shape_subs(lm, merged, 0))
+            if lvl + 1 < L:
+                bd[child_names[lvl]] = shape_level(nd["children"], lvl + 1)
+            buckets.append(bd)
+        key_fn, reverse = _bucket_sort_key(lm, None)
+        if key_fn is None:
+            buckets.sort(key=lambda b: (-b["_doc_count"], str(b["_key"])))
+        else:
+            buckets.sort(key=key_fn, reverse=reverse)
+        mdc = lm.get("min_doc_count", 1)
+        buckets = [b for b in buckets if b["_doc_count"] >= mdc]
+        return buckets[: lm.get("size", len(buckets))]
+
+    return shape_level(root["children"], 0)
 
 
 def _calendar_rollup(meta, daily_counts, merged_subs):

@@ -556,9 +556,9 @@ class Database:
                         # segment's meta (codes are segment-local, like cats)
                         cats_j[j] = agg_meta[j]["cat_names"]
                     elif spec[0] == "nested":
-                        for tag, d in (("p", spec[1]), ("c", spec[2])):
+                        for lvl, d in enumerate(spec[1]):
                             if d[0] == "terms" and d[1] in vals:
-                                cats_j[(j, tag)] = \
+                                cats_j[(j, lvl)] = \
                                     vals[d[1]].cat_names or []
                 agg_cats.append(cats_j)
             bound = bind(cq, searcher.segment, scheme, stats,

@@ -139,24 +139,27 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             out.append(res)
             continue
         if kind == "nested":
-            pdesc, cdesc = spec[1], spec[2]
-            psubs, csubs = spec[3], spec[4]
-            nb1, nb2 = pdesc[2], cdesc[2]
-            pcode, pvalid = _bucket_codes(seg, pdesc, plan, docids, mask)
-            ccode, cvalid = _bucket_codes(seg, cdesc, plan, docids, mask)
-            p_oh = (pcode[:, None] == jnp.arange(nb1)[None, :]) \
-                & pvalid[:, None]
-            res = {"pcounts": jnp.sum(p_oh.astype(jnp.int32), axis=0)}
-            if psubs:
-                res["psubs"] = _sub_stats_bucketed(seg, psubs, docids, p_oh)
-            comp = pcode * nb2 + ccode
-            valid = pvalid & cvalid
-            c_oh = (comp[:, None] == jnp.arange(nb1 * nb2)[None, :]) \
-                & valid[:, None]
-            res["counts"] = jnp.sum(c_oh.astype(jnp.int32), axis=0)
-            if csubs:
-                res["subs"] = _sub_stats_bucketed(seg, csubs, docids, c_oh)
-            out.append(res)
+            # bucket chain of any depth: one composite one-hot count per
+            # prefix level; level l's code = fold of codes 0..l in a
+            # mixed-radix number (width capped 4096 at compile)
+            descs, subs_list = spec[1], spec[2]
+            comp = jnp.zeros_like(docids)
+            valid = mask
+            size = 1
+            res_counts, res_subs = [], []
+            for lvl, desc in enumerate(descs):
+                code, v = _bucket_codes(seg, desc, plan, docids, mask)
+                comp = comp * desc[2] + code
+                valid = valid & v
+                size *= desc[2]
+                oh = (comp[:, None] == jnp.arange(size)[None, :]) \
+                    & valid[:, None]
+                res_counts.append(jnp.sum(oh.astype(jnp.int32), axis=0))
+                res_subs.append(
+                    _sub_stats_bucketed(seg, subs_list[lvl], docids, oh)
+                    if subs_list[lvl] else None)
+            out.append({"counts": tuple(res_counts),
+                        "subs": tuple(res_subs)})
             continue
         if kind == "missing":
             slot, sub_specs = spec[1], spec[2]
