@@ -165,3 +165,38 @@ def test_geo_trixels_respects_query(geodb):
         "_geo_trixels": {"_field": "loc", "_level": 5}}})
     buckets = {b["_key"]: b["_doc_count"] for b in res.aggregations["tiles"]}
     assert buckets == {_expected_trixel(-33.87, 151.21, 5): 1}
+
+
+# --- cardinality HLL merge across segments/shards --------------------------
+
+def test_cardinality_multi_segment_small_exact():
+    # values repeat across two segments: the sum (old upper bound) would
+    # be 6; the HLL-merged, bound-clamped result is the true 4
+    db = Database()
+    for i, v in enumerate([1, 2, 3]):
+        db.index_document({"v": v}, doc_id=f"a{i}")
+    db.commit()
+    for i, v in enumerate([2, 3, 4]):
+        db.index_document({"v": v}, doc_id=f"b{i}")
+    db.commit()
+    res = db.search({"_match_all": {}}, k=0,
+                    aggs={"c": {"_cardinality": {"_field": "v"}}})
+    assert res.aggregations["c"]["_cardinality"] == 4
+
+
+def test_cardinality_multi_segment_accuracy():
+    # 1500 distinct ints, half shared between the two segments: estimate
+    # must land within HLL(m=1024) error (~3.2% -> allow 10%)
+    db = Database()
+    for i in range(1000):
+        db.index_document({"v": i}, doc_id=f"a{i}")
+    db.commit()
+    for i in range(500, 1500):
+        db.index_document({"v": i}, doc_id=f"b{i}")
+    db.commit()
+    res = db.search({"_match_all": {}}, k=0,
+                    aggs={"c": {"_cardinality": {"_field": "v"}}})
+    est = res.aggregations["c"]["_cardinality"]
+    assert abs(est - 1500) / 1500 < 0.10
+    # rigorous bounds always hold
+    assert 1000 <= est <= 2000

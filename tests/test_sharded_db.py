@@ -199,3 +199,14 @@ def test_strmetric_sort_on_mesh(pair):
     r2 = sdb.search({"body": "alpha"}, k=10, sort=sort)
     assert [h.id for h in r2.hits] == [h.id for h in r1.hits]
     assert sdb._mesh_step_cache  # served by the SPMD step, not fallback
+
+
+def test_cardinality_matches_single_node(pair):
+    # values repeat across shards: psum of exacts would say 12; the pmax-
+    # merged HLL registers + [maxn, sum] clamp recover the true 3
+    ref, sdb = pair
+    aggs = {"c": {"_cardinality": {"_field": "cat"}}}
+    r1 = ref.search({"_match_all": {}}, k=0, aggs=aggs)
+    r2 = sdb.search({"_match_all": {}}, k=0, aggs=aggs)
+    assert r1.aggregations["c"]["_cardinality"] == 3
+    assert r2.aggregations["c"] == r1.aggregations["c"]

@@ -707,10 +707,22 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
             else:
                 out[name] = _shape_metric(kind, n, s, s2, vmin, vmax)
         elif kind == "cardinality":
-            # exact within one segment; across segments the sum is an upper
-            # bound (values may repeat across segments) - documented
-            # approximation until sketch merging lands
-            out[name] = {"_cardinality": int(sum(int(p) for p in parts))}
+            # exact within one part; across parts (segments/shards) the
+            # max-merged HLL registers give the union estimate, clamped
+            # into the rigorous bounds [max(exact), sum(exact)] - so a
+            # single part (or pre-merged mesh partial from one shard)
+            # stays exact
+            n_sum = sum(int(p["n"]) for p in parts)
+            n_max = max((int(p["maxn"]) for p in parts), default=0)
+            if n_sum == n_max:
+                out[name] = {"_cardinality": n_max}
+            else:
+                regs = None
+                for p in parts:
+                    r = np.asarray(p["hll"], np.float64)
+                    regs = r if regs is None else np.maximum(regs, r)
+                est = int(round(_hll_estimate(regs)))
+                out[name] = {"_cardinality": min(max(est, n_max), n_sum)}
         elif kind in ("geo_bounds", "geo_centroid"):
             n = sum(float(p["n"]) for p in parts)
             if kind == "geo_centroid":
@@ -974,6 +986,17 @@ def _calendar_rollup(meta, daily_counts, merged_subs):
             bd.update(_shape_subs(meta, g["_subs"], 0))
         buckets.append(bd)
     return buckets
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HyperLogLog estimate with the small-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / float(np.sum(2.0 ** -regs))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return e
 
 
 def _sum_hists(parts):

@@ -31,6 +31,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+
+
+def _hash32(hi, lo):
+    """32-bit avalanche (murmur3 fmix32) of a (hi, lo) int32 key pair."""
+    h = hi.astype(jnp.uint32) ^ (lo.astype(jnp.uint32)
+                                 * jnp.uint32(0x9E3779B9))
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
 def _value_hist(v, m, lo, scale, nb):
     """[nb] f32 histogram of masked values, bins floor((v-lo)*scale)
     clipped into range. One-hot + column-sum keeps it an MXU-friendly
@@ -349,7 +365,12 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
         elif kind == "cardinality":
             # exact distinct count of value keys among matched docs
             # (reference declares _cardinality but leaves it disabled,
-            # aggregations.cc:118-207 - implemented here)
+            # aggregations.cc:118-207 - implemented here), PLUS an HLL
+            # register sketch so partials from different shards/segments
+            # merge by elementwise max (the sum of exacts is only an upper
+            # bound when values repeat across shards). The host estimate
+            # clamps into [max(exact), sum(exact)], so one-part results
+            # stay exact.
             col = seg["values"][slot]
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
             m = mask & col["present"][d]
@@ -361,7 +382,21 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             headd = jnp.concatenate([
                 jnp.ones((1,), bool),
                 (hs[1:] != hs[:-1]) | (ls[1:] != ls[:-1])])
-            out.append(jnp.sum((headd & valid).astype(jnp.int32)))
+            exact = jnp.sum((headd & valid).astype(jnp.int32))
+            # HLL(p=10, m=1024, ~3.2% rel err): 32-bit avalanche of the
+            # order-preserving (hi,lo) key, top p bits pick the register,
+            # rho = leading zeros of the rest + 1, per-register max as a
+            # masked broadcast reduction (fused; no scatter)
+            hh = _hash32(col["hi"][d], col["lo"][d])
+            idx = (hh >> jnp.uint32(32 - _HLL_P)).astype(jnp.int32)
+            rest = hh << jnp.uint32(_HLL_P)
+            rho = jnp.where(rest == 0, 32 - _HLL_P + 1,
+                            lax.clz(rest).astype(jnp.int32) + 1)
+            rho = jnp.where(m, rho, 0).astype(jnp.int32)
+            regs = jnp.max(
+                jnp.where(idx[:, None] == jnp.arange(_HLL_M)[None, :],
+                          rho[:, None], 0), axis=0)
+            out.append({"n": exact, "maxn": exact, "hll": regs})
         elif kind == "geo_stats":
             # sufficient stats for _geo_bounds / _geo_centroid
             col = seg["values"][slot]

@@ -202,7 +202,9 @@ MESH_AGG_KINDS = ("count", "sum", "avg", "min", "max", "variance",
                   "median", "mode", "percentiles")
 
 _MIN_KEYS = ("min", "minlat", "minlon")
-_MAX_KEYS = ("max", "maxlat", "maxlon")
+_MAX_KEYS = ("max", "maxlat", "maxlon",
+             # cardinality: exact lower bound + HLL registers merge by max
+             "maxn", "hll")
 
 
 def _agg_leaves(part):
