@@ -22,8 +22,13 @@ _LANG_ALIASES = {
     "sv": "swedish", "porter": "porter",
     "id": "indonesian", "ga": "irish", "ne": "nepali",
     "early_english": "earlyenglish",
+    "hy": "armenian", "eu": "basque", "ca": "catalan",
+    "lt": "lithuanian", "ta": "tamil", "tr": "turkish",
 }
 from xapiand_tpu.analysis.stem_extra import EXTRA_STEMMERS  # noqa: E402
+from xapiand_tpu.analysis.stem_extra2 import EXTRA_STEMMERS_2  # noqa: E402
+
+EXTRA_STEMMERS.update(EXTRA_STEMMERS_2)
 
 _SUPPORTED = set(SnowballStemmer.languages) | set(EXTRA_STEMMERS)
 
