@@ -44,11 +44,60 @@ def main(argv=None):
                    help="drop cluster messages with this probability "
                         "(≙ opts.h:107)")
     p.add_argument("--verbosity", "-v", action="count", default=0)
+    # response-shaping defaults (≙ opts.h:40-47)
+    p.add_argument("--cluster-name", default="xapiand-tpu",
+                   help="cluster name reported by GET / (≙ opts.h:49)")
+    p.add_argument("--pretty", action="store_true",
+                   help="pretty-print responses by default (≙ opts.h:40)")
+    p.add_argument("--no-comments", action="store_true",
+                   help="strip #-prefixed comment fields from responses "
+                        "(≙ opts.h:46)")
+    p.add_argument("--echo", action="store_true",
+                   help="document-write responses echo the stored body "
+                        "(≙ opts.h:41)")
+    p.add_argument("--human", action="store_true",
+                   help="humanize #took durations (≙ opts.h:44)")
+    # pool/tuning (≙ opts.h:63-86)
+    p.add_argument("--database-pool-size", type=int, default=10,
+                   help="LRU cap of open databases (≙ opts.h:77)")
+    p.add_argument("--num-doc-preparers", type=int, default=None,
+                   help="bulk prepare pool width (≙ opts.h:71; "
+                        "default: min(8, cpus))")
+    p.add_argument("--num-replicas", type=int, default=0,
+                   help="default replicas per new index (≙ opts.h:86)")
+    p.add_argument("--autocommit-max-force", type=float, default=3.0,
+                   help="autocommit force-flush ceiling seconds "
+                        "(≙ committer_debounce_max_force_timeout, "
+                        "opts.h:114)")
+    # process management (≙ opts.h:57-58)
+    p.add_argument("--pidfile", default=None, help="write PID here")
+    p.add_argument("--logfile", default=None, help="log to this file")
+    # offline dump/restore (≙ opts.h:92-93 dump/restore_documents; runs
+    # without a server, like `xapiand --dump-documents`)
+    p.add_argument("--database", default=None,
+                   help="index name for --dump-documents/"
+                        "--restore-documents")
+    p.add_argument("--dump-documents", default=None, metavar="FILE",
+                   help="dump --database as NDJSON to FILE and exit")
+    p.add_argument("--restore-documents", default=None, metavar="FILE",
+                   help="restore NDJSON from FILE into --database and exit")
     args = p.parse_args(argv)
 
+    handlers = None
+    if args.logfile:
+        handlers = [logging.FileHandler(args.logfile)]
     logging.basicConfig(
         level=logging.DEBUG if args.verbosity else logging.INFO,
-        format="%(asctime)s %(levelname).1s %(name)s: %(message)s")
+        format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
+        handlers=handlers)
+    if args.pidfile:
+        import os
+
+        with open(args.pidfile, "w") as fh:
+            fh.write(str(os.getpid()))
+
+    if args.dump_documents or args.restore_documents:
+        return _offline_dump_restore(args)
 
     from aiohttp import web
 
@@ -83,9 +132,63 @@ def main(argv=None):
     app = create_app(manager=IndexManager(
         args.data_dir, scheme=args.scheme,
         default_num_shards=args.num_shards,
-        autocommit_s=args.autocommit),
-        cluster_config=cluster_config)
+        autocommit_s=args.autocommit,
+        autocommit_force_s=args.autocommit_max_force,
+        pool_size=args.database_pool_size,
+        num_doc_preparers=args.num_doc_preparers,
+        default_num_replicas=args.num_replicas),
+        cluster_config=cluster_config,
+        server_opts={"pretty": args.pretty,
+                     "comments": not args.no_comments,
+                     "echo": args.echo, "human": args.human,
+                     "cluster_name": args.cluster_name})
     web.run_app(app, host=args.bind, port=args.port)
+
+
+def _offline_dump_restore(args) -> int:
+    """`--database idx --dump-documents f` / `--restore-documents f`:
+    run the dump/restore directly against the on-disk index, no server
+    (≙ main.cc dump/restore modes via opts.h:92-93)."""
+    import json
+    import os
+    import sys
+
+    if not args.database:
+        print("--database is required with --dump-documents/"
+              "--restore-documents", file=sys.stderr)
+        return 2
+    from xapiand_tpu.database import Database
+
+    path = os.path.join(args.data_dir, args.database)
+    db = Database(path=path, scheme=args.scheme)
+    if args.dump_documents:
+        out = sys.stdout if args.dump_documents == "-" \
+            else open(args.dump_documents, "w")
+        n = 0
+        for doc in db.dump_documents():
+            out.write(json.dumps(doc, ensure_ascii=False) + "\n")
+            n += 1
+        if out is not sys.stdout:
+            out.close()
+        print(f"dumped {n} documents from {args.database!r}",
+              file=sys.stderr)
+    else:
+        src = sys.stdin if args.restore_documents == "-" \
+            else open(args.restore_documents)
+        n = 0
+        for line in src:
+            line = line.strip()
+            if line:
+                obj = json.loads(line)
+                db.index_document(obj, doc_id=obj.get('_id'))
+                n += 1
+        if src is not sys.stdin:
+            src.close()
+        db.commit()
+        print(f"restored {n} documents into {args.database!r}",
+              file=sys.stderr)
+    db.close()
+    return 0
 
 
 if __name__ == "__main__":

@@ -59,10 +59,17 @@ class IndexManager:
 
     def __init__(self, data_dir: Optional[str] = None, scheme: str = "bm25",
                  default_num_shards: int = 1,
-                 autocommit_s: float = 1.0, autocommit_force_s: float = 3.0):
+                 autocommit_s: float = 1.0, autocommit_force_s: float = 3.0,
+                 pool_size: int = 10, num_doc_preparers: Optional[int] = None,
+                 default_num_replicas: int = 0):
         self.data_dir = data_dir
         self.scheme = scheme
         self.default_num_shards = int(default_num_shards)
+        # ≙ opts.h:77 database_pool_size (LRU of open databases) and
+        # opts.h:71 num_doc_preparers (bulk prepare pool width)
+        self.pool_size = max(int(pool_size), 1)
+        self.num_doc_preparers = num_doc_preparers
+        self.default_num_replicas = int(default_num_replicas)
         self.post_open = None          # hook: (name, db) -> None
         self.indexes: dict[str, Database] = {}
         self.settings: dict[str, dict] = {}
@@ -167,7 +174,24 @@ class IndexManager:
             self.indexes[name] = db
             if self.post_open is not None:
                 self.post_open(name, db)
+            self._evict_lru()
+        else:
+            # LRU touch: dicts iterate in insertion order
+            self.indexes.pop(name)
+            self.indexes[name] = db
         return db
+
+    def _evict_lru(self):
+        """Close least-recently-used databases over pool_size (≙ the
+        reference database pool checkin/checkout LRU, pool.cc)."""
+        while len(self.indexes) > self.pool_size:
+            oldest = next(iter(self.indexes))
+            db = self.indexes.pop(oldest)
+            try:
+                db.commit()
+            except Exception:
+                pass
+            db.close()
 
     def exists(self, name: str) -> bool:
         return name in self.indexes
@@ -227,7 +251,14 @@ def parse_path(path: str):
 
 
 class RestServer:
-    def __init__(self, manager: IndexManager, cluster=None, replicator=None):
+    def __init__(self, manager: IndexManager, cluster=None, replicator=None,
+                 server_opts: Optional[dict] = None):
+        # response-shaping defaults (≙ opts.h:40-47 pretty/echo/human/
+        # comments flags); per-request ?pretty still overrides
+        self.opts = {"pretty": False, "comments": True, "echo": False,
+                     "human": False, "cluster_name": "xapiand-tpu"}
+        if server_opts:
+            self.opts.update(server_opts)
         self.man = manager
         self.cluster = cluster
         self.replicator = replicator
@@ -262,11 +293,27 @@ class RestServer:
         took = time.time() - t0
         if isinstance(obj, dict):
             obj.setdefault("#took", round(took * 1000, 3))
+            if self.opts["echo"] and status < 300 and "_id" in obj \
+                    and request.method in ("PUT", "PATCH", "UPDATE"):
+                # --echo: document-write responses carry the stored body
+                # (≙ opts.h echo; reference echoes the indexed object)
+                try:
+                    index, _ = parse_path(request.path)
+                    index = index.rsplit("/", 1)[0]  # strip the doc id
+                    doc = self.man.get(index).get_document(str(obj["_id"]))
+                    obj = {**doc, **obj}
+                except Exception:
+                    pass
+            if self.opts["human"] and "#took" in obj:
+                obj["#took"] = f'{obj["#took"]:.3f}ms'
+            if not self.opts["comments"]:
+                obj = {k: v for k, v in obj.items()
+                       if not k.startswith("#") or k == "#error"}
         if isinstance(obj, web.Response):
             return obj
         ct = neg.pick_accept(request.headers.get("Accept"),
                              request.headers.get("Content-Type"))
-        pretty = "pretty" in request.query
+        pretty = self.opts["pretty"] or "pretty" in request.query
         body = neg.encode_body(obj, ct, pretty=pretty)
         return web.Response(body=body, status=status, content_type=ct,
                             headers={"Operation-Time": f"{took:.6f}"})
@@ -433,7 +480,7 @@ class RestServer:
 
         return {
             "name": "xapiand-tpu",
-            "cluster_name": "xapiand-tpu",
+            "cluster_name": self.opts["cluster_name"],
             "version": __version__,
             "uptime": round(time.time() - self.started, 1),
             "indexes": sorted(self.man.indexes),
@@ -610,7 +657,7 @@ class RestServer:
 
         db = self.man.get(index, create=True)
         ct = request.headers.get("Content-Type", "").split(";")[0].strip()
-        indexer = BulkIndexer(db)
+        indexer = BulkIndexer(db, n_workers=self.man.num_doc_preparers)
         if ct in ("application/x-ndjson", "application/ndjson"):
             import json as _json
 
@@ -807,7 +854,8 @@ def _deep_merge(base: dict, update: dict) -> dict:
 
 def create_app(data_dir: Optional[str] = None,
                manager: Optional[IndexManager] = None,
-               cluster_config: Optional[dict] = None) -> web.Application:
+               cluster_config: Optional[dict] = None,
+               server_opts: Optional[dict] = None) -> web.Application:
     man = manager or IndexManager(data_dir)
     cluster = None
     replicator = None
@@ -845,7 +893,8 @@ def create_app(data_dir: Optional[str] = None,
                     pass   # e.g. local index already non-empty
 
         cluster.on_command = apply_command
-    server = RestServer(man, cluster=cluster, replicator=replicator)
+    server = RestServer(man, cluster=cluster, replicator=replicator,
+                        server_opts=server_opts)
     app = web.Application(client_max_size=256 * 1024 * 1024)
     app["manager"] = man
     app["server"] = server
