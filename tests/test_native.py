@@ -84,3 +84,27 @@ def test_tokenizer_no_token_cap():
     assert toks is not None
     assert len(toks) == 70000
     assert toks[-1][0] == "w69999" and toks[-1][1] == 69999
+
+
+def test_htm_cap_cover_bit_identical(monkeypatch):
+    """Native cap cover must be bit-identical to the Python cover (same
+    IEEE double ops in the same order; geo ranks/buckets depend on it)."""
+    import random
+
+    from xapiand_tpu import native
+    from xapiand_tpu.geo import htm
+
+    if native.lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = random.Random(17)
+    for _ in range(60):
+        lat = rng.uniform(-89.9, 89.9)
+        lon = rng.uniform(-180, 180)
+        radius = 10 ** rng.uniform(-7, -2.2)
+        nat = htm.cover(htm.Cap(lat, lon, radius))
+        with monkeypatch.context() as m:
+            m.setattr(native, "lib", None)
+            py = htm.cover(htm.Cap(lat, lon, radius))
+        assert nat == py, (lat, lon, radius)

@@ -272,7 +272,22 @@ def cover(region: Region, level: int = MAX_LEVEL,
           max_trixels: int = 4096) -> list[tuple[int, int]]:
     """HTM cover: sorted, merged, inclusive level-MAX_LEVEL id ranges for all
     trixels intersecting the region (partials at `level` are included, like
-    the reference's getTrixels with partials)."""
+    the reference's getTrixels with partials).
+
+    Cap regions route through the native port (xt_htm_cap_cover), which is
+    bit-identical (same IEEE double ops in the same order; fuzz-gated by
+    tests/test_native.py) - geo extraction dominates geotagged indexing."""
+    if isinstance(region, Cap):
+        from xapiand_tpu import native
+
+        if native.lib is not None and \
+                hasattr(native.lib._c, "xt_htm_cap_cover"):
+            out = native.lib.htm_cap_cover(region._lat, region._lon,
+                                           region.radius, level,
+                                           max_trixels)
+            if out is not None:
+                return out
+            raise ValueError("cover too fine; use a coarser level")
     ranges: list[tuple[int, int]] = []
 
     def emit(tid, tlevel):

@@ -66,6 +66,21 @@ class NativeLib:
         c.xt_inv_export.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, i32p, i64p, f64p, f32p,
             i32p, f32p, i32p, i32p, i32p]
+        c.xt_htm_cap_cover.restype = ctypes.c_int64
+        c.xt_htm_cap_cover.argtypes = [
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int32, i32p, ctypes.c_int64]
+
+    def htm_cap_cover(self, lat: float, lon: float, radius_rad: float,
+                      level: int, max_trixels: int = 4096):
+        """Bit-identical native htm.cover() for Cap regions; None if the
+        buffer overflows (caller falls back / raises like Python)."""
+        buf = (ctypes.c_int32 * (2 * max_trixels))()
+        n = self._c.xt_htm_cap_cover(lat, lon, radius_rad, level, buf,
+                                     max_trixels)
+        if n < 0:
+            return None
+        return [(buf[2 * i], buf[2 * i + 1]) for i in range(n)]
 
     def fnv1a64(self, data: bytes) -> int:
         return self._c.xt_fnv1a64(data, len(data))
@@ -234,6 +249,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-ffp-contract=off",  # htm cover must match Python float ops
              "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120)
         return True

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cmath>
 
 extern "C" {
 
@@ -1078,3 +1079,154 @@ void xt_inv_export(void* h, uint8_t* term_buf, int32_t* term_lens,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// HTM cap cover: a bit-identical port of geo/htm.py Cap.classify + cover()
+// (reference: src/geospatial/htm.cc getTrixels). Geo extraction dominates
+// geotagged indexing time in Python; covers are pure double math, so the
+// same IEEE operations in the same order reproduce the exact ranges
+// (build with -ffp-contract=off so GCC does not fuse into FMAs).
+// ---------------------------------------------------------------------------
+
+namespace htmcap {
+
+struct V3 { double x, y, z; };
+
+static inline V3 v3(double x, double y, double z) { return V3{x, y, z}; }
+static inline double dot(const V3& a, const V3& b) {
+    return a.x * b.x + a.y * b.y + a.z * b.z;
+}
+static inline V3 cross(const V3& a, const V3& b) {
+    return v3(a.y * b.z - a.z * b.y,
+              a.z * b.x - a.x * b.z,
+              a.x * b.y - a.y * b.x);
+}
+static inline V3 normalize(const V3& v) {
+    double n = sqrt(v.x * v.x + v.y * v.y + v.z * v.z);
+    return v3(v.x / n, v.y / n, v.z / n);
+}
+static inline V3 midpoint(const V3& a, const V3& b) {
+    return normalize(v3(a.x + b.x, a.y + b.y, a.z + b.z));
+}
+static inline double clamp1(double d) {
+    return d > 1.0 ? 1.0 : (d < -1.0 ? -1.0 : d);
+}
+static inline double angle_between(const V3& a, const V3& b) {
+    return acos(clamp1(dot(a, b)));
+}
+
+// WGS84 (geo/cartesian.py toCartesian)
+static V3 to_cartesian(double lat_deg, double lon_deg) {
+    const double A = 6378137.0;
+    const double E2 = 0.00669437999014132;
+    double lat = lat_deg * (M_PI / 180.0);
+    double lon = lon_deg * (M_PI / 180.0);
+    double cos_lat = cos(lat), sin_lat = sin(lat);
+    double n = A / sqrt(1.0 - E2 * sin_lat * sin_lat);
+    double x = n * cos_lat * cos(lon);
+    double y = n * cos_lat * sin(lon);
+    double z = n * (1.0 - E2) * sin_lat;
+    return normalize(v3(x, y, z));
+}
+
+static const double EPS = -1e-12;
+
+static inline bool tri_contains(const V3& a, const V3& b, const V3& c,
+                                const V3& p) {
+    return dot(cross(a, b), p) >= EPS
+        && dot(cross(b, c), p) >= EPS
+        && dot(cross(c, a), p) >= EPS;
+}
+
+static double edge_min_angle(const V3& u, const V3& v, const V3& p) {
+    V3 n = cross(u, v);
+    double nn = sqrt(dot(n, n));
+    if (nn == 0) return angle_between(u, p);
+    n = v3(n.x / nn, n.y / nn, n.z / nn);
+    double d = dot(n, p);
+    V3 proj = normalize(v3(p.x - d * n.x, p.y - d * n.y, p.z - d * n.z));
+    if (dot(cross(u, proj), n) >= 0 && dot(cross(proj, v), n) >= 0) {
+        return fabs(asin(clamp1(d)));
+    }
+    double au = angle_between(u, p), av = angle_between(v, p);
+    return au < av ? au : av;
+}
+
+struct Cap {
+    V3 center;
+    double radius, cos_r;
+    // -1 disjoint, 0 partial, 1 inside (htm.py Cap.classify)
+    int classify(const V3& a, const V3& b, const V3& c) const {
+        int ins = (dot(center, a) >= cos_r) + (dot(center, b) >= cos_r)
+                + (dot(center, c) >= cos_r);
+        if (ins == 3) return 1;
+        if (ins > 0) return 0;
+        if (tri_contains(a, b, c, center)) return 0;
+        if (edge_min_angle(a, b, center) <= radius) return 0;
+        if (edge_min_angle(b, c, center) <= radius) return 0;
+        if (edge_min_angle(c, a, center) <= radius) return 0;
+        return -1;
+    }
+};
+
+struct Frame { int lvl; int32_t tid; V3 a, b, c; };
+
+}  // namespace htmcap
+
+extern "C" int64_t xt_htm_cap_cover(double lat, double lon,
+                                    double radius_rad, int32_t level,
+                                    int32_t* out, int64_t max_pairs) {
+    using namespace htmcap;
+    const int MAX_LEVEL = 13;
+    Cap cap;
+    cap.center = to_cartesian(lat, lon);
+    cap.radius = radius_rad;
+    cap.cos_r = cos(radius_rad < M_PI ? radius_rad : M_PI);
+
+    const V3 P0 = v3(0, 0, 1), P1 = v3(1, 0, 0), P2 = v3(0, 1, 0),
+             P3 = v3(-1, 0, 0), P4 = v3(0, -1, 0), P5 = v3(0, 0, -1);
+    std::vector<Frame> stack;
+    stack.reserve(64);
+    // canonical SDSS roots, same order as htm.py _ROOTS
+    stack.push_back({0, 8, P1, P5, P2});
+    stack.push_back({0, 9, P2, P5, P3});
+    stack.push_back({0, 10, P3, P5, P4});
+    stack.push_back({0, 11, P4, P5, P1});
+    stack.push_back({0, 12, P1, P0, P4});
+    stack.push_back({0, 13, P4, P0, P3});
+    stack.push_back({0, 14, P3, P0, P2});
+    stack.push_back({0, 15, P2, P0, P1});
+
+    std::vector<std::pair<int32_t, int32_t>> ranges;
+    while (!stack.empty()) {
+        Frame f = stack.back();
+        stack.pop_back();
+        int cl = cap.classify(f.a, f.b, f.c);
+        if (cl == -1) continue;
+        if (cl == 1 || f.lvl >= level) {
+            int shift = 2 * (MAX_LEVEL - f.lvl);
+            ranges.push_back({(int32_t)(f.tid << shift),
+                              (int32_t)((((int64_t)f.tid + 1) << shift) - 1)});
+            continue;
+        }
+        V3 w0 = midpoint(f.b, f.c), w1 = midpoint(f.a, f.c),
+           w2 = midpoint(f.a, f.b);
+        stack.push_back({f.lvl + 1, (int32_t)(f.tid * 4 + 0), f.a, w2, w1});
+        stack.push_back({f.lvl + 1, (int32_t)(f.tid * 4 + 1), f.b, w0, w2});
+        stack.push_back({f.lvl + 1, (int32_t)(f.tid * 4 + 2), f.c, w1, w0});
+        stack.push_back({f.lvl + 1, (int32_t)(f.tid * 4 + 3), w0, w1, w2});
+    }
+    std::sort(ranges.begin(), ranges.end());
+    int64_t n = 0;
+    for (auto& r : ranges) {
+        if (n > 0 && r.first <= out[2 * (n - 1) + 1] + 1) {
+            if (r.second > out[2 * (n - 1) + 1]) out[2 * (n - 1) + 1] = r.second;
+        } else {
+            if (n >= max_pairs) return -1;  // cover too fine for the buffer
+            out[2 * n] = r.first;
+            out[2 * n + 1] = r.second;
+            n++;
+        }
+    }
+    return n;
+}

@@ -549,8 +549,17 @@ class Schema:
         do_field_values = bool(spec.index & TypeIndex.FIELD_VALUES)
         do_global_terms = bool(spec.index & TypeIndex.GLOBAL_TERMS)
 
+        geo = None
+        if ftype == FieldType.GEO:
+            # ONE HTM cover serves field terms, global terms, and the
+            # value slot (extraction dominates geo indexing time)
+            from xapiand_tpu.geo import geospatial
+
+            geo = geospatial.extract(value, error=spec.error)
+
         def add_terms(prefix: str):
-            self._emit_terms(out, spec, ftype, value, prefix, path)
+            self._emit_terms(out, spec, ftype, value, prefix, path,
+                             geo=geo)
 
         if ftype == FieldType.TEXT:
             # one tokenise+stem pass emits both the field-prefixed and
@@ -568,7 +577,7 @@ class Schema:
             if do_global_terms:
                 add_terms("")
         if do_field_values and spec.slot is not None:
-            tv = self._typed_value(out, spec, ftype, value, path)
+            tv = self._typed_value(out, spec, ftype, value, path, geo=geo)
             if tv is not None:
                 out.values.setdefault(spec.slot, []).append(tv)
 
@@ -591,7 +600,7 @@ class Schema:
         tg.increase_termpos()
         out._termpos = tg.position
 
-    def _emit_terms(self, out, spec, ftype, value, prefix, path):
+    def _emit_terms(self, out, spec, ftype, value, prefix, path, geo=None):
         terms = out.terms
         if ftype == FieldType.TEXT:
             self._emit_text_terms(out, spec, value, (prefix,))
@@ -627,17 +636,18 @@ class Schema:
             ipf = iputils.parse_ip(value)
             terms.add_boolean(prefix + ":" + ser.serialise_float_term(ipf))
         elif ftype == FieldType.GEO:
-            from xapiand_tpu.geo import geospatial
+            if geo is None:
+                from xapiand_tpu.geo import geospatial
 
-            ranges, _centroid = geospatial.extract(value, error=spec.error)
-            for t in acc_mod.geo_terms(ranges, spec.accuracy, prefix):
+                geo = geospatial.extract(value, error=spec.error)
+            for t in acc_mod.geo_terms(geo[0], spec.accuracy, prefix):
                 terms.add_boolean(t)
         elif ftype == FieldType.SCRIPT:
             pass  # scripts are executed by the handler, not indexed
         else:
             raise SchemaError(f"cannot index type {ftype} at {path!r}")
 
-    def _typed_value(self, out, spec, ftype, value, path):
+    def _typed_value(self, out, spec, ftype, value, path, geo=None):
         if ftype in (FieldType.INTEGER, FieldType.POSITIVE, FieldType.FLOATING):
             return float(_to_number(value, path))
         if ftype in (FieldType.DATE, FieldType.DATETIME):
@@ -657,9 +667,11 @@ class Schema:
 
             return iputils.parse_ip(value)
         if ftype == FieldType.GEO:
-            from xapiand_tpu.geo import geospatial
+            if geo is None:
+                from xapiand_tpu.geo import geospatial
 
-            ranges, centroid = geospatial.extract(value, error=spec.error)
+                geo = geospatial.extract(value, error=spec.error)
+            ranges, centroid = geo
             out.geo_ranges.setdefault(spec.slot, []).extend(ranges)
             return centroid  # (lat, lon) tuple
         return None
