@@ -23,6 +23,7 @@ _LANG_ALIASES = {
     "id": "indonesian", "ga": "irish", "ne": "nepali",
     "early_english": "earlyenglish",
     "hy": "armenian", "eu": "basque", "ca": "catalan",
+    "kraaij-pohlmann": "kraaij_pohlmann",
     "lt": "lithuanian", "ta": "tamil", "tr": "turkish",
 }
 from xapiand_tpu.analysis.stem_extra import EXTRA_STEMMERS  # noqa: E402

@@ -1371,3 +1371,902 @@ def _ta_tense_suffix(w: str, st: dict) -> str:
 
 
 EXTRA_STEMMERS_2["tamil"] = stem_tamil
+
+
+# ---------------------------------------------------------------------------
+# german2 (german2.sbl: the german algorithm with an alternate prelude
+# that folds ae/oe/ue -> umlauts, except after q, and protects u/y between
+# vowels BEFORE folding)
+# ---------------------------------------------------------------------------
+
+_DE_V = "aeiouyäöü"
+_DE_S_ENDING = "bdfghklmnrt"
+_DE_ST_ENDING = "bdfghklmnt"
+
+
+def _de2_prelude(w: str) -> str:
+    # mark u/y between vowels; goto restores the cursor to the match
+    # start, so marks can chain through shared vowels ("eueue" -> eUeUe)
+    chars = list(w)
+    for i in range(len(chars) - 2):
+        if chars[i] in _DE_V and chars[i + 1] in "uy" \
+                and chars[i + 2] in _DE_V:
+            chars[i + 1] = chars[i + 1].upper()
+    w = "".join(chars)
+    # fold: ss for eszett, ae/oe/ue -> umlauts; 'qu' hops over the NEXT
+    # two characters (they stay unfolded), and a hop past the end stops
+    # the whole scan
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        two = w[i: i + 2]
+        if w[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif two == "qu":
+            out.append("qu")
+            i += 2
+            if n - i < 2:
+                break                    # hop 2 fails: scan ends
+            out.append(w[i: i + 2])
+            i += 2
+        elif two == "ae":
+            out.append("ä")
+            i += 2
+        elif two == "oe":
+            out.append("ö")
+            i += 2
+        elif two == "ue":
+            out.append("ü")
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    out.append(w[i:])                    # rest verbatim after a failed hop
+    return "".join(out)
+
+
+def stem_german2(word: str) -> str:
+    w = _de2_prelude(word)
+    n = len(w)
+    p1 = p2 = n
+    if n >= 3:
+        c = 0
+        while c < n and w[c] not in _DE_V:
+            c += 1
+        if c < n:
+            c += 1
+            while c < n and w[c] in _DE_V:
+                c += 1
+            if c < n:
+                c += 1
+                p1 = max(c, 3)           # try($p1 < x  $p1 = x), x = 3
+                while c < n and w[c] not in _DE_V:
+                    c += 1
+                if c < n:
+                    c += 1
+                    while c < n and w[c] in _DE_V:
+                        c += 1
+                    if c < n:
+                        p2 = c + 1
+
+    # block 1 (R1)
+    s = _longest_suffix(w, 0, ("em", "ern", "er", "e", "en", "es", "s"))
+    if s is not None:
+        start = len(w) - len(s)
+        if start >= p1:
+            if s == "s":
+                if start >= 1 and w[start - 1] in _DE_S_ENDING:
+                    w = w[:start]
+            else:
+                w = w[:start]
+                if s in ("e", "en", "es") and w.endswith("niss"):
+                    w = w[:-1]           # try(['s'] 'nis' delete)
+    # block 2 (R1)
+    s = _longest_suffix(w, 0, ("en", "er", "est", "st"))
+    if s is not None:
+        start = len(w) - len(s)
+        if start >= p1:
+            if s == "st":
+                if start >= 4 and w[start - 1] in _DE_ST_ENDING:
+                    w = w[:start]        # st_ending hop 3 delete
+            else:
+                w = w[:start]
+    # block 3 (R2)
+    s = _longest_suffix(w, 0, ("end", "ung", "ig", "ik", "isch",
+                               "lich", "heit", "keit"))
+    if s is not None:
+        start = len(w) - len(s)
+        if start >= p2:
+            if s in ("end", "ung"):
+                w = w[:start]
+                if w.endswith("ig") and not w.endswith("eig") \
+                        and len(w) - 2 >= p2:
+                    w = w[:-2]
+            elif s in ("ig", "ik", "isch"):
+                if not (start >= 1 and w[start - 1] == "e"):
+                    w = w[:start]
+            elif s in ("lich", "heit"):
+                w = w[:start]
+                for t in ("er", "en"):
+                    if w.endswith(t) and len(w) - 2 >= p1:
+                        w = w[:-2]
+                        break
+            else:                        # keit
+                w = w[:start]
+                t = _longest_suffix(w, 0, ("lich", "ig"))
+                if t is not None and len(w) - len(t) >= p2:
+                    w = w[: len(w) - len(t)]
+
+    return w.translate(str.maketrans({"Y": "y", "U": "u", "ä": "a",
+                                      "ö": "o", "ü": "u"}))
+
+
+EXTRA_STEMMERS_2["german2"] = stem_german2
+_LOVINS_ENDINGS = (
+    ('alistically', 'B'),
+    ('arizability', 'A'),
+    ('izationally', 'B'),
+    ('antialness', 'A'),
+    ('arisations', 'A'),
+    ('arizations', 'A'),
+    ('entialness', 'A'),
+    ('allically', 'C'),
+    ('antaneous', 'A'),
+    ('antiality', 'A'),
+    ('arisation', 'A'),
+    ('arization', 'A'),
+    ('ationally', 'B'),
+    ('ativeness', 'A'),
+    ('eableness', 'E'),
+    ('entations', 'A'),
+    ('entiality', 'A'),
+    ('entialize', 'A'),
+    ('entiation', 'A'),
+    ('ionalness', 'A'),
+    ('istically', 'A'),
+    ('itousness', 'A'),
+    ('izability', 'A'),
+    ('izational', 'A'),
+    ('ableness', 'A'),
+    ('arizable', 'A'),
+    ('entation', 'A'),
+    ('entially', 'A'),
+    ('eousness', 'A'),
+    ('ibleness', 'A'),
+    ('icalness', 'A'),
+    ('ionalism', 'A'),
+    ('ionality', 'A'),
+    ('ionalize', 'A'),
+    ('iousness', 'A'),
+    ('izations', 'A'),
+    ('lessness', 'A'),
+    ('ability', 'A'),
+    ('aically', 'A'),
+    ('alistic', 'B'),
+    ('alities', 'A'),
+    ('ariness', 'E'),
+    ('aristic', 'A'),
+    ('arizing', 'A'),
+    ('ateness', 'A'),
+    ('atingly', 'A'),
+    ('ational', 'B'),
+    ('atively', 'A'),
+    ('ativism', 'A'),
+    ('elihood', 'E'),
+    ('encible', 'A'),
+    ('entally', 'A'),
+    ('entials', 'A'),
+    ('entiate', 'A'),
+    ('entness', 'A'),
+    ('fulness', 'A'),
+    ('ibility', 'A'),
+    ('icalism', 'A'),
+    ('icalist', 'A'),
+    ('icality', 'A'),
+    ('icalize', 'A'),
+    ('ication', 'G'),
+    ('icianry', 'A'),
+    ('ination', 'A'),
+    ('ingness', 'A'),
+    ('ionally', 'A'),
+    ('isation', 'A'),
+    ('ishness', 'A'),
+    ('istical', 'A'),
+    ('iteness', 'A'),
+    ('iveness', 'A'),
+    ('ivistic', 'A'),
+    ('ivities', 'A'),
+    ('ization', 'F'),
+    ('izement', 'A'),
+    ('oidally', 'A'),
+    ('ousness', 'A'),
+    ('aceous', 'A'),
+    ('acious', 'B'),
+    ('action', 'G'),
+    ('alness', 'A'),
+    ('ancial', 'A'),
+    ('ancies', 'A'),
+    ('ancing', 'B'),
+    ('ariser', 'A'),
+    ('arized', 'A'),
+    ('arizer', 'A'),
+    ('atable', 'A'),
+    ('ations', 'B'),
+    ('atives', 'A'),
+    ('eature', 'Z'),
+    ('efully', 'A'),
+    ('encies', 'A'),
+    ('encing', 'A'),
+    ('ential', 'A'),
+    ('enting', 'C'),
+    ('entist', 'A'),
+    ('eously', 'A'),
+    ('ialist', 'A'),
+    ('iality', 'A'),
+    ('ialize', 'A'),
+    ('ically', 'A'),
+    ('icance', 'A'),
+    ('icians', 'A'),
+    ('icists', 'A'),
+    ('ifully', 'A'),
+    ('ionals', 'A'),
+    ('ionate', 'D'),
+    ('ioning', 'A'),
+    ('ionist', 'A'),
+    ('iously', 'A'),
+    ('istics', 'A'),
+    ('izable', 'E'),
+    ('lessly', 'A'),
+    ('nesses', 'A'),
+    ('oidism', 'A'),
+    ('acies', 'A'),
+    ('acity', 'A'),
+    ('aging', 'B'),
+    ('aical', 'A'),
+    ('alist', 'A'),
+    ('alism', 'B'),
+    ('ality', 'A'),
+    ('alize', 'A'),
+    ('allic', 'BB'),
+    ('anced', 'B'),
+    ('ances', 'B'),
+    ('antic', 'C'),
+    ('arial', 'A'),
+    ('aries', 'A'),
+    ('arily', 'A'),
+    ('arity', 'B'),
+    ('arize', 'A'),
+    ('aroid', 'A'),
+    ('ately', 'A'),
+    ('ating', 'I'),
+    ('ation', 'B'),
+    ('ative', 'A'),
+    ('ators', 'A'),
+    ('atory', 'A'),
+    ('ature', 'E'),
+    ('early', 'Y'),
+    ('ehood', 'A'),
+    ('eless', 'A'),
+    ('elity', 'A'),
+    ('ement', 'A'),
+    ('enced', 'A'),
+    ('ences', 'A'),
+    ('eness', 'E'),
+    ('ening', 'E'),
+    ('ental', 'A'),
+    ('ented', 'C'),
+    ('ently', 'A'),
+    ('fully', 'A'),
+    ('ially', 'A'),
+    ('icant', 'A'),
+    ('ician', 'A'),
+    ('icide', 'A'),
+    ('icism', 'A'),
+    ('icist', 'A'),
+    ('icity', 'A'),
+    ('idine', 'I'),
+    ('iedly', 'A'),
+    ('ihood', 'A'),
+    ('inate', 'A'),
+    ('iness', 'A'),
+    ('ingly', 'B'),
+    ('inism', 'J'),
+    ('inity', 'CC'),
+    ('ional', 'A'),
+    ('ioned', 'A'),
+    ('ished', 'A'),
+    ('istic', 'A'),
+    ('ities', 'A'),
+    ('itous', 'A'),
+    ('ively', 'A'),
+    ('ivity', 'A'),
+    ('izers', 'F'),
+    ('izing', 'F'),
+    ('oidal', 'A'),
+    ('oides', 'A'),
+    ('otide', 'A'),
+    ('ously', 'A'),
+    ('able', 'A'),
+    ('ably', 'A'),
+    ('ages', 'B'),
+    ('ally', 'B'),
+    ('ance', 'B'),
+    ('ancy', 'B'),
+    ('ants', 'B'),
+    ('aric', 'A'),
+    ('arly', 'K'),
+    ('ated', 'I'),
+    ('ates', 'A'),
+    ('atic', 'B'),
+    ('ator', 'A'),
+    ('ealy', 'Y'),
+    ('edly', 'E'),
+    ('eful', 'A'),
+    ('eity', 'A'),
+    ('ence', 'A'),
+    ('ency', 'A'),
+    ('ened', 'E'),
+    ('enly', 'E'),
+    ('eous', 'A'),
+    ('hood', 'A'),
+    ('ials', 'A'),
+    ('ians', 'A'),
+    ('ible', 'A'),
+    ('ibly', 'A'),
+    ('ical', 'A'),
+    ('ides', 'L'),
+    ('iers', 'A'),
+    ('iful', 'A'),
+    ('ines', 'M'),
+    ('ings', 'N'),
+    ('ions', 'B'),
+    ('ious', 'A'),
+    ('isms', 'B'),
+    ('ists', 'A'),
+    ('itic', 'H'),
+    ('ized', 'F'),
+    ('izer', 'F'),
+    ('less', 'A'),
+    ('lily', 'A'),
+    ('ness', 'A'),
+    ('ogen', 'A'),
+    ('ward', 'A'),
+    ('wise', 'A'),
+    ('ying', 'B'),
+    ('yish', 'A'),
+    ('acy', 'A'),
+    ('age', 'B'),
+    ('aic', 'A'),
+    ('als', 'BB'),
+    ('ant', 'B'),
+    ('ars', 'O'),
+    ('ary', 'F'),
+    ('ata', 'A'),
+    ('ate', 'A'),
+    ('eal', 'Y'),
+    ('ear', 'Y'),
+    ('ely', 'E'),
+    ('ene', 'E'),
+    ('ent', 'C'),
+    ('ery', 'E'),
+    ('ese', 'A'),
+    ('ful', 'A'),
+    ('ial', 'A'),
+    ('ian', 'A'),
+    ('ics', 'A'),
+    ('ide', 'L'),
+    ('ied', 'A'),
+    ('ier', 'A'),
+    ('ies', 'P'),
+    ('ily', 'A'),
+    ('ine', 'M'),
+    ('ing', 'N'),
+    ('ion', 'Q'),
+    ('ish', 'C'),
+    ('ism', 'B'),
+    ('ist', 'A'),
+    ('ite', 'AA'),
+    ('ity', 'A'),
+    ('ium', 'A'),
+    ('ive', 'A'),
+    ('ize', 'F'),
+    ('oid', 'A'),
+    ('one', 'R'),
+    ('ous', 'A'),
+    ('ae', 'A'),
+    ('al', 'BB'),
+    ('ar', 'X'),
+    ('as', 'B'),
+    ('ed', 'E'),
+    ('en', 'F'),
+    ('es', 'E'),
+    ('ia', 'A'),
+    ('ic', 'A'),
+    ('is', 'A'),
+    ('ly', 'B'),
+    ('on', 'S'),
+    ('or', 'T'),
+    ('um', 'U'),
+    ('us', 'V'),
+    ('yl', 'R'),
+    ("'s", 'A'),
+    ("s'", 'A'),
+    ('a', 'A'),
+    ('e', 'A'),
+    ('i', 'A'),
+    ('o', 'A'),
+    ('s', 'W'),
+    ('y', 'B'),
+)
+
+
+# ---------------------------------------------------------------------------
+# lovins (lovins.sbl, Lovins 1968): 294 endings with per-ending conditions
+# A..CC (among-function form: a failed condition BACKTRACKS to shorter
+# endings), then undouble, then respell
+# ---------------------------------------------------------------------------
+
+def _lovins_cond(code: str, w: str, c: int) -> bool:
+    """Condition at cursor c (= stem length after removing the ending)."""
+    last = w[c - 1] if c >= 1 else ""
+    if code == "A":
+        return c >= 2
+    if code == "B":
+        return c >= 3
+    if code == "C":
+        return c >= 4
+    if code == "D":
+        return c >= 5
+    if code == "E":
+        return c >= 2 and last != "e"
+    if code == "F":
+        return c >= 3 and last != "e"
+    if code == "G":
+        return c >= 3 and last == "f"
+    if code == "H":
+        return c >= 2 and (last == "t" or w[c - 2: c] == "ll")
+    if code == "I":
+        return c >= 2 and last not in "oe"
+    if code == "J":
+        return c >= 2 and last not in "ae"
+    if code == "K":
+        return c >= 3 and (last in "li"
+                           or (last == "e" and w[c - 3] == "u"))
+    if code == "L":
+        if c < 2 or last in "ux":
+            return False
+        return not (last == "s" and w[c - 2] != "o")
+    if code == "M":
+        return c >= 2 and last not in "acem"
+    if code == "N":
+        # test hop 3; hop 2; (not 's' or hop 2 more)
+        return c >= 3 and (w[c - 3] != "s" or c >= 4)
+    if code == "O":
+        return c >= 2 and last in "li"
+    if code == "P":
+        return c >= 2 and last != "c"
+    if code == "Q":
+        return c >= 3 and last not in "ln"
+    if code == "R":
+        return c >= 2 and last in "nr"
+    if code == "S":
+        return c >= 2 and (w[c - 2: c] == "dr"
+                           or (last == "t" and w[c - 2] != "t"))
+    if code == "T":
+        return c >= 2 and (last == "s"
+                           or (last == "t" and w[c - 2] != "o"))
+    if code == "U":
+        return c >= 2 and last in "lmnr"
+    if code == "V":
+        return c >= 2 and last == "c"
+    if code == "W":
+        return c >= 2 and last not in "su"
+    if code == "X":
+        return c >= 2 and (last in "li"
+                           or (c >= 3 and last == "e" and w[c - 3] == "u"))
+    if code == "Y":
+        return c >= 2 and w[c - 2: c] == "in"
+    if code == "Z":
+        return c >= 2 and last != "f"
+    if code == "AA":
+        return c >= 2 and (last in "dflt" or w[c - 2: c] in
+                           ("ph", "th", "er", "or", "es"))
+    if code == "BB":
+        return c >= 3 and not w[:c].endswith("met") \
+            and not w[:c].endswith("ryst")
+    if code == "CC":
+        return c >= 2 and last == "l"
+    raise ValueError(code)
+
+
+_LOVINS_BY_LEN = sorted(_LOVINS_ENDINGS, key=lambda p: -len(p[0]))
+
+_LOVINS_RESPELL = (
+    ("iev", None, "ief"), ("uct", None, "uc"), ("umpt", None, "um"),
+    ("rpt", None, "rb"), ("urs", None, "ur"), ("istr", None, "ister"),
+    ("metr", None, "meter"), ("olv", None, "olut"),
+    ("ul", "aio", "l"), ("bex", None, "bic"), ("dex", None, "dic"),
+    ("pex", None, "pic"), ("tex", None, "tic"), ("ax", None, "ac"),
+    ("ex", None, "ec"), ("ix", None, "ic"), ("lux", None, "luc"),
+    ("uad", None, "uas"), ("vad", None, "vas"), ("cid", None, "cis"),
+    ("lid", None, "lis"), ("erid", None, "eris"), ("pand", None, "pans"),
+    ("end", "s", "ens"), ("ond", None, "ons"), ("lud", None, "lus"),
+    ("rud", None, "rus"), ("her", "pt", "hes"), ("mit", None, "mis"),
+    ("ent", "m", "ens"), ("ert", None, "ers"), ("et", "n", "es"),
+    ("yt", None, "ys"), ("yz", None, "ys"),
+)
+
+
+def stem_lovins(word: str) -> str:
+    w = word
+    # endings: longest ending whose condition holds (conditions backtrack)
+    for ending, code in _LOVINS_BY_LEN:
+        if w.endswith(ending):
+            c = len(w) - len(ending)
+            if _lovins_cond(code, w, c):
+                w = w[:c]
+                break
+    # undouble
+    if w[-2:] in ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss",
+                  "tt"):
+        w = w[:-1]
+    # respell (switch form: a failed inner condition means no respell)
+    best = None
+    for suf, notpre, repl in _LOVINS_RESPELL:
+        if (best is None or len(suf) > len(best[0])) and w.endswith(suf):
+            best = (suf, notpre, repl)
+    if best is not None:
+        suf, notpre, repl = best
+        c = len(w) - len(suf)
+        if not (notpre and c >= 1 and w[c - 1] in notpre):
+            w = w[:c] + repl
+    return w
+
+
+EXTRA_STEMMERS_2["lovins"] = stem_lovins
+
+
+# ---------------------------------------------------------------------------
+# kraaij_pohlmann (kraaij_pohlmann.sbl, Kraaij & Pohlmann's Dutch
+# stemmer): y-marking, ij-aware syllable measure, 4 suffix steps with
+# vowel lengthening ("lop" -> "loop") and attach-backs, ge- prefix/infix
+# removal with re-measure, consonant undoubling and v/z devoicing
+# ---------------------------------------------------------------------------
+
+_KP_V = "aeiouy"
+_KP_VWX = "aeiouywx"
+
+
+def _kp_measure(w: str) -> tuple[int, int]:
+    n = len(w)
+    p1 = p2 = n
+
+    def syllable(c):
+        while c < n and w[c] not in _KP_V:
+            c += 1
+        cnt = 0
+        while c < n:
+            if w[c: c + 2] == "ij":
+                c += 2
+                cnt += 1
+            elif w[c] in _KP_V:
+                c += 1
+                cnt += 1
+            else:
+                break
+        if cnt >= 1 and c < n:
+            return c + 1
+        return None
+
+    c = syllable(0)
+    if c is not None:
+        p1 = c
+        c = syllable(c)
+        if c is not None:
+            p2 = c
+    return p1, p2
+
+
+def _kp_C(w, c):
+    """test(not 'ij' non-v)."""
+    return not w[:c].endswith("ij") and c >= 1 and w[c - 1] not in _KP_V
+
+
+def _kp_V(w, c):
+    return (c >= 1 and w[c - 1] in _KP_V) or w[:c].endswith("ij")
+
+
+def _kp_VX(w, c):
+    return c >= 1 and _kp_V(w, c - 1)
+
+
+def _kp_lengthen(w: str, c: int) -> str:
+    """lengthen_V at cursor c (do-wrapped: never fails)."""
+    if c <= 0 or w[c - 1] in _KP_VWX:
+        return w
+    ket = c - 1
+    if ket >= 1 and w[ket - 1] in "aou":
+        bra = ket - 1
+        if bra == 0 or w[bra - 1] not in _KP_V:
+            return w[:bra] + w[bra] + w[bra:]
+        return w
+    if ket >= 1 and w[ket - 1] == "e":
+        bra = ket - 1
+        if bra == 0:
+            c4 = 0
+        elif w[bra - 1] not in _KP_V:
+            c4 = bra - 1
+        else:
+            return w
+        if c4 >= 1 and w[c4 - 1] in "aiou":
+            return w
+        if c4 >= 3 and w[c4 - 2] in "aiou" and w[c4 - 3] not in _KP_V:
+            return w
+        return w[:bra] + "e" + w[bra:]
+    return w
+
+
+def _kp_step1(w, p1, p2):
+    n = len(w)
+    s = _longest_suffix(w, 0, ("'s", "s", "ies", "es", "aus", "en", "nde"))
+    if s is None:
+        return w, False
+    c = n - len(s)
+    if s == "'s":
+        return w[:c], True
+    if s == "s":
+        if c >= p1 and not (c >= 1 and w[c - 1] == "t" and c - 1 >= p1) \
+                and _kp_C(w, c):
+            return w[:c], True
+        return w, False
+    if s == "ies":
+        if c >= p1:
+            return w[:c] + "ie", True
+        return w, False
+    if s == "es":
+        if w[c - 2: c] == "ar" and c - 2 >= p1 and _kp_C(w, c - 2):
+            return _kp_lengthen(w[: c - 2], c - 2), True
+        if w[c - 2: c] == "er" and c - 2 >= p1 and _kp_C(w, c - 2):
+            return w[: c - 2], True
+        if c >= p1 and _kp_C(w, c):
+            return w[:c] + "e", True
+        return w, False
+    if s == "aus":
+        if c >= p1 and _kp_V(w, c):
+            return w[:c] + "au", True
+        return w, False
+    if s == "en":
+        if w[c - 3: c] == "hed" and c - 3 >= p1:
+            return w[: c - 3] + "heid", True
+        if w[c - 2: c] == "nd":
+            return w[:c], True
+        if c >= 1 and w[c - 1] == "d" and c - 1 >= p1 and _kp_C(w, c - 1):
+            return w[: c - 1], True
+        if c >= 1 and w[c - 1] in "ij" and _kp_V(w, c - 1):
+            return w[:c], True
+        if c >= p1 and _kp_C(w, c):
+            return _kp_lengthen(w[:c], c), True
+        return w, False
+    # 'nde'
+    return w[:c] + "nd", True
+
+
+def _kp_step2(w, p1, p2):
+    n = len(w)
+    s = _longest_suffix(w, 0, ("je", "ge", "lijke", "ische", "de", "te",
+                               "se", "re", "le", "ene", "ieve"))
+    if s is None:
+        return w, False
+    c = n - len(s)
+    if s == "je":
+        if w[c - 2: c] == "'t":
+            return w[: c - 2], True
+        if w[c - 2: c] == "et" and c - 2 >= p1 and _kp_C(w, c - 2):
+            return w[: c - 2], True
+        if w[c - 3: c] == "rnt":
+            return w[: c - 3] + "rn", True
+        if c >= 1 and w[c - 1] == "t" and c - 1 >= p1 and _kp_VX(w, c - 1):
+            return w[: c - 1], True
+        if w[c - 3: c] == "ink":
+            return w[: c - 3] + "ing", True
+        if w[c - 2: c] == "mp":
+            return w[: c - 2] + "m", True
+        if c >= 1 and w[c - 1] == "'" and c - 1 >= p1:
+            return w[: c - 1], True
+        if c >= p1 and _kp_C(w, c):
+            return w[:c], True
+        return w, False
+    if s == "ge":
+        return (w[:c] + "g", True) if c >= p1 else (w, False)
+    if s == "lijke":
+        return (w[:c] + "lijk", True) if c >= p1 else (w, False)
+    if s == "ische":
+        return (w[:c] + "isch", True) if c >= p1 else (w, False)
+    if s == "de":
+        return (w[:c], True) if c >= p1 and _kp_C(w, c) else (w, False)
+    if s == "te":
+        return (w[:c] + "t", True) if c >= p1 else (w, False)
+    if s == "se":
+        return (w[:c] + "s", True) if c >= p1 else (w, False)
+    if s == "re":
+        return (w[:c] + "r", True) if c >= p1 else (w, False)
+    if s == "le":
+        if c >= p1:
+            # attach advances the cursor past the attached text
+            return _kp_lengthen(w[:c] + "l", c + 1), True
+        return w, False
+    if s == "ene":
+        if c >= p1 and _kp_C(w, c):
+            return _kp_lengthen(w[:c] + "en", c + 2), True
+        return w, False
+    # 'ieve'
+    return (w[:c] + "ief", True) if c >= p1 and _kp_C(w, c) else (w, False)
+
+
+def _kp_step3(w, p1, p2):
+    n = len(w)
+    s = _longest_suffix(w, 0, ("atie", "iteit", "heid", "sel", "ster",
+                               "rder", "ing", "isme", "erij", "arij",
+                               "fie", "gie", "tst", "dst"))
+    if s is None:
+        return w, False
+    c = n - len(s)
+    if s == "atie":
+        return (w[:c] + "eer", True) if c >= p1 else (w, False)
+    if s == "iteit":
+        return (_kp_lengthen(w[:c], c), True) if c >= p1 else (w, False)
+    if s in ("heid", "sel", "ster"):
+        return (w[:c], True) if c >= p1 else (w, False)
+    if s == "rder":
+        return w[:c] + "r", True
+    if s in ("ing", "isme", "erij"):
+        return (_kp_lengthen(w[:c], c), True) if c >= p1 else (w, False)
+    if s == "arij":
+        return (w[:c] + "aar", True) if c >= p1 and _kp_C(w, c) \
+            else (w, False)
+    if s in ("fie", "gie"):
+        if c >= p2:
+            # attach advances the cursor past the attached text
+            return _kp_lengthen(w[:c] + s[0], c + 1), True
+        return w, False
+    # 'tst' / 'dst'
+    return (w[:c] + s[0], True) if c >= p1 and _kp_C(w, c) else (w, False)
+
+
+def _kp_step4(w, p1, p2):
+    n = len(w)
+    s = _longest_suffix(w, 0, ("ioneel", "atief", "baar", "naar", "laar",
+                               "raar", "tant", "lijker", "lijkst",
+                               "achtig", "achtiger", "achtigst", "eriger",
+                               "erigst", "erig", "end"))
+    ok = False
+    if s is not None:
+        c = n - len(s)
+        if s == "ioneel":
+            if c >= p1:
+                return w[:c] + "ie", True
+        elif s == "atief":
+            if c >= p1:
+                return w[:c] + "eer", True
+        elif s == "baar":
+            if c >= p1:
+                return w[:c], True
+        elif s in ("naar", "laar", "raar"):
+            if c >= p1 and _kp_V(w, c):
+                return w[:c] + s[0], True
+        elif s == "tant":
+            if c >= p1:
+                return w[:c] + "teer", True
+        elif s in ("lijker", "lijkst"):
+            if c >= p1:
+                return w[:c] + "lijk", True
+        elif s in ("achtig", "achtiger", "achtigst"):
+            if c >= p1:
+                return w[:c], True
+        else:                                # eriger/erigst/erig/end
+            if c >= p1 and _kp_C(w, c):
+                return _kp_lengthen(w[:c], c), True
+    # second among only when the first fails
+    s = _longest_suffix(w, 0, ("iger", "igst", "ig"))
+    if s is not None:
+        c = n - len(s)
+        if c >= p1 and _kp_C(w, c):
+            return _kp_lengthen(w[:c], c), True
+    return w, ok
+
+
+def _kp_step7(w):
+    for suf, repl in (("kt", "k"), ("ft", "f"), ("pt", "p")):
+        if w.endswith(suf):
+            return w[: -2] + repl, True
+    return w, False
+
+
+def _kp_step6(w):
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] in "bcdfghjklmnpqrstvwxz":
+        return w[:-1], True
+    if w.endswith("v"):
+        return w[:-1] + "f", True
+    if w.endswith("z"):
+        return w[:-1] + "s", True
+    return w, False
+
+
+def _kp_step1c(w, p1):
+    n = len(w)
+    for s in ("d", "t"):
+        if w.endswith(s):
+            c = n - 1
+            if c >= p1 and _kp_C(w, c):
+                guard = "n" if s == "d" else "h"
+                if not (c >= 1 and w[c - 1] == guard and c - 1 >= p1):
+                    return w[:c], True
+            return w, False                  # among matched; action failed
+    return w, False
+
+
+def _kp_has_v_then_c(w, start):
+    """goto v goto non-v from `start` (lowercase v; marked Y excluded)."""
+    iv = start
+    n = len(w)
+    while iv < n and w[iv] not in _KP_V:
+        iv += 1
+    if iv >= n:
+        return False
+    k = iv
+    while k < n and w[k] in _KP_V:
+        k += 1
+    return k < n
+
+
+def stem_kraaij_pohlmann(word: str) -> str:
+    w = word
+    y_found = False
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+        y_found = True
+    chars = list(w)
+    for i in range(len(chars) - 1):
+        if chars[i] in _KP_V and chars[i + 1] == "y":
+            chars[i + 1] = "Y"
+            y_found = True
+    w = "".join(chars)
+
+    p1, p2 = _kp_measure(w)
+    stemmed = False
+    for step in (_kp_step1, _kp_step2, _kp_step3, _kp_step4):
+        w, ok = step(w, p1, p2)
+        stemmed = stemmed or ok
+
+    # Lose_prefix and measure; then Step_1c if removed
+    ge_removed = False
+    if w.startswith("ge") and len(w) - 2 >= 3 and _kp_has_v_then_c(w, 2):
+        w = w[2:]
+        ge_removed = True
+        p1, p2 = _kp_measure(w)
+    if ge_removed:
+        w, _ = _kp_step1c(w, p1)
+
+    # Lose_infix and measure; then Step_1c if removed
+    ge_removed = False
+    g = w.find("ge", 1)
+    if g >= 1 and len(w) - (g + 2) >= 3 and _kp_has_v_then_c(w, g + 2):
+        w = w[:g] + w[g + 2:]
+        ge_removed = True
+        p1, p2 = _kp_measure(w)
+    if ge_removed:
+        w, _ = _kp_step1c(w, p1)
+
+    w, ok7 = _kp_step7(w)
+    stemmed = stemmed or ok7
+    if stemmed or ge_removed:
+        w, _ = _kp_step6(w)
+
+    if y_found:
+        w = w.replace("Y", "y")
+    return w
+
+
+EXTRA_STEMMERS_2["kraaij_pohlmann"] = stem_kraaij_pohlmann
