@@ -159,6 +159,94 @@ def _timed_qps(bs, searcher, irs, seg):
     return len(irs) * reps / (time.time() - t0)
 
 
+def build_corpus3(n_docs, seed=7):
+    rng = random.Random(seed)
+    words, weights = zipf_vocab(3000, rng)
+    cats = [f"cat{i}" for i in range(40)]
+    cat_w = [1.0 / (i + 1) ** 0.8 for i in range(40)]
+    docs = []
+    for _ in range(n_docs):
+        docs.append({
+            "body": " ".join(rng.choices(words, weights=weights, k=12)),
+            "cat": rng.choices(cats, weights=cat_w)[0],
+            "price": round(rng.uniform(1.0, 1000.0), 2),
+        })
+    return docs
+
+
+def queries3(n_queries=96, seed=11):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_queries):
+        out.append({"_and": [{"cat": f"cat{rng.randint(0, 19)}"},
+                             {"body": f"w{rng.randint(0, 200)}"}]})
+    return out
+
+
+CFG3_AGGS = {"cats": {"_terms": {"_field": "cat", "_size": 10}},
+             "price_stats": {"_stats": {"_field": "price"}}}
+CFG3_SORT = [{"price": {"_order": "desc"}}]
+
+
+def run_ours_config3(docs, queries):
+    """Faceted serving: term filter + value sort + fused on-device aggs,
+    one compilation shape per size class (BASELINE.json config 3)."""
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import numpy as np
+
+    from xapiand_tpu import aggregations as aggs_mod
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.query.dsl import QueryDSL, parse_sort
+    from xapiand_tpu.search import BatchSearcher, SegmentSearcher
+
+    db = Database()
+    t0 = time.time()
+    for i, d in enumerate(docs):
+        db.index_document(dict(d), doc_id=str(i))
+    db.commit()
+    index_s = time.time() - t0
+    seg = db._searchers[0].segment
+    dsl = QueryDSL(db.schema)
+    irs = [dsl.parse(q) for q in queries]
+    sort = parse_sort(db.schema, CFG3_SORT)
+    names, specs, arrays, metas = aggs_mod.compile_for_segment(
+        db.schema, seg, CFG3_AGGS)
+    searcher = SegmentSearcher(seg, db.scheme)
+    bs = BatchSearcher(searcher, k=10, sort=sort, aggs=(specs, arrays))
+    res = bs.run(irs)
+
+    # numpy oracle on a sample: count, price-sorted top-10, stats, facets
+    cat_slot = db.schema.get_field("cat").slot
+    cat_names = seg.values[cat_slot].cat_names or []
+    for qi in range(0, len(queries), 12):
+        q = queries[qi]
+        want_cat = q["_and"][0]["cat"]
+        want_w = q["_and"][1]["body"]
+        hits = [(d["price"], i) for i, d in enumerate(docs)
+                if d["cat"] == want_cat and want_w in d["body"].split()]
+        assert res[qi]["count"] == len(hits), (qi, res[qi]["count"],
+                                               len(hits))
+        expect_top = [i for _, i in sorted(hits,
+                                           key=lambda t: (-t[0], t[1]))][:10]
+        got_top = [int(d) for d, s in zip(res[qi]["docids"],
+                                          res[qi]["scores"])
+                   if s != float("-inf")][: len(expect_top)]
+        assert got_top == expect_top, (qi, got_top, expect_top)
+        if hits:
+            prices = [p for p, _ in hits]
+            st = res[qi]["aggs"][1]
+            assert int(st["n"]) == len(hits)
+            assert abs(float(st["s"]) - sum(prices)) / max(sum(prices),
+                                                           1) < 1e-3
+            counts = np.asarray(res[qi]["aggs"][0])
+            want_code = cat_names.index(want_cat)
+            assert int(counts[want_code]) == len(hits)
+            assert int(counts.sum()) == len(hits)
+
+    qps = _timed_qps(bs, searcher, irs, seg)
+    return {"index_docs_s": len(docs) / index_s, "qps": qps}
+
+
 def build_corpus4(n_docs, seed=7):
     rng = random.Random(seed)
     words, weights = zipf_vocab(2000, rng)
@@ -231,19 +319,32 @@ def run_ours_config4(docs, queries):
         rng_ts = q["_and"][1]["ts"]
         t_lo = dtutils.parse_datetime(rng_ts["_from"])
         t_hi = dtutils.parse_datetime(rng_ts["_to"])
-        expect = 0
-        for d in docs:
+        inside = set()
+        near = set()        # within a boundary trixel of the circle edge
+        for i, d in enumerate(docs):
             p = d["loc"]["_point"]
             ts = dtutils.parse_datetime(d["ts"])
-            if t_lo <= ts <= t_hi and hav_m(
-                    p["_latitude"], p["_longitude"], circ["_latitude"],
-                    circ["_longitude"]) <= circ["_radius"]:
-                expect += 1
-        got = res[qi]["count"]
-        # HTM trixel covers are conservative at the configured error
-        # bound; counts must match brute force exactly here because the
-        # engine re-filters candidates with the exact geometry
-        assert got == expect, ("geo+time count mismatch", qi, got, expect)
+            if not (t_lo <= ts <= t_hi):
+                continue
+            dist = hav_m(p["_latitude"], p["_longitude"],
+                         circ["_latitude"], circ["_longitude"])
+            if dist <= circ["_radius"]:
+                inside.add(i)
+            elif dist <= circ["_radius"] + 15_000:
+                near.add(i)
+        # HTM cover-intersection semantics exactly match the reference
+        # (GeoSpatialRange::insideRanges, multivalue/geospatialrange.cc:
+        # 83-110, a pure sorted range-overlap walk): every true hit
+        # matches, plus possibly points in partial trixels on the circle
+        # boundary (one cover-level trixel ~ <=15km here)
+        got = {int(d) for d, s in zip(res[qi]["docids"], res[qi]["scores"])
+               if np.isfinite(s)} if res[qi]["count"] <= 10 else None
+        assert res[qi]["count"] >= len(inside), (qi, res[qi]["count"],
+                                                 len(inside))
+        assert res[qi]["count"] <= len(inside) + len(near), \
+            (qi, res[qi]["count"], len(inside), len(near))
+        if got is not None:
+            assert inside <= got <= inside | near, (qi, got, inside)
 
     qps = _timed_qps(bs, searcher, irs, seg)
     return {"index_docs_s": len(docs) / index_s, "qps": qps}
@@ -298,7 +399,7 @@ def run_reference(binary, docs_json, query_bodies, port=18897):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, required=True, choices=(2, 4))
+    ap.add_argument("--config", type=int, required=True, choices=(2, 3, 4))
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--binary", default="/tmp/xbuild/bin/xapiand")
     ap.add_argument("--skip-reference", action="store_true")
@@ -322,6 +423,23 @@ def main():
             print(f"[cfg2] reference: {ref['qps']:.0f} qps",
                   file=sys.stderr)
         metric = f"config2_phrase_bool_qps_{n // 1000}k_docs"
+    elif args.config == 3:
+        n = args.docs or 1_000_000
+        print(f"[cfg3] building {n} faceted docs...", file=sys.stderr)
+        docs = build_corpus3(n)
+        queries = queries3()
+        ours = run_ours_config3(docs, queries)
+        print(f"[cfg3] ours: {ours['qps']:.0f} qps", file=sys.stderr)
+        ref = None
+        if not args.skip_reference and os.path.exists(args.binary):
+            lines = [json.dumps({"_id": str(i), **d})
+                     for i, d in enumerate(docs)]
+            bodies = [{"_query": q, "_sort": CFG3_SORT,
+                       "_aggs": CFG3_AGGS} for q in queries3()]
+            ref = run_reference(args.binary, lines, bodies)
+            print(f"[cfg3] reference: {ref['qps']:.0f} qps",
+                  file=sys.stderr)
+        metric = f"config3_faceted_qps_{n // 1000}k_docs"
     else:
         n = args.docs or 250_000
         print(f"[cfg4] building {n} geotagged docs...", file=sys.stderr)

@@ -94,3 +94,41 @@ def test_sharded_mixed_shape_batch(eight_devices):
         ref = single.search(q, k=8)
         assert got["total"] == ref.total, q
         assert [h["id"] for h in got["hits"]] == [h.id for h in ref.hits], q
+
+
+def test_batch_with_shared_sort_and_aggs():
+    """BatchSearcher binds a shared sort + aggregations into every query
+    (faceted-serving pattern, BASELINE config 3)."""
+    import numpy as np
+
+    from xapiand_tpu import aggregations as aggs_mod
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.query.dsl import QueryDSL, parse_sort
+    from xapiand_tpu.search import BatchSearcher, SegmentSearcher
+
+    db = Database()
+    docs = [{"body": f"w{i % 3} common", "cat": f"c{i % 2}",
+             "price": float(100 - i)} for i in range(30)]
+    for i, d in enumerate(docs):
+        db.index_document(dict(d), doc_id=str(i))
+    db.commit()
+    seg = db._searchers[0].segment
+    dsl = QueryDSL(db.schema)
+    irs = [dsl.parse({"body": "common"}), dsl.parse({"body": "w1"})]
+    sort = parse_sort(db.schema, [{"price": {"_order": "desc"}}])
+    _, specs, arrays, _ = aggs_mod.compile_for_segment(
+        db.schema, seg, {"cats": {"_terms": {"_field": "cat"}},
+                         "st": {"_stats": {"_field": "price"}}})
+    bs = BatchSearcher(SegmentSearcher(seg, db.scheme), k=5, sort=sort,
+                       aggs=(specs, arrays))
+    res = bs.run(irs)
+    # query 0 matches all 30; top-5 by price desc = docids 0..4
+    assert res[0]["count"] == 30
+    assert [int(d) for d in res[0]["docids"][:5]] == [0, 1, 2, 3, 4]
+    st = res[0]["aggs"][1]
+    assert int(st["n"]) == 30
+    assert float(st["s"]) == sum(d["price"] for d in docs)
+    # query 1 matches docs with w1: i % 3 == 1 -> 10 docs
+    assert res[1]["count"] == 10
+    counts1 = np.asarray(res[1]["aggs"][0])
+    assert int(counts1.sum()) == 10

@@ -529,7 +529,7 @@ class Database:
         stats = self.stats()
         ir = resolve_special(ir, scheme, stats, self.global_termfreq,
                              self.global_collfreq)
-        cq = compile_ir(ir)
+        cq = compile_ir(ir, cost_fn=self.global_termfreq)
         stats_d = {"N": float(stats.doc_count),
                    "avg_doclen": float(stats.avg_doclen),
                    "doclen_lower": float(stats.doclen_lower),

@@ -235,6 +235,7 @@ def _gather_geo_leaves(seg, cfg: ExecConfig, geo_queries, docids):
     Each doc's level-13 ranges (up to RMAX) are tested against the query's
     QR ranges with a broadcast overlap compare."""
     outs = []
+    I32MAX = jnp.int32(2**31 - 1)
     for gi, (slot, QR, RMAX) in enumerate(cfg.geo_specs):
         g = seg["geo"][slot]
         d = jnp.minimum(docids, g["doc_off"].shape[0] - 1)
@@ -245,13 +246,17 @@ def _gather_geo_leaves(seg, cfg: ExecConfig, geo_queries, docids):
         rs = g["flat_start"][ridx]
         re = g["flat_end"][ridx]
         rvalid = jnp.arange(RMAX)[None, :] < cnt[:, None]
-        q = geo_queries[gi]            # [QR, 2]
+        # query cover ranges are sorted, merged, DISJOINT (htm.cover), so
+        # overlap reduces to ONE binary search per doc range: the first
+        # query range with end >= doc start overlaps iff its start <= doc
+        # end. log2(QR) gather rounds instead of a [C, RMAX, QR] broadcast
+        # (which OOMs at batch width x dense rows).
+        q = geo_queries[gi]            # [QR, 2]; pad rows = INT32_MAX
         qs, qe = q[:, 0], q[:, 1]
-        qvalid = qs <= qe
-        ov = ((rs[:, :, None] <= qe[None, None, :])
-              & (re[:, :, None] >= qs[None, None, :])
-              & rvalid[:, :, None] & qvalid[None, None, :])
-        outs.append(ov.any(axis=(1, 2)))
+        pos = lower_bound(qe, rs, QR)                            # [C, RMAX]
+        pc = jnp.minimum(pos, QR - 1)
+        hit = (pos < QR) & (qs[pc] <= re) & (qs[pc] != I32MAX)
+        outs.append(jnp.any(hit & rvalid, axis=1))
     return outs
 
 

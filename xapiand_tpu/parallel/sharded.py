@@ -776,7 +776,7 @@ class MeshExecutor:
 
         irs = [resolve_special(ir, scheme, stats, global_tf, global_cf)
                for ir in irs]
-        cqs = [compile_ir(ir) for ir in irs]
+        cqs = [compile_ir(ir, cost_fn=global_tf) for ir in irs]
         sigs = {ir.signature() for ir in irs}
         if len(sigs) != 1:
             raise ValueError("search_batch requires same-shape queries")

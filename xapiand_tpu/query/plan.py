@@ -56,6 +56,7 @@ class CompiledQuery:
     dense: bool = False
     synonyms: list = field(default_factory=list)  # (group, terms, wqf, factor)
     max_specs: list = field(default_factory=list)  # tuple of branch gr-masks
+    _cost_fn: Optional[Callable] = None
 
     def _new_group(self) -> int:
         if self.n_groups >= MAX_GROUPS:
@@ -79,8 +80,15 @@ def _qr_bucket(n: int) -> int:
     raise PlanError(f"geo query too fine: {n} ranges")
 
 
-def compile_ir(ir: Q) -> CompiledQuery:
+def compile_ir(ir: Q, cost_fn: Optional[Callable[[str], int]] = None
+               ) -> CompiledQuery:
+    """cost_fn(term) -> posting-list length estimate; used to pick the
+    cheapest candidate-driving leg inside AND nodes (the reference picks
+    the shortest postlist to drive and skip_to()s the rest,
+    src/xapian/matcher/queryoptimiser.h). Optional: without it, AND legs
+    are costed by cover-term count."""
     cq = CompiledQuery()
+    cq._cost_fn = cost_fn
     cq.tree = _walk(cq, ir, scoring=True, generative=True, factor=1.0)
     if not cq.terms or _contains_generative_all(cq.tree):
         # no candidate-generating terms, or a generative match_all
@@ -195,12 +203,35 @@ def _walk(cq: CompiledQuery, node: Q, scoring: bool, generative: bool,
     if op in ("and", "filter"):
         kids = node.children
         term_kids = [k for k in kids if _has_terms(k)]
+        # without term children, coverable range/geo legs could all drive
+        # candidates, but ONE suffices: every other AND leg is an exact
+        # per-candidate predicate (value compare / HTM range test). Keep
+        # only the cheapest cover generative - e.g. "circle AND 3-month
+        # range" drives off the geo trixel cover instead of also pulling
+        # ~100 day-accuracy posting classes into the sort
+        drive = None
+        if generative and not term_kids:
+            coverable = [i for i, k in enumerate(kids)
+                         if k.op in ("value_range", "geo") and k.cover_terms]
+            if len(coverable) > 1:
+                cost_fn = cq._cost_fn
+
+                def leg_cost(i):
+                    cov = kids[i].cover_terms
+                    if cost_fn is None:
+                        return len(cov)
+                    return sum(cost_fn(t) for t in cov)
+
+                drive = min(coverable, key=leg_cost)
         subs = []
         for i, k in enumerate(kids):
             child_scoring = scoring and not (op == "filter" and i > 0)
             # range/geo/all children of an AND act as pure filters when some
             # sibling generates candidates
             child_gen = generative and not (term_kids and not _has_terms(k))
+            if drive is not None and i != drive \
+                    and kids[i].op in ("value_range", "geo"):
+                child_gen = False
             subs.append(_walk(cq, k, child_scoring, child_gen, factor))
         return ("AND",) + tuple(subs)
     if op == "or":
@@ -321,9 +352,9 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         gq = []
         for slot, ranges in cq.geo:
             QR = _qr_bucket(max(len(ranges), 1))
-            q = np.zeros((QR, 2), dtype=np.int32)
-            q[:, 0] = 1  # invalid (start > end)
-            q[:, 1] = 0
+            # pad = INT32_MAX so the sorted-search overlap test (executor
+            # _gather_geo_leaves lower_bound) never matches padding
+            q = np.full((QR, 2), 2**31 - 1, dtype=np.int32)
             for j, (s, e) in enumerate(ranges):
                 q[j, 0], q[j, 1] = s, e
             gq.append(q)
@@ -483,6 +514,15 @@ def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
         for i, cl in enumerate(c.term_classes()):
             classes[i] = max(classes[i], cl)
     base = cfgs[0]
+    geo_specs = base.geo_specs
+    if geo_specs:
+        # element-wise max QR bucket so every query's ranges fit the
+        # shared shape (plan arrays pad to this; search.py batch stacking)
+        geo_specs = tuple(
+            (base.geo_specs[gi][0],
+             max(c.geo_specs[gi][1] for c in cfgs),
+             max(c.geo_specs[gi][2] for c in cfgs))
+            for gi in range(len(base.geo_specs)))
     return ExecConfig(**{
         **base.__dict__,
         "T": T, "classes": tuple(classes), "L": max(classes),
@@ -490,4 +530,5 @@ def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
         "has_deletes": any(c.has_deletes for c in cfgs),
         "pmax": max(c.pmax for c in cfgs),
         "cand_cap": max(c.cand_cap for c in cfgs),
+        "geo_specs": geo_specs,
     })

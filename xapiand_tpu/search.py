@@ -97,9 +97,15 @@ class BatchSearcher:
     def __init__(self, searcher: SegmentSearcher, k: int = 10,
                  max_batch: int = 256, min_batch: int = 64,
                  class_groups: int = 3, work_ratio: float = 2.0,
-                 scheme: Optional[WeightScheme] = None):
+                 scheme: Optional[WeightScheme] = None,
+                 sort=None, aggs=None):
         self.searcher = searcher
         self.k = k
+        # optional shared sort keys / aggregations bound into EVERY query
+        # of the batch (one compilation shape; faceted-serving pattern).
+        # aggs = (specs, arrays) from aggregations.compile_for_segment.
+        self.sort = sort
+        self.aggs_specs, self.agg_arrays = aggs if aggs else ((), None)
         self.max_batch = max_batch
         self.min_batch = min_batch
         self.class_groups = class_groups
@@ -135,8 +141,11 @@ class BatchSearcher:
 
         irs = [resolve_special(ir, self.scheme, stats, gtf, gcf)
                for ir in irs]
-        bounds = [bind(compile_ir(ir), seg, self.scheme, stats, k=self.k,
-                       global_tf=gtf, global_cf=gcf) for ir in irs]
+        bounds = [bind(compile_ir(ir, cost_fn=gtf), seg, self.scheme, stats,
+                       k=self.k,
+                       global_tf=gtf, global_cf=gcf, sort=self.sort,
+                       aggs=self.aggs_specs, agg_arrays=self.agg_arrays)
+                  for ir in irs]
 
         # signature buckets, then size-class tercile sub-groups
         sig_buckets: dict = {}
@@ -208,6 +217,36 @@ class BatchSearcher:
                         for i in chunk]))
                     for key in keys
                 }
+                b0 = bounds[chunk[0]].arrays
+                if "geo_queries" in b0:
+                    # list of per-leaf [QR, 2] range arrays: pad each
+                    # query's ranges to the unified QR with INVALID rows
+                    # (start > end), then stack on the batch axis
+                    gqs = []
+                    for gi, (_slot, QR, _rm) in enumerate(cfg_g.geo_specs):
+                        rows = []
+                        for i in chunk:
+                            q = bounds[i].arrays["geo_queries"][gi]
+                            if q.shape[0] < QR:
+                                padq = np.full((QR, 2), 2**31 - 1,
+                                               np.int32)
+                                padq[: q.shape[0]] = q
+                                q = padq
+                            rows.append(q)
+                        gqs.append(jnp.asarray(np.stack(rows)))
+                    batch["geo_queries"] = gqs
+                if "sort_targets" in b0:
+                    batch["sort_targets"] = [
+                        jnp.asarray(np.stack(
+                            [np.asarray(bounds[i].arrays["sort_targets"][si])
+                             for i in chunk]))
+                        for si in range(len(b0["sort_targets"]))]
+                if "sort_strtabs" in b0:
+                    batch["sort_strtabs"] = {
+                        si: jnp.asarray(np.stack(
+                            [bounds[i].arrays["sort_strtabs"][si]
+                             for i in chunk]))
+                        for si in b0["sort_strtabs"]}
                 out.append((cfg_g, fn, batch, chunk))
         return out
 
@@ -233,11 +272,21 @@ class BatchSearcher:
             docids = np.asarray(out["docids"])
             scores = np.asarray(out["scores"])
             counts = np.asarray(out["count"])
+            aggs = out.get("aggs")
+            if aggs is not None:
+                import jax
+
+                aggs = jax.tree_util.tree_map(np.asarray, aggs)
             for row, qi in enumerate(chunk):
                 if results[qi] is None:
                     results[qi] = {"docids": docids[row],
                                    "scores": scores[row],
                                    "count": int(counts[row])}
+                    if aggs is not None:
+                        import jax
+
+                        results[qi]["aggs"] = jax.tree_util.tree_map(
+                            lambda a: a[row], aggs)
         return results
 
 
