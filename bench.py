@@ -115,7 +115,9 @@ def main():
                for q in queries]
     from xapiand_tpu.search import BatchSearcher
 
-    bsearch = BatchSearcher(searcher, k=K, max_batch=BATCH)
+    bsearch = BatchSearcher(
+        searcher, k=K, max_batch=BATCH,
+        chunk_rows=int(os.environ.get("BENCH_CHUNK_ROWS", "12000")))
     planned = bsearch.plan([Q.or_terms(q) for q in queries], stats=stats)
     batches = [(cfg_g, fn, batch, chunk)
                for cfg_g, fn, batch, chunk in planned]

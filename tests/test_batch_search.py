@@ -132,3 +132,28 @@ def test_batch_with_shared_sort_and_aggs():
     assert res[1]["count"] == 10
     counts1 = np.asarray(res[1]["aggs"][0])
     assert int(counts1.sum()) == 10
+
+
+def test_chunked_docid_range_exact():
+    """Docid-range-chunked execution (BatchSearcher._chunkify /
+    executor._execute_chunked) is bit-exact vs the unchunked pipeline,
+    including score ties (docid-asc) and deleted docs. Needs a segment
+    large enough that the 128-lane chunk-width floor doesn't trip the
+    skew guard (on tiny corpora _chunkify correctly declines)."""
+    seg2 = build_synthetic_segment(30000, 2000, seed=9)
+    seg2.deleted[5:2000:7] = True
+    searcher = SegmentSearcher(seg2, get_scheme("bm25"))
+    irs = [Q.or_terms(sorted(q, key=lambda t: -seg2.terms[t].length))
+           for q in sample_queries(seg2, 24, 3, seed=5)]
+    ref = BatchSearcher(searcher, k=10, chunk_rows=0).run(irs)
+    bs = BatchSearcher(searcher, k=10, chunk_rows=500)
+    assert any(cfg.n_chunks > 1 for cfg, _fn, _b, _c in bs.plan(irs)), \
+        "chunking never engaged - test is vacuous"
+    got = bs.run(irs)
+    for a, b in zip(ref, got):
+        assert a["count"] == b["count"]
+        assert [int(d) for d in a["docids"]] == [int(d) for d in b["docids"]]
+        av, bv = np.asarray(a["scores"]), np.asarray(b["scores"])
+        fin = np.isfinite(av)
+        assert (fin == np.isfinite(bv)).all()
+        assert np.allclose(av[fin], bv[fin], rtol=1e-5)

@@ -78,6 +78,8 @@ class ExecConfig:
     max_specs: tuple = ()        # per OP_MAX node: tuple of branch masks
     join: bool = False           # searchsorted-join path (no global sort)
     emit_sort_keys: bool = False  # return top-k sort keys (mesh merge)
+    n_chunks: int = 1            # docid-range chunks (pure term trees only)
+    chunk_classes: tuple = ()    # per-term per-chunk slice width, len == T
 
     def term_classes(self) -> tuple:
         return self.classes if self.classes else (self.L,) * self.T
@@ -423,6 +425,8 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         return _execute_dense(seg, plan, cfg, cstats, scheme)
     if cfg.join:
         return _execute_join(seg, plan, cfg, cstats, scheme)
+    if cfg.n_chunks > 1:
+        return _execute_chunked(seg, plan, cfg, cstats, scheme)
 
     T = cfg.T
     classes = cfg.term_classes()
@@ -570,6 +574,72 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         if cfg.emit_sort_keys and cfg.sort and skeys is not None:
             out["sort_keys"] = skeys
     return out
+
+
+def _execute_chunked(seg, plan, cfg: ExecConfig, cstats, scheme):
+    """Docid-range-chunked variant of the pure term-group pipeline.
+
+    The global docid sort dominates wide queries (86% of batch time at 1M
+    docs, lax.sort cost grows super-linearly with width), so the docid
+    space is partitioned into n_chunks ranges and each range is sorted
+    independently at its host-computed tight width (plan c_offsets/c_lens
+    from searchsorted on the docid grid - this also kills most of the pow2
+    size-class padding). Exactness: chunks partition docid space, so every
+    doc's rows land in exactly one chunk; per-chunk top-k + an exact
+    (score desc, docid asc) resort of the n_chunks*k finalists reproduces
+    the unchunked order. Same contract as the reference matcher hot loop
+    (src/xapian/matcher/matcher.cc:482-536); only enabled for single-group
+    term trees (no predicate leaves / aggs / sort / collapse - see
+    BatchSearcher._chunkify)."""
+    T = cfg.T
+    wclasses = cfg.chunk_classes
+    nd1 = seg["doclen"].shape[0]
+    needs_uniq = getattr(scheme, "needs_uniqterms", False)
+
+    def one_chunk(offs, lens):
+        ids_parts, w_parts = [], []
+        for t in range(T):
+            Wt = wclasses[t]
+            if Wt == 0:     # position padded in every query of the group
+                continue
+            idt = lax.dynamic_slice(seg["post_docids"], (offs[t],), (Wt,))
+            wdft = lax.dynamic_slice(seg["post_wdf"], (offs[t],), (Wt,))
+            dlt = lax.dynamic_slice(seg["post_doclen"], (offs[t],), (Wt,))
+            inlen = jnp.arange(Wt) < lens[t]
+            idt = jnp.where(inlen, idt, SENTINEL)
+            if needs_uniq:
+                uq = seg["uniqterms"][jnp.minimum(idt, nd1 - 1)]
+                w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats,
+                                   uniq=uq)
+            else:
+                w = scheme.sumpart(wdft, dlt, plan["tconst"][t], cstats)
+            w = jnp.where(inlen, w * plan["scoring"][t], 0.0)
+            ids_parts.append(idt)
+            w_parts.append(w)
+        ids_flat = jnp.concatenate(ids_parts)
+        w_flat = jnp.concatenate(w_parts)
+        d, wv = lax.sort((ids_flat, w_flat), num_keys=1)
+        tail = jnp.concatenate([d[1:] != d[:-1], jnp.ones((1,), bool)])
+        sums, _ = _merge_runs(d, wv, None, T)
+        first = tail & (d != SENTINEL)
+        if cfg.has_deletes:
+            first &= ~seg["deleted"][jnp.minimum(d, nd1 - 1)]
+        count = jnp.sum(first.astype(jnp.int32))
+        masked = jnp.where(first, sums, -jnp.inf)
+        # rows are docid-ascending; lax.top_k prefers lower indices on
+        # ties -> exact score-desc/docid-asc within the chunk
+        vals, idx = lax.top_k(masked, cfg.k)
+        cd = jnp.where(jnp.isfinite(vals), d[idx], SENTINEL)
+        return count, cd, vals
+
+    counts, cds, vals = jax.vmap(one_chunk, in_axes=(1, 1))(
+        plan["c_offsets"], plan["c_lens"])
+    flat_d = cds.reshape(-1)
+    flat_v = vals.reshape(-1)
+    # -(-inf) = +inf sorts invalid finalists last; docid asc breaks ties
+    _, dd, vv = lax.sort((-flat_v, flat_d, flat_v), num_keys=2)
+    return {"count": jnp.sum(counts),
+            "docids": dd[: cfg.k], "scores": vv[: cfg.k]}
 
 
 def _execute_join(seg, plan, cfg: ExecConfig, cstats, scheme):

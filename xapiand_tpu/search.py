@@ -7,6 +7,7 @@ reopening a reader becomes a jit-cache hit.
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Optional
 
 import jax
@@ -98,9 +99,11 @@ class BatchSearcher:
                  max_batch: int = 256, min_batch: int = 64,
                  class_groups: int = 3, work_ratio: float = 2.0,
                  scheme: Optional[WeightScheme] = None,
-                 sort=None, aggs=None):
+                 sort=None, aggs=None, chunk_rows: int = 12_000):
         self.searcher = searcher
         self.k = k
+        # min rows per docid-range chunk (see _chunkify); <=0 disables
+        self.chunk_rows = chunk_rows
         # optional shared sort keys / aggregations bound into EVERY query
         # of the batch (one compilation shape; faceted-serving pattern).
         # aggs = (specs, arrays) from aggregations.compile_for_segment.
@@ -190,6 +193,7 @@ class BatchSearcher:
         wmin = min(works)
         out = []
         for (cfg_g, idxs), work in zip(unified, works):
+            cfg_g = self._chunkify(cfg_g, bounds, idxs)
             width = self.max_batch
             while width > self.min_batch and \
                     width * work > self.work_ratio * self.max_batch * wmin:
@@ -247,8 +251,70 @@ class BatchSearcher:
                             [bounds[i].arrays["sort_strtabs"][si]
                              for i in chunk]))
                         for si in b0["sort_strtabs"]}
+                if cfg_g.n_chunks > 1:
+                    batch["c_offsets"] = jnp.asarray(np.stack(
+                        [bounds[i].arrays["c_offsets"] for i in chunk]))
+                    batch["c_lens"] = jnp.asarray(np.stack(
+                        [bounds[i].arrays["c_lens"] for i in chunk]))
                 out.append((cfg_g, fn, batch, chunk))
         return out
+
+    def _chunkify(self, cfg_g, bounds, idxs):
+        """Docid-range chunking for wide single-group term trees (the
+        dominant OR-of-terms serving shape): partition docid space into
+        n_chunks ranges and sort each range independently at a tight
+        host-computed width (np.searchsorted per term on the docid grid).
+        lax.sort cost grows super-linearly with width (measured ~1.3x at
+        150k rows -> 8x19k on v5e) and the tight widths also remove most
+        of the pow2 size-class padding. Skew guard: skip when the chunked
+        padded total exceeds the unchunked one (clustered postings)."""
+        if (cfg_g.tree != ("G", 0) or cfg_g.n_filters or cfg_g.geo_specs
+                or cfg_g.phrases or cfg_g.sort
+                or cfg_g.collapse_slot is not None or cfg_g.with_aggs
+                or cfg_g.count_only or cfg_g.dense or cfg_g.join
+                or cfg_g.unweighted or cfg_g.syn_groups or cfg_g.max_specs
+                or cfg_g.emit_sort_keys):
+            return cfg_g
+        if self.chunk_rows <= 0:
+            return cfg_g
+        R = sum(cfg_g.term_classes())
+        # target >=chunk_rows rows per chunk (lax.sort width sweet spot
+        # ~12-20k on v5e)
+        nc = 1
+        while nc < 16 and R // (nc * 2) >= self.chunk_rows:
+            nc *= 2
+        if nc <= 1:
+            return cfg_g
+        seg = self.searcher.segment
+        nd = max(seg.doc_count, 1)
+        bpoints = (np.arange(1, nc, dtype=np.int64) * nd) // nc
+        T = cfg_g.T
+        maxlens = np.zeros(T, np.int64)
+        for i in idxs:
+            arr = bounds[i].arrays
+            offs = np.asarray(arr["offsets"])
+            lens = np.asarray(arr["lens"])
+            c_off = np.zeros((T, nc), np.int32)
+            c_len = np.zeros((T, nc), np.int32)
+            for t in range(offs.shape[0]):
+                off, ln = int(offs[t]), int(lens[t])
+                cuts = np.searchsorted(
+                    seg.post_docids[off: off + ln], bpoints)
+                edges = np.concatenate([[0], cuts, [ln]])
+                c_off[t] = off + edges[:-1]
+                c_len[t] = np.diff(edges)
+            arr["c_offsets"] = c_off
+            arr["c_lens"] = c_len
+            maxlens = np.maximum(maxlens, c_len.max(axis=1))
+        # tight per-term chunk widths on the 128-lane grid; one compile
+        # per (group, widths) - reused across runs via the jit cache
+        chunk_classes = tuple(
+            int(-(-int(m) // 128) * 128) if m > 0 else 0 for m in maxlens)
+        if not any(chunk_classes):
+            return cfg_g
+        if nc * sum(chunk_classes) > 1.3 * R:
+            return cfg_g
+        return replace(cfg_g, n_chunks=nc, chunk_classes=chunk_classes)
 
     def run(self, irs: list, stats=None) -> list[dict]:
         """Execute a mixed batch; returns per-query dicts in input order:
