@@ -178,3 +178,32 @@ def test_search_results_identical_native_vs_python(tmp_path):
         assert r_n.total == r_p.total, q
         assert [(h.id, round(h.score, 5)) for h in r_n.hits] == \
             [(h.id, round(h.score, 5)) for h in r_p.hits], q
+
+
+def test_builder_parity_geo_date_numeric_bulk():
+    """Bulk boolean path (xt_inv_add_bools) + native geo accuracy terms
+    (xt_inv_add_geo_acc): geo/date/numeric docs emit 100+ boolean accuracy
+    terms each; the one-call native path must be bit-identical to the
+    per-term Python oracle (schema.cc boolean index_term + GenerateTerms
+    generate_terms.cc semantics)."""
+    rng = random.Random(23)
+    docs = []
+    for i in range(40):
+        docs.append({
+            "loc": {"_point": {"_latitude": rng.uniform(-80, 80),
+                               "_longitude": rng.uniform(-180, 180)}},
+            "ts": f"20{rng.randint(10, 25)}-{rng.randint(1, 12):02d}-"
+                  f"{rng.randint(1, 28):02d}T{rng.randint(0, 23):02d}:30:00",
+            "price": rng.choice([rng.randint(-5, 5), rng.randint(0, 10**7)]),
+            "flag": rng.random() < 0.5,
+            "body": " ".join(rng.choices(["alpha", "beta", "gamma"],
+                                         k=rng.randint(1, 6))),
+        })
+    # duplicate values in one doc (array field) exercise native dedup
+    docs.append({"price": [100, 100, 250],
+                 "loc": [{"_point": {"_latitude": 1.0, "_longitude": 2.0}},
+                         {"_point": {"_latitude": 1.0, "_longitude": 2.0}}]})
+    s_py, s_nat = _build_pair(docs)
+    assert any("#G" in t for t in s_nat.terms), "geo acc terms missing"
+    assert any("#Dday" in t for t in s_nat.terms), "date acc terms missing"
+    _assert_segments_equal(s_py, s_nat)

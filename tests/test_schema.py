@@ -35,8 +35,8 @@ def test_index_basic_doc():
     # text terms (stemmed + unstemmed, prefixed)
     name_spec = s.get_field("name")
     assert name_spec.type == FieldType.TEXT
-    assert any(t == name_spec.prefix + "john" for t in out.terms.terms)
-    assert any(t.startswith("Z" + name_spec.prefix) for t in out.terms.terms)
+    assert any(t == name_spec.prefix + "john" for t in out.terms)
+    assert any(t.startswith("Z" + name_spec.prefix) for t in out.terms)
     # numeric terms + value slot
     age_spec = s.get_field("age")
     assert age_spec.type == FieldType.POSITIVE
@@ -70,8 +70,8 @@ def test_explicit_spec_inline():
     out = s.index({"tag": {"_type": "keyword", "_value": "Alpha"}}, doc_id="1")
     spec = s.get_field("tag")
     assert spec.type == FieldType.KEYWORD
-    assert spec.prefix + "Alpha" in out.terms.terms
-    assert out.terms.terms[spec.prefix + "Alpha"].wdf == 0  # boolean term
+    assert spec.prefix + "Alpha" in out.terms
+    assert out.terms[spec.prefix + "Alpha"].wdf == 0  # boolean term
 
 
 def test_nested_object_and_array():
@@ -95,7 +95,7 @@ def test_date_field_terms_and_values():
     ts = dtutils.parse_datetime("2015-03-14T09:26:53")
     assert out.values[spec.slot] == [ts]
     day = int(dtutils.parse_datetime("2015-03-14"))
-    assert f"{spec.prefix}#Dday:{day}" in out.terms.terms
+    assert f"{spec.prefix}#Dday:{day}" in out.terms
 
 
 def test_geo_field():
@@ -108,7 +108,7 @@ def test_geo_field():
     lat, lon = out.values[spec.slot][0]
     assert lat == pytest.approx(40.7) and lon == pytest.approx(-74.0)
     assert out.geo_ranges[spec.slot]
-    assert any("#G" in t for t in out.terms.terms)
+    assert any("#G" in t for t in out.terms)
 
 
 def test_strict_mode_rejects_unknown():
@@ -121,14 +121,14 @@ def test_index_none_mode():
     s = Schema()
     out = s.index({"x": {"_index": "none", "_value": 5}}, doc_id="1")
     spec = s.get_field("x")
-    assert len(out.terms.terms) == 0
+    assert len(out.terms) == 0
     assert spec.slot not in out.values or not out.values.get(spec.slot)
 
 
 def test_field_values_only():
     s = Schema()
     out = s.index({"x": {"_index": "field_values", "_value": 5}}, doc_id="1")
-    assert len(out.terms.terms) == 0
+    assert len(out.terms) == 0
     slot = s.get_field("x").slot
     assert out.values[slot] == [5.0]
 
@@ -139,7 +139,7 @@ def test_bool_and_uuid_fields():
     out = s.index({"ok": True, "ref": u}, doc_id="1")
     ok_spec = s.get_field("ok")
     assert ok_spec.type == FieldType.BOOLEAN
-    assert ok_spec.prefix + ":t" in out.terms.terms
+    assert ok_spec.prefix + ":t" in out.terms
     ref_spec = s.get_field("ref")
     assert ref_spec.type == FieldType.UUID
     assert out.values[ref_spec.slot] == [u]
@@ -150,8 +150,8 @@ def test_no_stem_language_none():
     out = s.index({"t": {"_type": "text", "_language": "none",
                          "_value": "running dogs"}}, doc_id="1")
     spec = s.get_field("t")
-    assert spec.prefix + "running" in out.terms.terms
-    assert not any(t.startswith("Z") for t in out.terms.terms)
+    assert spec.prefix + "running" in out.terms
+    assert not any(t.startswith("Z") for t in out.terms)
 
 
 def test_additional_schema_keywords():

@@ -63,6 +63,11 @@ class DocumentTerms:
 
     def __init__(self):
         self.terms: dict[str, TermEntry] = {}
+        # booleans stay in a flat list until someone needs the merged dict:
+        # the native bulk path ships the list in ONE ctypes call
+        # (Inverter.add_bools) instead of a dict probe + add_term per term
+        # (geo/date/numeric docs emit 100+ accuracy terms each)
+        self.bool_terms: list[str] = []
 
     def add(self, term: str, wdf_inc: int = 1, position: int | None = None):
         e = self.terms.get(term)
@@ -74,13 +79,40 @@ class DocumentTerms:
 
     def add_boolean(self, term: str):
         """Boolean filter term: wdf 0, no position (Xapian add_boolean_term)."""
-        if term not in self.terms:
-            self.terms[term] = TermEntry(wdf=0)
+        self.bool_terms.append(term)
+
+    def add_booleans(self, terms):
+        self.bool_terms.extend(terms)
+
+    def merge_booleans(self):
+        """Fold deferred booleans into the dict (absent -> wdf-0 entry;
+        present entries keep their wdf, matching add_boolean_term on an
+        already-added term)."""
+        if self.bool_terms:
+            t = self.terms
+            for term in self.bool_terms:
+                if term not in t:
+                    t[term] = TermEntry(wdf=0)
+            self.bool_terms = []
 
     def __len__(self):
+        self.merge_booleans()
         return len(self.terms)
 
+    def __contains__(self, term):
+        self.merge_booleans()
+        return term in self.terms
+
+    def __iter__(self):
+        self.merge_booleans()
+        return iter(self.terms)
+
+    def __getitem__(self, term):
+        self.merge_booleans()
+        return self.terms[term]
+
     def items(self):
+        self.merge_booleans()
         return self.terms.items()
 
 

@@ -72,6 +72,13 @@ class SegmentBuilder:
             return self._add_native(idoc)
         if idoc.text_ops:
             _materialize_text_ops(idoc)
+        if idoc.geo_acc_ops:
+            from xapiand_tpu.analysis import accuracy as acc_mod
+
+            for ranges, levels, prefix in idoc.geo_acc_ops:
+                idoc.terms.add_booleans(
+                    acc_mod.geo_terms(ranges, list(levels), prefix))
+            idoc.geo_acc_ops = []
         docid = len(self._doc_keys)
         self._doc_keys.append(idoc.doc_id)
         # distinct terms incl. the id term (Xapian UNIQUE_TERMS = termlist
@@ -108,8 +115,18 @@ class SegmentBuilder:
         docid = len(self._doc_keys)
         self._doc_keys.append(idoc.doc_id)
         inv.begin_doc(docid)
-        for term, entry in idoc.terms.items():
+        # raw dict on purpose: .items() would fold bool_terms into it;
+        # booleans ship in ONE bulk call below instead
+        for term, entry in idoc.terms.terms.items():
             inv.add_term(term, float(entry.wdf), entry.positions or None)
+        inv.add_bools(idoc.terms.bool_terms)
+        idoc.terms.bool_terms = []
+        if idoc.geo_acc_ops:
+            from xapiand_tpu.geo import htm
+
+            for ranges, levels, prefix in idoc.geo_acc_ops:
+                inv.add_geo_acc(ranges, levels, htm.MAX_LEVEL, prefix)
+            idoc.geo_acc_ops = []
         termpos = 0
         for (value, prefixes, language, stem_s, stop_s, weight,
              with_pos, pos_start, cjk, cjk_w) in idoc.text_ops:

@@ -60,6 +60,11 @@ class NativeLib:
         c.xt_inv_add_term.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                       ctypes.c_int32, ctypes.c_float,
                                       i32p, ctypes.c_int32]
+        c.xt_inv_add_bools.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       i32p, ctypes.c_int32]
+        c.xt_inv_add_geo_acc.argtypes = [
+            ctypes.c_void_p, i64p, i64p, ctypes.c_int32, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32]
         c.xt_inv_end_doc.argtypes = [ctypes.c_void_p, f64p, i32p]
         c.xt_inv_counts.argtypes = [ctypes.c_void_p, i64p, i64p, i64p,
                                     i64p, i64p]
@@ -192,6 +197,29 @@ class Inverter:
             pos_base, wdf_inc, 1 if with_positions else 0,
             _STEM_MODES[stem_strategy], _STOP_MODES[stop_strategy])
         return None if r < 0 else int(r)
+
+    def add_bools(self, terms: list):
+        """Bulk boolean filter terms (wdf 0): one ctypes crossing for the
+        whole accuracy/keyword term set of a document."""
+        if not terms:
+            return
+        raws = [t.encode("utf-8") for t in terms]
+        lens = (ctypes.c_int32 * len(raws))(*map(len, raws))
+        self._c.xt_inv_add_bools(self._h, b"".join(raws), lens, len(raws))
+
+    def add_geo_acc(self, ranges, levels, max_level: int, prefix: str):
+        """Geo accuracy terms computed natively from HTM id ranges
+        (ancestors per level + decimal formatting in C++; mirrors
+        accuracy.py geo_terms / htm.py ancestors_of_ranges)."""
+        n = len(ranges)
+        if not n or not levels:
+            return
+        starts = (ctypes.c_int64 * n)(*[int(r[0]) for r in ranges])
+        ends = (ctypes.c_int64 * n)(*[int(r[1]) for r in ranges])
+        lv = (ctypes.c_int32 * len(levels))(*[int(x) for x in levels])
+        p = prefix.encode("utf-8")
+        self._c.xt_inv_add_geo_acc(self._h, starts, ends, n, lv,
+                                   len(levels), max_level, p, len(p))
 
     def add_term(self, term: str, wdf: float, positions=None):
         raw = term.encode("utf-8")

@@ -14,6 +14,7 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
@@ -983,6 +984,56 @@ void xt_inv_add_term(void* h, const uint8_t* term, int32_t len, float wdf,
     xtinv::DocTerm& dt = inv->doc_term_for(tid);
     dt.wdf += wdf;
     for (int32_t i = 0; i < npos; i++) dt.pos.push_back(positions[i]);
+}
+
+// Bulk boolean filter terms (wdf 0, no positions): one call replaces a
+// Python add_term per accuracy/keyword term — geo/date/numeric docs emit
+// 100+ such terms each (schema.cc index_term boolean path; GenerateTerms
+// src/multivalue/generate_terms.cc emits the per-accuracy bucket terms).
+void xt_inv_add_bools(void* h, const uint8_t* buf, const int32_t* lens,
+                      int32_t n) {
+    auto* inv = (xtinv::Inverter*)h;
+    int64_t off = 0;
+    for (int32_t i = 0; i < n; i++) {
+        inv->emit((const char*)buf + off, (uint32_t)lens[i], 0.0f, -1);
+        off += lens[i];
+    }
+}
+
+// Geo accuracy terms straight from HTM id ranges: for each configured
+// level emit "<prefix>#G<level>:<ancestor tid>" per ancestor trixel
+// (ancestor = id >> 2*(max_level-level); mirrors
+// xapiand_tpu/geo/htm.py ancestors_of_ranges + accuracy.py geo_terms,
+// ≙ GenerateTerms::geo, src/multivalue/generate_terms.cc). Dedup across
+// overlapping ranges falls out of the per-doc accumulator (wdf += 0).
+void xt_inv_add_geo_acc(void* h, const int64_t* starts, const int64_t* ends,
+                        int32_t n_ranges, const int32_t* levels,
+                        int32_t n_levels, int32_t max_level,
+                        const uint8_t* prefix, int32_t plen) {
+    auto* inv = (xtinv::Inverter*)h;
+    std::string& term = inv->scratch;
+    char digits[24];
+    for (int32_t li = 0; li < n_levels; li++) {
+        int32_t level = levels[li];
+        int32_t lv = level < max_level ? level : max_level;
+        int32_t shift = 2 * (max_level - lv);
+        term.assign((const char*)prefix, (size_t)plen);
+        term += "#G";
+        int hn = snprintf(digits, sizeof digits, "%d:", level);
+        term.append(digits, hn);
+        size_t head = term.size();
+        for (int32_t r = 0; r < n_ranges; r++) {
+            int64_t a = starts[r] >> shift, b = ends[r] >> shift;
+            if (b - a > 4096) b = a + 4096;  // same safety cap as htm.py
+            for (int64_t tid = a; tid <= b; tid++) {
+                term.resize(head);
+                int dn = snprintf(digits, sizeof digits, "%lld",
+                                  (long long)tid);
+                term.append(digits, dn);
+                inv->emit(term.data(), (uint32_t)term.size(), 0.0f, -1);
+            }
+        }
+    }
 }
 
 void xt_inv_end_doc(void* h, double* doclen_out, int32_t* uniq_out) {

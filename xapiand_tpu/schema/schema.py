@@ -93,6 +93,9 @@ class IndexedDocument:
     # (value, prefixes, language, stem_strategy, stop_strategy, weight,
     # with_positions, position_start)); empty on the eager path
     text_ops: list = dfield(default_factory=list)
+    # geo accuracy-term ops deferred to the native inverter (each is
+    # (ranges, levels, prefix)); empty on the eager path
+    geo_acc_ops: list = dfield(default_factory=list)
 
 
 def field_prefix(path: str) -> str:
@@ -613,13 +616,13 @@ class Schema:
         elif ftype in (FieldType.INTEGER, FieldType.POSITIVE, FieldType.FLOATING):
             num = _to_number(value, path)
             terms.add_boolean(prefix + ":" + ser.serialise_float_term(num))
-            for t in acc_mod.numeric_terms(num, spec.accuracy, prefix):
-                terms.add_boolean(t)
+            terms.add_booleans(
+                acc_mod.numeric_terms(num, spec.accuracy, prefix))
         elif ftype in (FieldType.DATE, FieldType.DATETIME):
             ts = dtutils.parse_datetime(value)
             terms.add_boolean(prefix + ":" + ser.serialise_float_term(ts))
-            for t in acc_mod.date_terms(ts, spec.accuracy, prefix):
-                terms.add_boolean(t)
+            terms.add_booleans(
+                acc_mod.date_terms(ts, spec.accuracy, prefix))
         elif ftype == FieldType.TIME:
             t = dtutils.parse_time(value)
             terms.add_boolean(prefix + ":" + ser.serialise_float_term(t))
@@ -640,8 +643,16 @@ class Schema:
                 from xapiand_tpu.geo import geospatial
 
                 geo = geospatial.extract(value, error=spec.error)
-            for t in acc_mod.geo_terms(geo[0], spec.accuracy, prefix):
-                terms.add_boolean(t)
+            if getattr(out, "_defer", False):
+                # native inverter computes ancestors + formats the terms
+                # in C++ (Inverter.add_geo_acc); same strings as geo_terms
+                levels = spec.accuracy if spec.accuracy is not None \
+                    else acc_mod.DEF_ACC_GEO
+                out.geo_acc_ops.append(
+                    (geo[0], tuple(int(lv) for lv in levels), prefix))
+            else:
+                terms.add_booleans(
+                    acc_mod.geo_terms(geo[0], spec.accuracy, prefix))
         elif ftype == FieldType.SCRIPT:
             pass  # scripts are executed by the handler, not indexed
         else:
