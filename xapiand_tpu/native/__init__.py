@@ -169,6 +169,9 @@ class Inverter:
     def __init__(self, nlib: "NativeLib", stopwords=None):
         self._c = nlib._c
         self._h = self._c.xt_inv_new()
+        self._prefix_cache: dict = {}  # prefixes tuple -> packed ctypes args
+        dl, uq = ctypes.c_double(), ctypes.c_int32()
+        self._end_doc_bufs = (dl, uq, (ctypes.byref(dl), ctypes.byref(uq)))
         if stopwords:
             blob = "\n".join(sorted(stopwords)).encode("utf-8")
             self._c.xt_inv_set_stopwords(self._h, blob, len(blob))
@@ -189,11 +192,16 @@ class Inverter:
         if not text.isascii():
             return None
         raw = text.encode("ascii")
-        pbuf = "".join(prefixes).encode("utf-8")
-        plens = (ctypes.c_int32 * len(prefixes))(
-            *[len(p.encode("utf-8")) for p in prefixes])
+        key = tuple(prefixes)
+        cached = self._prefix_cache.get(key)
+        if cached is None:
+            pbuf = "".join(prefixes).encode("utf-8")
+            plens = (ctypes.c_int32 * len(prefixes))(
+                *[len(p.encode("utf-8")) for p in prefixes])
+            cached = self._prefix_cache[key] = (pbuf, plens, len(prefixes))
+        pbuf, plens, np_ = cached
         r = self._c.xt_inv_index_text(
-            self._h, raw, len(raw), pbuf, plens, len(prefixes),
+            self._h, raw, len(raw), pbuf, plens, np_,
             pos_base, wdf_inc, 1 if with_positions else 0,
             _STEM_MODES[stem_strategy], _STOP_MODES[stop_strategy])
         return None if r < 0 else int(r)
@@ -231,10 +239,9 @@ class Inverter:
             self._c.xt_inv_add_term(self._h, raw, len(raw), wdf, None, 0)
 
     def end_doc(self):
-        dl = ctypes.c_double()
-        uq = ctypes.c_int32()
-        self._c.xt_inv_end_doc(self._h, ctypes.byref(dl), ctypes.byref(uq))
-        return float(dl.value), int(uq.value)
+        dl, uq, refs = self._end_doc_bufs
+        self._c.xt_inv_end_doc(self._h, *refs)
+        return dl.value, uq.value
 
     def export(self):
         """-> dict of packed numpy arrays + the sorted term table."""

@@ -77,6 +77,11 @@ class FieldSpec:
     partials: bool = True        # geo partial-trixel terms (process_partials)
     acc_prefix: list | None = None   # explicit accuracy-term prefixes
     position_start: int = 0      # starting term position (process_position)
+    # unpacked `index` flags, set by _resolve_concrete (IntFlag bit tests
+    # allocate a new Flag object per `&` - too slow for per-doc use)
+    do_field_terms: bool = True
+    do_field_values: bool = True
+    do_global_terms: bool = True
 
 
 @dataclass
@@ -129,6 +134,12 @@ class Schema:
         self.props.setdefault("schema", {})
         self.mutated = False
         self._next_slot = self._scan_max_slot() + 1
+        # path -> (node, resolved concrete FieldSpec): once a field's node
+        # is established (types/prefix/slot/accuracy persisted), the spec
+        # pipeline (copy + _apply_reserved keyword re-parse +
+        # _resolve_concrete) is a pure function of the node - skip it per
+        # doc. Invalidated on ANY schema mutation (_persist/_child_node).
+        self._spec_cache: dict = {}
 
     # -- persistence ---------------------------------------------------------
 
@@ -376,7 +387,12 @@ class Schema:
         (tokenise+stem+accumulate in C++), its hottest path."""
         if not isinstance(obj, dict):
             raise SchemaError("document must be an object")
-        obj = copy.deepcopy(obj)
+        # flat docs (no nested containers) need only a top-level copy;
+        # deepcopy is ~80x the cost and only guards shared nested state
+        if any(isinstance(v, (dict, list)) for v in obj.values()):
+            obj = copy.deepcopy(obj)
+        else:
+            obj = dict(obj)
         if doc_id is None:
             doc_id = obj.get(ID_FIELD) or uuid64.generate_uuid()
         doc_id = str(doc_id)
@@ -428,12 +444,28 @@ class Schema:
                 return None
             node = parent_node[name] = {}
             self.mutated = True
+            self._spec_cache.clear()
         return node
 
     def _index_field(self, out: IndexedDocument, parent_node: dict,
                      parent_spec: FieldSpec, name: str, value, path: str):
         if name in parent_spec.ignored:
             return
+        # fast path: established field with a cached resolved spec - skip
+        # the whole spec pipeline (copy + keyword re-parse + resolve) for
+        # plain concrete values / geo payloads / lists of those
+        hit = self._spec_cache.get(path)
+        if hit is not None and hit[0] is parent_node.get(name):
+            cnode, cspec = hit
+            vs = value if isinstance(value, list) else (value,)
+            if all(not isinstance(v, (dict, list)) or
+                   (isinstance(v, dict) and cspec.type == FieldType.GEO
+                    and self.guess_type(v) == FieldType.GEO)
+                   for v in vs):
+                for v in vs:
+                    self._index_resolved(out, cnode, cspec, v, path)
+                return
+            # inline specs / objects / nested lists: fall through
         node = self._child_node(parent_node, name, parent_spec, path)
         if node is None:
             return
@@ -444,14 +476,16 @@ class Schema:
         spec.prefix = ""
         spec.accuracy = None
         spec = self._apply_reserved(spec, node, path, mutate=True)
+        ck = path   # cacheable unless an inline doc spec shaped this spec
 
         # geo payloads use _-keys but are values, not specs
         if isinstance(value, dict) and self.guess_type(value) == FieldType.GEO:
-            self._index_concrete(out, node, spec, value, path)
+            self._index_concrete(out, node, spec, value, path, cache_key=ck)
             return
 
         # explicit spec keys sent inline with the document
         if isinstance(value, dict) and any(k.startswith("_") for k in value):
+            ck = None
             inline = {k: v for k, v in value.items() if k.startswith("_")}
             payload = {k: v for k, v in value.items() if not k.startswith("_")}
             spec = self._apply_reserved(spec, inline, path, mutate=True)
@@ -479,19 +513,23 @@ class Schema:
 
         if isinstance(value, list):
             for item in value:
-                self._index_concrete_or_object(out, node, spec, name, item, path)
+                self._index_concrete_or_object(out, node, spec, name, item,
+                                               path, cache_key=ck)
             return
 
-        self._index_concrete_or_object(out, node, spec, name, value, path)
+        self._index_concrete_or_object(out, node, spec, name, value, path,
+                                       cache_key=ck)
 
-    def _index_concrete_or_object(self, out, node, spec, name, value, path):
+    def _index_concrete_or_object(self, out, node, spec, name, value, path,
+                                  cache_key=None):
         if isinstance(value, dict) and self.guess_type(value) == FieldType.OBJECT:
             for k, v in value.items():
                 if k.startswith("_"):
                     continue
                 self._index_field(out, node, spec, k, v, path + "." + k)
             return
-        self._index_concrete(out, node, spec, value, path)
+        self._index_concrete(out, node, spec, value, path,
+                             cache_key=cache_key)
 
     # -- concrete value indexing ------------------------------------------------
 
@@ -499,6 +537,7 @@ class Schema:
         if node.get(key) != value:
             node[key] = value
             self.mutated = True
+            self._spec_cache.clear()
 
     def _persist_inline(self, node: dict, inline: dict):
         for k, v in inline.items():
@@ -521,7 +560,11 @@ class Schema:
         if not spec.prefix:
             spec.prefix = node.get("_prefix") or field_prefix(path)
             self._persist(node, "_prefix", spec.prefix)
-        if spec.slot is None and (spec.index & TypeIndex.FIELD_VALUES):
+        idx = int(spec.index)
+        spec.do_field_terms = bool(idx & TypeIndex.FIELD_TERMS)
+        spec.do_field_values = bool(idx & TypeIndex.FIELD_VALUES)
+        spec.do_global_terms = bool(idx & TypeIndex.GLOBAL_TERMS)
+        if spec.slot is None and spec.do_field_values:
             slot = node.get("_slot")
             if slot is None:
                 slot = self._next_slot
@@ -545,12 +588,21 @@ class Schema:
         return spec
 
     def _index_concrete(self, out: IndexedDocument, node: dict,
-                        spec: FieldSpec, value, path: str):
+                        spec: FieldSpec, value, path: str, cache_key=None):
         spec = self._resolve_concrete(node, spec, value, path)
+        if cache_key is not None and spec.type not in (
+                FieldType.EMPTY, FieldType.OBJECT, FieldType.ARRAY):
+            # resolved spec is now a pure function of the (persisted) node;
+            # reuse it for every later doc until the schema mutates
+            self._spec_cache[cache_key] = (node, spec)
+        self._index_resolved(out, node, spec, value, path)
+
+    def _index_resolved(self, out: IndexedDocument, node: dict,
+                        spec: FieldSpec, value, path: str):
         ftype = spec.type
-        do_field_terms = bool(spec.index & TypeIndex.FIELD_TERMS)
-        do_field_values = bool(spec.index & TypeIndex.FIELD_VALUES)
-        do_global_terms = bool(spec.index & TypeIndex.GLOBAL_TERMS)
+        do_field_terms = spec.do_field_terms
+        do_field_values = spec.do_field_values
+        do_global_terms = spec.do_global_terms
 
         geo = None
         if ftype == FieldType.GEO:
