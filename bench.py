@@ -117,7 +117,7 @@ def main():
 
     bsearch = BatchSearcher(
         searcher, k=K, max_batch=BATCH,
-        chunk_rows=int(os.environ.get("BENCH_CHUNK_ROWS", "12000")))
+        chunk_rows=int(os.environ.get("BENCH_CHUNK_ROWS", "0")))
     planned = bsearch.plan([Q.or_terms(q) for q in queries], stats=stats)
     batches = [(cfg_g, fn, batch, chunk)
                for cfg_g, fn, batch, chunk in planned]

@@ -13,7 +13,7 @@ from collections import defaultdict
 import numpy as np
 
 from xapiand_tpu.models.segment import (GeoColumn, Segment, TermInfo,
-                                        ValueColumn, size_class)
+                                        TermTable, ValueColumn, size_class)
 from xapiand_tpu.schema.schema import IndexedDocument
 from xapiand_tpu.utils import serialise as ser
 
@@ -292,12 +292,12 @@ class SegmentBuilder:
         positions = np.concatenate(
             [ex["positions"], np.zeros(128, dtype=np.int32)])  # guard
 
-        term_infos: dict[str, TermInfo] = {}
+        term_infos = TermTable()
         buf = ex["term_buf"]
         lens = ex["term_lens"][:nt].tolist()
         offs = ex["offsets"].tolist()
-        cfs = ex["collfreq"][:nt].tolist()
-        mws = ex["maxwdf"][:nt].tolist()
+        cfs = np.rint(ex["collfreq"][:nt]).astype(np.int64).tolist()
+        mws = ex["maxwdf"][:nt].astype(np.float64).tolist()
         if nt and total_post:
             mps = np.maximum.reduceat(
                 ex["poslen"], np.minimum(ex["offsets"][:nt],
@@ -308,16 +308,21 @@ class SegmentBuilder:
             mps = np.where(span > 0, mps, 0).tolist()
         else:
             mps = [0] * nt
+        # pure-ASCII term buffer (overwhelmingly common): byte offsets ==
+        # char offsets, ONE decode + str slicing; else per-term decode
+        text = buf.decode("utf-8")
+        ascii_fast = len(text) == len(buf)
         b = 0
         for tid in range(nt):
             tl = lens[tid]
-            term = buf[b: b + tl].decode("utf-8")
+            term = text[b: b + tl] if ascii_fast \
+                else buf[b: b + tl].decode("utf-8")
             b += tl
             off = offs[tid]
-            term_infos[term] = TermInfo(
-                tid=tid, offset=off, length=offs[tid + 1] - off,
-                collfreq=int(round(cfs[tid])), max_wdf=float(mws[tid]),
-                max_poslen=int(mps[tid]))
+            # raw tuple; TermTable materializes TermInfo on first access
+            dict.__setitem__(term_infos, term,
+                             (tid, off, offs[tid + 1] - off,
+                              cfs[tid], mws[tid], mps[tid]))
 
         doclen = np.zeros(nd + 1, dtype=np.float32)
         uniqterms = np.ones(nd + 1, dtype=np.float32)

@@ -60,6 +60,43 @@ class TermInfo:
     max_poslen: int = 0   # longest position list (0 = none/unknown)
 
 
+class TermTable(dict):
+    """term -> TermInfo, materialized lazily from raw tuples.
+
+    A commit exports every term's stats, but queries only ever touch a
+    handful - building 100k+ TermInfo dataclasses eagerly was ~40% of
+    segment-finalize time. The builder stores plain tuples; accessors
+    convert+cache on first touch. Iteration over keys never materializes;
+    items()/values() (rare stats paths) materialize on the fly."""
+
+    __slots__ = ()
+
+    def __getitem__(self, k):
+        v = dict.__getitem__(self, k)
+        if type(v) is tuple:
+            v = TermInfo(*v)
+            dict.__setitem__(self, k, v)
+        return v
+
+    def get(self, k, default=None):
+        try:
+            v = dict.__getitem__(self, k)
+        except KeyError:
+            return default
+        if type(v) is tuple:
+            v = TermInfo(*v)
+            dict.__setitem__(self, k, v)
+        return v
+
+    def items(self):
+        for k in dict.keys(self):
+            yield k, self[k]
+
+    def values(self):
+        for k in dict.keys(self):
+            yield self[k]
+
+
 @dataclass
 class ValueColumn:
     """Dense per-doc column for one value slot."""

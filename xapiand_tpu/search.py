@@ -99,10 +99,14 @@ class BatchSearcher:
                  max_batch: int = 256, min_batch: int = 64,
                  class_groups: int = 3, work_ratio: float = 2.0,
                  scheme: Optional[WeightScheme] = None,
-                 sort=None, aggs=None, chunk_rows: int = 12_000):
+                 sort=None, aggs=None, chunk_rows: int = 0):
         self.searcher = searcher
         self.k = k
-        # min rows per docid-range chunk (see _chunkify); <=0 disables
+        # min rows per docid-range chunk (see _chunkify); <=0 disables.
+        # Default OFF: measured 8% slower end-to-end at 1M docs on v5e
+        # (10,374 vs 11,312 QPS) - the isolated sort win doesn't survive
+        # the extra launches + finalist resort. Kept for corpora with
+        # clustered postings where tight chunk widths pay off.
         self.chunk_rows = chunk_rows
         # optional shared sort keys / aggregations bound into EVERY query
         # of the batch (one compilation shape; faceted-serving pattern).
