@@ -201,3 +201,87 @@ def test_acc_prefix_and_partials_accepted():
     db.commit()
     r = db.search({"price": {"_from": 1000, "_to": 2000}})
     assert r.total == 1
+
+
+def test_namespace_partial_paths():
+    """_namespace fields emit partial-path terms: root and leaf mandatory,
+    middle levels optional (namespaces.md + namespace-queries.md;
+    Schema::get_partial_paths, schema.cc:4495-4549)."""
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.index_document({
+        "style": {
+            "_namespace": True,
+            "clothing": {"pants": "khakis", "footwear": "casual shoes"},
+            "hairstyle": "afro",
+        }}, doc_id="1")
+    db.index_document({
+        "style": {
+            "_namespace": True,
+            "clothing": {"pants": "jeans"},
+        }}, doc_id="2")
+    db.commit()
+    # full path
+    r = db.search({"style.clothing.pants": "khakis"}, k=5)
+    assert [h.id for h in r.hits] == ["1"]
+    # skipped middle level
+    r = db.search({"style.pants": "khakis"}, k=5)
+    assert [h.id for h in r.hits] == ["1"]
+    r = db.search({"style.footwear": "casual shoes"}, k=5)
+    assert [h.id for h in r.hits] == ["1"]
+    # direct child
+    r = db.search({"style.hairstyle": "afro"}, k=5)
+    assert [h.id for h in r.hits] == ["1"]
+    # nested-object query form
+    r = db.search({"style": {"clothing": {"pants": "jeans"}}}, k=5)
+    assert [h.id for h in r.hits] == ["2"]
+    # root must be present: bare leaf without the root doesn't match
+    r = db.search({"pants": "khakis"}, k=5)
+    assert r.total == 0
+
+
+def test_namespace_partial_paths_disabled():
+    """_partial_paths: false keeps only the full path (namespaces.md)."""
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.index_document({
+        "hobbies": {
+            "_namespace": True, "_partial_paths": False,
+            "Competitive": {"Indoors": {"Judo": 10}},
+        }}, doc_id="1")
+    db.commit()
+    r = db.search({"hobbies.Competitive.Indoors.Judo": 10}, k=5)
+    assert [h.id for h in r.hits] == ["1"]
+    r = db.search({"hobbies.Judo": 10}, k=5)
+    assert r.total == 0
+
+
+def test_namespace_numeric_and_native_parity():
+    """Namespaced numeric leaves + native/Python builder parity."""
+    import xapiand_tpu.native as N
+    from xapiand_tpu.database import Database
+
+    doc = {"hobbies": {"_namespace": True,
+                       "Observation": {"Indoors": {"Reading": 7}},
+                       "Outdoors": {"Running": 3}},
+           "body": "plain text too"}
+    totals = {}
+    for native in (True, False):
+        saved = N.lib
+        if not native:
+            N.lib = None
+        try:
+            db = Database()
+            db.index_document(dict(doc), doc_id="1")
+            db.commit()
+            seg = db._searchers[0].segment
+            totals[native] = sorted(seg.terms)
+            assert db.search({"hobbies.Reading": 7}, k=5).total == 1
+            assert db.search({"hobbies.Indoors.Reading": 7}, k=5).total == 1
+            assert db.search({"hobbies.Observation.Reading": 7},
+                             k=5).total == 1
+        finally:
+            N.lib = saved
+    assert totals[True] == totals[False]

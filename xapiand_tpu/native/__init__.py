@@ -192,6 +192,16 @@ class Inverter:
         if not text.isascii():
             return None
         raw = text.encode("ascii")
+        if len(prefixes) > 16:
+            # the C ABI caps prefixes per call (namespace partial paths
+            # can exceed it); same pos_base per chunk keeps positions and
+            # wdf identical to a single pass
+            r = None
+            for i in range(0, len(prefixes), 16):
+                r = self.index_text(text, prefixes[i: i + 16], pos_base,
+                                    wdf_inc, with_positions, stem_strategy,
+                                    stop_strategy)
+            return r
         key = tuple(prefixes)
         cached = self._prefix_cache.get(key)
         if cached is None:

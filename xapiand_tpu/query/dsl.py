@@ -205,6 +205,12 @@ class QueryDSL:
                                    n=n)
             if "_value" in value:
                 return self.field_query(path, value["_value"], factor)
+            if value and not any(k.startswith("_") for k in value):
+                # nested field-name object: {"style": {"clothing": ...}}
+                # == dotted-path fields (namespace-queries.md)
+                return self._combine(
+                    [self.field_query(f"{path}.{k}", v, factor)
+                     for k, v in value.items()], self.default_op)
             raise QueryDSLError(f"cannot parse field query {path}: {value!r}")
         if isinstance(value, list):
             return self._combine(

@@ -62,7 +62,7 @@ class FieldSpec:
     dynamic: bool = True
     strict: bool = False
     recurse: bool = True
-    partial_paths: bool = False
+    partial_paths: bool | None = None  # None = default (ON inside _namespace)
     ngram: bool = False
     cjk_ngram: bool = True
     error: float = 0.3           # geo HTM error (htm.h:39-51)
@@ -82,6 +82,13 @@ class FieldSpec:
     do_field_terms: bool = True
     do_field_values: bool = True
     do_global_terms: bool = True
+    # _namespace subtree state (schema.cc inside_namespace +
+    # get_partial_paths, schema.cc:4495-4549): terms for a leaf are
+    # emitted under root · (every subset of middle levels) · leaf
+    namespace_: bool = False
+    ns_root_prefix: str = ""
+    ns_levels: tuple = ()            # per-level NAME prefixes below root
+    ns_partial_prefixes: tuple = ()  # resolved partial-path prefixes
 
 
 @dataclass
@@ -115,6 +122,25 @@ def field_prefix(path: str) -> str:
 def global_spec_for(ftype: FieldType) -> FieldSpec:
     """Spec used for GLOBAL_TERMS/GLOBAL_VALUES (unprefixed namespace)."""
     return FieldSpec(type=ftype, prefix="", slot=None)
+
+
+def partial_path_prefixes(root: str, levels: tuple, partial: bool) -> tuple:
+    """All partial-path term prefixes for a namespaced leaf: root and leaf
+    are mandatory, every subset of the middle levels is emitted
+    (Schema::get_partial_paths, schema.cc:4495-4549). With partial paths
+    off, only the full path."""
+    full = root + "".join(levels)
+    if not partial or len(levels) <= 1:
+        return (full,)
+    if len(levels) + 1 > 10:  # LIMIT_PARTIAL_PATHS_DEPTH (schema.h:119)
+        raise SchemaError(
+            f"partial paths limit depth is 10, got {len(levels) + 1}")
+    mids, leaf = levels[:-1], levels[-1]
+    out = []
+    for mask in range(1 << len(mids)):
+        out.append(root + "".join(
+            m for i, m in enumerate(mids) if (mask >> i) & 1) + leaf)
+    return tuple(dict.fromkeys(out))
 
 
 class Schema:
@@ -173,19 +199,46 @@ class Schema:
         return spec
 
     def get_field(self, path: str) -> FieldSpec:
-        """Resolve the spec for a dotted field path (query-side view)."""
+        """Resolve the spec for a dotted field path (query-side view).
+
+        Inside a `_namespace` subtree the prefix is rebuilt from the level
+        NAMES alone (root prefix + one per-name prefix per remaining
+        part), so dotted paths that skip middle levels resolve to the
+        partial-path terms the indexer emitted (namespace-queries.md;
+        schema.cc get_partial_paths)."""
         spec = self._root_defaults()
         node = self.props["schema"]
         parts = path.split(".") if path else []
-        for part in parts:
-            node = node.get(part)
-            if not isinstance(node, dict):
+        ns_accum = None   # namespace prefix accumulator once inside
+        for i, part in enumerate(parts):
+            nxt = node.get(part) if isinstance(node, dict) else None
+            if ns_accum is not None:
+                ns_accum += field_prefix(part)
+                if isinstance(nxt, dict):
+                    # known full-path level: adopt its concrete spec
+                    spec = self._apply_reserved(copy.copy(spec), nxt, path,
+                                                mutate=False)
+                else:
+                    # skipped-middle partial path: type unknown (guessed
+                    # from the query value downstream)
+                    spec = copy.copy(spec)
+                    spec.type = FieldType.EMPTY
+                    spec.slot = None
+                node = nxt
+                continue
+            if not isinstance(nxt, dict):
                 # unknown field: namespace-style guess (empty type)
                 return FieldSpec(type=FieldType.EMPTY,
                                  prefix=field_prefix(path), slot=None)
+            node = nxt
             spec = self._apply_reserved(copy.copy(spec), node, path,
                                         mutate=False)
-        if not spec.prefix:
+            if spec.namespace_:
+                ns_accum = node.get("_prefix") or \
+                    field_prefix(".".join(parts[:i + 1]))
+        if ns_accum is not None:
+            spec.prefix = ns_accum
+        elif not spec.prefix:
             spec.prefix = field_prefix(path)
         return spec
 
@@ -272,6 +325,9 @@ class Schema:
     def _kw_partial_paths(self, spec, val, path):
         spec.partial_paths = bool(val)
 
+    def _kw_namespace(self, spec, val, path):
+        spec.namespace_ = bool(val)
+
     def _kw_ngram(self, spec, val, path):
         spec.ngram = bool(val)
 
@@ -320,6 +376,7 @@ class Schema:
         "_bool_term": _kw_bool_term, "_store": _kw_store,
         "_dynamic": _kw_dynamic, "_strict": _kw_strict,
         "_recurse": _kw_recurse, "_partial_paths": _kw_partial_paths,
+        "_namespace": _kw_namespace,
         "_ngram": _kw_ngram, "_cjk_ngram": _kw_cjk_ngram,
         "_error": _kw_error, "_value": _kw_value, "_ignore": _kw_ignore,
         "_spelling": _kw_spelling, "_cjk_words": _kw_cjk_words,
@@ -447,6 +504,24 @@ class Schema:
             self._spec_cache.clear()
         return node
 
+    def _ns_setup(self, spec: FieldSpec, parent_spec: FieldSpec,
+                  node: dict, name: str, path: str):
+        """Namespace bookkeeping after reserved keys are applied: mark the
+        root (inside_namespace transition, schema.cc:3007) or extend the
+        per-level prefix chain under it. Idempotent."""
+        if not spec.namespace_:
+            return
+        if not spec.ns_root_prefix:
+            pfx = node.get("_prefix") or field_prefix(path)
+            self._persist(node, "_prefix", pfx)
+            spec.ns_root_prefix = pfx
+        elif parent_spec.namespace_ and \
+                spec.ns_levels is parent_spec.ns_levels:
+            # a level below the root: per-NAME prefix so any partial
+            # dotted path can be rebuilt query-side without the tree
+            # (identity check = append exactly once per recursion level)
+            spec.ns_levels = parent_spec.ns_levels + (field_prefix(name),)
+
     def _index_field(self, out: IndexedDocument, parent_node: dict,
                      parent_spec: FieldSpec, name: str, value, path: str):
         if name in parent_spec.ignored:
@@ -476,6 +551,7 @@ class Schema:
         spec.prefix = ""
         spec.accuracy = None
         spec = self._apply_reserved(spec, node, path, mutate=True)
+        self._ns_setup(spec, parent_spec, node, name, path)
         ck = path   # cacheable unless an inline doc spec shaped this spec
 
         # geo payloads use _-keys but are values, not specs
@@ -490,6 +566,8 @@ class Schema:
             payload = {k: v for k, v in value.items() if not k.startswith("_")}
             spec = self._apply_reserved(spec, inline, path, mutate=True)
             self._persist_inline(node, inline)
+            # inline `_namespace: true` (the documented way to enable it)
+            self._ns_setup(spec, parent_spec, node, name, path)
             if spec.value is not None:
                 value = spec.value
             elif payload:
@@ -557,7 +635,16 @@ class Schema:
             self._persist(node, "_type", guessed.value)
         elif "_type" not in node:
             self._persist(node, "_type", spec.type.value)
-        if not spec.prefix:
+        if spec.namespace_ and spec.ns_levels:
+            # namespaced leaf: prefix = root · every level; term emission
+            # additionally covers the partial paths (default ON inside a
+            # namespace; _partial_paths: false narrows to the full path)
+            spec.prefix = spec.ns_root_prefix + "".join(spec.ns_levels)
+            self._persist(node, "_prefix", spec.prefix)
+            spec.ns_partial_prefixes = partial_path_prefixes(
+                spec.ns_root_prefix, spec.ns_levels,
+                spec.partial_paths is not False)
+        elif not spec.prefix:
             spec.prefix = node.get("_prefix") or field_prefix(path)
             self._persist(node, "_prefix", spec.prefix)
         idx = int(spec.index)
@@ -616,19 +703,21 @@ class Schema:
             self._emit_terms(out, spec, ftype, value, prefix, path,
                              geo=geo)
 
+        field_prefixes = spec.ns_partial_prefixes or (spec.prefix,)
         if ftype == FieldType.TEXT:
             # one tokenise+stem pass emits both the field-prefixed and
             # global namespaces (2x indexing-throughput win)
             prefixes = []
             if do_field_terms:
-                prefixes.append(spec.prefix)
+                prefixes.extend(field_prefixes)
             if do_global_terms:
                 prefixes.append("")
             if prefixes:
                 self._emit_text_terms(out, spec, value, tuple(prefixes))
         else:
             if do_field_terms:
-                add_terms(spec.prefix)
+                for pfx in field_prefixes:
+                    add_terms(pfx)
             if do_global_terms:
                 add_terms("")
         if do_field_values and spec.slot is not None:
@@ -742,7 +831,7 @@ class Schema:
 
 _PASSTHROUGH_KEYS = frozenset({
     "_meta", "_description", "_schema", "_settings", "_id", "_version",
-    "_script", "_foreign", "_endpoint", "_namespace", "_chai",
+    "_script", "_foreign", "_endpoint", "_chai",
 })
 
 
