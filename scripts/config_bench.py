@@ -563,8 +563,7 @@ def main():
         if not args.skip_reference and os.path.exists(args.binary):
             lines = [json.dumps({"_id": str(i), **d})
                      for i, d in enumerate(docs)]
-            bodies = [{"_query": q} for q in queries5()]
-            ref = run_reference(args.binary, lines, bodies)
+            ref = run_reference(args.binary, lines, queries5())
             print(f"[cfg5] reference: {ref['qps']:.0f} qps",
                   file=sys.stderr)
         metric = f"config5_sharded_qps_{n // 1000}k_docs"
@@ -588,7 +587,12 @@ def main():
         "metric": metric, "value": round(ours["qps"], 2),
         "unit": "qps/8-virtual-cpu-mesh" if args.config == 5
         else "qps/chip",
-        "vs_baseline": round(ours["qps"] / ref["qps"], 2) if ref else None,
+        # config 5 runs OURS on an emulated 8-device CPU mesh (no real
+        # multi-chip here): a ratio against the native-CPU reference would
+        # compare emulation vs silicon - report the ref number in detail
+        # only ("functional + exact-parity" row, not a hardware race)
+        "vs_baseline": (round(ours["qps"] / ref["qps"], 2)
+                        if ref and args.config != 5 else None),
         "detail": {"ours_index_docs_s": round(ours["index_docs_s"], 1),
                    "reference": {k: round(v, 2) for k, v in ref.items()}
                    if ref else "skipped", "docs": n},

@@ -473,3 +473,51 @@ def test_autocommit_debouncer(tmp_path):
         assert info["revision"] >= 1
     finally:
         s.stop()
+
+
+def test_explicit_and_foreign_schema(srv):
+    """PUT /idx/ with _schema: explicit field types; a foreign/object
+    schema is stored as a document in another index and shared between
+    indexes (explicit-types.md + foreign-schemas.md)."""
+    # explicit inline schema
+    status, out, _ = srv.req("PUT", "/headlines/", {
+        "_schema": {
+            "_type": "foreign/object",
+            "_foreign": ".schemas/319b4e5e-41af-4906-b3cd-cce91502dda3",
+            "title": {"_type": "text"},
+            "kind": {"_type": "keyword"},
+        }})
+    assert status in (200, 201), out
+    # the shared schema document exists in .schemas
+    status, doc, _ = srv.req(
+        "GET", "/.schemas/319b4e5e-41af-4906-b3cd-cce91502dda3")
+    assert status == 200
+    assert doc["_schema_props"]["title"]["_type"] == "text"
+    # the index uses the schema: keyword stays one term, text stems
+    srv.req("PUT", "/headlines/1?commit",
+            {"title": "running shoes", "kind": "Sports News"})
+    status, out, _ = srv.req("POST", "/headlines/:search",
+                             {"_query": {"title": "running"}})
+    assert out["count"] == 1
+    status, out, _ = srv.req("POST", "/headlines/:search",
+                             {"_query": {"kind": "Sports News"}})
+    assert out["count"] == 1
+
+    # a second index sharing the same foreign schema adopts it
+    status, out, _ = srv.req("PUT", "/banners/", {
+        "_schema": {
+            "_type": "foreign/object",
+            "_foreign": ".schemas/319b4e5e-41af-4906-b3cd-cce91502dda3",
+        }})
+    assert status in (200, 201), out
+    status, sch, _ = srv.req("GET", "/banners/:schema")
+    assert sch["schema"]["title"]["_type"] == "text", sch
+
+    # plain explicit (non-foreign) schema
+    status, out, _ = srv.req("PUT", "/plainidx/", {
+        "_schema": {"price": {"_type": "integer"}}})
+    assert status in (200, 201)
+    srv.req("PUT", "/plainidx/1?commit", {"price": 7})
+    status, out, _ = srv.req("POST", "/plainidx/:search",
+                             {"_query": {"price": {"_from": 5, "_to": 9}}})
+    assert out["count"] == 1

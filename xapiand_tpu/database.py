@@ -85,6 +85,9 @@ class Database:
         self.auto_merge_segments = 16   # tiered compaction trigger
         self._replaying = False
         self.on_commit = None   # hook: (revision) -> None (cluster broadcast)
+        # foreign shared schema (foreign-schemas.md): (endpoint, writeback)
+        # set by IndexManager when the schema lives in another index
+        self._foreign_schema = None
         if path is not None:
             os.makedirs(path, exist_ok=True)
             self.wal = DatabaseWAL(os.path.join(path, "wal"))
@@ -177,6 +180,30 @@ class Database:
     def version_of(self, doc_id: str) -> int:
         return self._versions.get(str(doc_id), 0)
 
+    def set_schema_props(self, fields: dict):
+        """Replace the index schema from an explicit definition
+        (``PUT /idx/ {"_schema": {...}}``, explicit-types.md). `fields` is
+        the root schema node: field specs + root reserved keys. Persisted
+        immediately (SET_SCHEMA WAL record) so schema-only updates survive
+        restart without a data commit."""
+        import copy as _copy
+
+        self.schema = Schema.from_dict(
+            {"_version": Schema.VERSION, "schema": _copy.deepcopy(fields)})
+        if self.wal is not None and not self._replaying:
+            self.wal.write_set_schema(self.schema.to_dict())
+        self.schema.mutated = False
+
+    def bind_foreign_schema(self, endpoint: str, fields: dict, writeback):
+        """Attach a shared schema stored in another index
+        (foreign-schemas.md): adopt its props, remember the pointer in the
+        root node (so reopen re-resolves), write mutations back at
+        commit."""
+        self.set_schema_props({"_foreign": endpoint,
+                               **{k: v for k, v in fields.items()
+                                  if k != "_foreign"}})
+        self._foreign_schema = (endpoint, writeback)
+
     def _run_script(self, obj: dict, doc_id) -> dict:
         """Execute a `_script` on write with the old + new doc
         (≙ DatabaseHandler::call_script, handler.h:80-85)."""
@@ -236,6 +263,11 @@ class Database:
         # shard.cc:51-59 commit/open sites)
         if len(self._builder) == 0 and not self._pending_deletes:
             return self.revision
+        if self.schema.mutated and self._foreign_schema is not None:
+            # shared schema: propagate the mutation to the owning index's
+            # schema document (foreign-schemas.md write-back)
+            endpoint, writeback = self._foreign_schema
+            writeback(dict(self.schema.props.get("schema", {})))
         if self.wal is not None and not self._replaying:
             if self.schema.mutated:
                 self.wal.write_set_schema(self.schema.to_dict())

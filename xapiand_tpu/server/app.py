@@ -172,6 +172,7 @@ class IndexManager:
                 raise ApiError(404, f"index {name!r} not found")
             db = self._open(name)
             self.indexes[name] = db
+            self._resolve_foreign(name, db)
             if self.post_open is not None:
                 self.post_open(name, db)
             self._evict_lru()
@@ -180,6 +181,63 @@ class IndexManager:
             self.indexes.pop(name)
             self.indexes[name] = db
         return db
+
+    def apply_schema(self, name: str, body: dict) -> dict:
+        """``PUT /idx/ {"_schema": ...}``: explicit schema creation.
+
+        A root ``_type: "foreign/..."`` + ``_foreign: "<index>/<doc_id>"``
+        stores/loads the schema as a shared document in the other index
+        (foreign-schemas.md; the reference keeps them in `.xapiand/indices`
+        or a user index). Non-foreign bodies replace the schema inline."""
+        if not isinstance(body, dict):
+            raise ApiError(400, "_schema must be an object")
+        db = self.get(name, create=True)
+        fields = {k: v for k, v in body.items()
+                  if k not in ("_type", "_foreign", "_endpoint")}
+        if str(body.get("_type", "")).startswith("foreign"):
+            endpoint = body.get("_foreign")
+            if not isinstance(endpoint, str) or "/" not in endpoint:
+                raise ApiError(400, "_foreign must be '<index>/<doc_id>'")
+            self._bind_foreign(name, db, endpoint, fields)
+        else:
+            db.set_schema_props(fields)
+        return db.schema.to_dict()
+
+    def _bind_foreign(self, name: str, db: Database, endpoint: str,
+                      fields: dict):
+        fidx, fdoc = endpoint.rsplit("/", 1)
+        if fidx == name:
+            raise ApiError(400, "foreign schema endpoint must be "
+                                "a different index")
+        fdb = self.get(fidx, create=True)
+        try:
+            shared = fdb.get_document(fdoc).get("_schema_props") or {}
+        except DocumentNotFound:
+            shared = fields
+            # _-prefixed root field is data-only: the schema document is
+            # stored verbatim, nothing of it is term-indexed
+            fdb.index_document({"_schema_props": shared}, doc_id=fdoc,
+                               commit=True)
+
+        def writeback(props, _fdb=fdb, _fdoc=fdoc):
+            _fdb.index_document(
+                {"_schema_props": {k: v for k, v in props.items()
+                                   if k != "_foreign"}},
+                doc_id=_fdoc, commit=True)
+
+        db.bind_foreign_schema(endpoint, shared, writeback)
+
+    def _resolve_foreign(self, name: str, db: Database):
+        """Reopen path: a persisted root `_foreign` pointer re-adopts the
+        shared schema document (fresh copy) + write-back hook."""
+        try:
+            endpoint = db.schema.props.get("schema", {}).get("_foreign")
+        except Exception:
+            return
+        if isinstance(endpoint, str) and "/" in endpoint:
+            fields = {k: v for k, v in
+                      db.schema.props["schema"].items() if k != "_foreign"}
+            self._bind_foreign(name, db, endpoint, fields)
 
     def _evict_lru(self):
         """Close least-recently-used databases over pool_size (≙ the
@@ -379,6 +437,11 @@ class RestServer:
             return self.man.get(index).check(), 200
         if method == "POST" and doc_id is None:
             return await self._write_doc(request, index, None, t0)
+        if method == "PUT" and doc_id is None:
+            # PUT /idx/ (trailing slash) = create/update the INDEX itself,
+            # optionally with an explicit or foreign _schema and _settings
+            # (create-api.md, explicit-types.md, foreign-schemas.md)
+            return await self._create_index(request, index, t0)
         if method == "PUT":
             return await self._write_doc(request, index, doc_id, t0)
         if method == "PATCH":
@@ -517,6 +580,26 @@ class RestServer:
         if v is None and isinstance(body, dict):
             v = body.pop("_version", None)
         return int(v) if v is not None else None
+
+    async def _create_index(self, request, index, t0):
+        self._check_primary(index, request)
+        raw = await request.read()
+        body = neg.decode_body(raw, request.headers.get("Content-Type")) \
+            if raw else {}
+        if body is None:
+            body = {}
+        if not isinstance(body, dict):
+            raise ApiError(400, "index body must be an object")
+        created = not self.man.exists(index)
+        if "_settings" in body:
+            self.man.set_settings(index, body["_settings"])
+        out = {"#index": index}
+        if "_schema" in body:
+            out["_schema"] = self.man.apply_schema(index, body["_schema"])
+        else:
+            self.man.get(index, create=True)
+        self._observe("index_create", t0)
+        return out, 201 if created else 200
 
     async def _write_doc(self, request, index, doc_id, t0):
         self._check_primary(index, request)
