@@ -521,3 +521,31 @@ def test_explicit_and_foreign_schema(srv):
     status, out, _ = srv.req("POST", "/plainidx/:search",
                              {"_query": {"price": {"_from": 5, "_to": 9}}})
     assert out["count"] == 1
+
+
+def test_api_conventions(srv):
+    """api.md conventions: relaxed JSON (comments + trailing commas),
+    X-HTTP-Method-Override on POST, dotted field expansion."""
+    body = b"""{
+      // single-line comment
+      "contact.address.country.name": "Italy", /* block comment */
+      "tag": "conv",
+    }"""
+    status, out, _ = srv.req("PUT", "/conv/1?commit", body,
+                             headers={"Content-Type": "application/json"})
+    assert status == 200, out
+    # dotted key expanded == nested object form
+    status, out, _ = srv.req("POST", "/conv/:search", {
+        "_query": {"contact": {"address": {"country": {"name": "Italy"}}}}})
+    assert out["count"] == 1
+    status, out, _ = srv.req("POST", "/conv/:search", {
+        "_query": {"contact.address.country.name": "Italy"}})
+    assert out["count"] == 1
+    # method override: POST masquerading as SEARCH
+    status, out, _ = srv.req("POST", "/conv/", {"_query": {"tag": "conv"}},
+                             headers={"X-HTTP-Method-Override": "SEARCH"})
+    assert status == 200 and out["count"] == 1, out
+    # override on non-POST errors
+    status, out, _ = srv.req("GET", "/conv/",
+                             headers={"X-HTTP-Method-Override": "DELETE"})
+    assert status == 400

@@ -526,6 +526,14 @@ class Schema:
                      parent_spec: FieldSpec, name: str, value, path: str):
         if name in parent_spec.ignored:
             return
+        if "." in name:
+            # field expansion (api.md): {"a.b.c": v} == {"a": {"b":
+            # {"c": v}}} - same schema tree, prefixes, and terms
+            head, rest = name.split(".", 1)
+            self._index_field(out, parent_node, parent_spec, head,
+                              {rest: value},
+                              path[: len(path) - len(name)] + head)
+            return
         # fast path: established field with a cached resolved spec - skip
         # the whole spec pipeline (copy + keyword re-parse + resolve) for
         # plain concrete values / geo payloads / lists of those

@@ -390,6 +390,13 @@ class RestServer:
     async def _dispatch(self, request: web.Request):
         t0 = time.time()
         method = request.method.upper()
+        override = request.headers.get("X-HTTP-Method-Override") or \
+            request.headers.get("HTTP-Method-Override")
+        if override:
+            # api.md HTTP Method Override: POST only, error otherwise
+            if method != "POST":
+                raise ApiError(400, "method override requires POST")
+            method = override.upper()
         index, cmd = parse_path(request.path)
         # trailing slash = the path names an index, not a document
         # (PathParser-style disambiguation, url_parser.h)

@@ -48,7 +48,71 @@ def dumps_json(obj: Any, indent: int | None = None) -> bytes:
 
 
 def loads_json(data: bytes | str) -> Any:
-    return json.loads(data)
+    try:
+        return json.loads(data)
+    except json.JSONDecodeError:
+        if isinstance(data, bytes):
+            data = data.decode("utf-8")
+        return json.loads(_relaxed_json(data))
+
+
+def _relaxed_json(text: str) -> str:
+    """Strip the reference's JSON deviations (api.md 'Deviations from
+    JSON'): C-style /* */ and // comments anywhere, trailing commas.
+    String-aware single pass."""
+    out = []
+    i, n = 0, len(text)
+    pending_comma = False
+
+    def flush():
+        nonlocal pending_comma
+        if pending_comma:
+            out.append(",")
+            pending_comma = False
+
+    while i < n:
+        c = text[i]
+        if c == '"':
+            flush()
+            out.append(c)
+            i += 1
+            while i < n:
+                ch = text[i]
+                out.append(ch)
+                if ch == "\\" and i + 1 < n:
+                    out.append(text[i + 1])
+                    i += 2
+                    continue
+                i += 1
+                if ch == '"':
+                    break
+            continue
+        if c == "/" and text[i + 1: i + 2] == "/":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == "/" and text[i + 1: i + 2] == "*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c == ",":
+            flush()
+            pending_comma = True
+            i += 1
+            continue
+        if c in "}]":
+            pending_comma = False   # trailing comma dropped
+            out.append(c)
+            i += 1
+            continue
+        if c in " \t\r\n":
+            out.append(c)
+            i += 1
+            continue
+        flush()
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def dumps_ndjson(objs: Iterable[Any]) -> bytes:
