@@ -121,3 +121,50 @@ def test_max_nested_in_bool(qdb):
         {"_max": [{"body": "cat"}, {"body": "dog"}]},
         {"body": "play"}]})
     assert total == 1 and "d2" in s
+
+
+def test_semijoin_matches_sort_pipeline_exactly():
+    """Asymmetric-AND semijoin (executor._execute_semijoin, cfg.drive):
+    shortest-postlist-drives + binary-search probes must reproduce the
+    sort pipeline bit-for-bit - ids, scores, counts - including nested
+    OR legs and FILTER roots (queryoptimiser.h semantics)."""
+    import random
+
+    import numpy as np
+
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.query import plan as plan_mod
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    weights = [1 / (i + 1) for i in range(50)]
+    db = Database()
+    for i in range(4000):
+        db.index_document({
+            "cat": f"cat{rng.randint(0, 40)}",
+            "body": " ".join(rng.choices(vocab, weights=weights, k=10)),
+        }, doc_id=str(i))
+    db.commit()
+    queries = [{"_and": [{"cat": f"cat{rng.randint(0, 40)}"},
+                         {"body": f"w{rng.randint(0, 6)}"}]}
+               for _ in range(6)]
+    queries += [{"_and": [{"cat": "cat3"}, {"body": "w0"}, {"body": "w1"}]},
+                {"_filter": [{"body": "w2"}, {"cat": "cat5"}]},
+                {"_and": [{"cat": "cat1"},
+                          {"_or": [{"body": "w0"}, {"body": "w3"}]}]}]
+    saved = plan_mod.SEMIJOIN_RATIO
+    engaged = 0
+    try:
+        for q in queries:
+            plan_mod.SEMIJOIN_RATIO = 1   # force semijoin whenever legal
+            a = db.search(q, k=10)
+            plan_mod.SEMIJOIN_RATIO = 10 ** 9   # force sort pipeline
+            b = db.search(q, k=10)
+            assert a.total == b.total, q
+            assert [h.id for h in a.hits] == [h.id for h in b.hits], q
+            assert np.allclose([h.score for h in a.hits],
+                               [h.score for h in b.hits], rtol=1e-5), q
+            engaged += 1
+    finally:
+        plan_mod.SEMIJOIN_RATIO = saved
+    assert engaged == len(queries)

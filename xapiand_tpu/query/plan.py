@@ -262,6 +262,37 @@ class BoundPlan:
     arrays: dict       # jit-traced plan arrays (numpy; converted by jax)
 
 
+SEMIJOIN_RATIO = 8   # enable when Σclasses >= ratio * driving class
+
+
+def _pick_drive(cq: CompiledQuery, classes) -> int:
+    """Asymmetric-AND semijoin selection (executor._execute_semijoin):
+    when the root is an AND/FILTER with a required single-term group whose
+    posting class is far smaller than the total, that term's postings
+    drive and every other term is probed by binary search — the
+    reference's shortest-postlist-drives + skip_to
+    (src/xapian/matcher/queryoptimiser.h). Returns the driving term
+    position, or -1 to keep the sort pipeline."""
+    tree = cq.tree
+    if tree[0] not in ("AND", "FILTER") or cq.dense:
+        return -1
+    if cq.phrases or cq.synonyms or cq.max_specs or len(cq.terms) < 2:
+        return -1
+    group_positions: dict = {}
+    for i, pt in enumerate(cq.terms):
+        group_positions.setdefault(pt.group, []).append(i)
+    cands = []
+    for sub in tree[1:]:
+        if sub[0] == "G" and len(group_positions.get(sub[1], ())) == 1:
+            cands.append(group_positions[sub[1]][0])
+    if not cands:
+        return -1
+    pos = min(cands, key=lambda i: classes[i])
+    if sum(classes) < SEMIJOIN_RATIO * classes[pos]:
+        return -1
+    return pos
+
+
 def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
          global_tf: Optional[Callable[[str], int]] = None,
          k: int = 10, sort: tuple = (), collapse_slot: Optional[int] = None,
@@ -454,6 +485,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         # gathers, while lax.sort streams on the VPU. Kept selectable for
         # CPU experiments; never auto-chosen.
         join=False,
+        drive=_pick_drive(cq, classes),
     )
     if agg_arrays:
         arrays.update(agg_arrays)
