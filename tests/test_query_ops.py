@@ -168,3 +168,54 @@ def test_semijoin_matches_sort_pipeline_exactly():
     finally:
         plan_mod.SEMIJOIN_RATIO = saved
     assert engaged == len(queries)
+
+
+def test_compaction_matches_uncompacted_exactly():
+    """Eligible-row compaction before value-sort/agg/collapse gathers
+    (ExecConfig.compact_cap, plan.compact_cap_for): results must be
+    bit-identical with and without it - ids, order, totals, aggregation
+    payloads - across sort/aggs/collapse on AND-rooted queries."""
+    import random
+
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.query import plan as plan_mod
+    from xapiand_tpu.query.dsl import parse_sort
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    weights = [1 / (i + 1) for i in range(60)]
+    db = Database()
+    for i in range(6000):
+        db.index_document({
+            "cat": f"cat{rng.randint(0, 30)}",
+            "price": rng.randint(1, 500),
+            "body": " ".join(rng.choices(vocab, weights=weights, k=10)),
+        }, doc_id=str(i))
+    db.commit()
+    sort = parse_sort(db.schema, [{"price": {"_order": "desc"}}])
+    cat_slot = db.schema.get_field("cat").slot
+    aggs = {"st": {"_stats": {"_field": "price"}},
+            "cats": {"_terms": {"_field": "cat"}}}
+    queries = [{"_and": [{"cat": f"cat{rng.randint(0, 30)}"},
+                         {"body": f"w{rng.randint(0, 5)}"}]}
+               for _ in range(6)]
+
+    def run_all():
+        out = []
+        for q in queries:
+            out.append(db.search(q, k=10, sort=sort, aggs=aggs))
+            out.append(db.search(q, k=10, collapse_slot=cat_slot))
+        return out
+
+    a = run_all()
+    saved = plan_mod.compact_cap_for
+    plan_mod.compact_cap_for = lambda classes, rg: 0
+    try:
+        b = run_all()
+    finally:
+        plan_mod.compact_cap_for = saved
+    for x, y in zip(a, b):
+        assert x.total == y.total
+        assert [h.id for h in x.hits] == [h.id for h in y.hits]
+        assert str(getattr(x, "aggregations", None)) == \
+            str(getattr(y, "aggregations", None))

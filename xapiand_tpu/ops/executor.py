@@ -80,6 +80,14 @@ class ExecConfig:
     drive: int = -1              # semijoin: candidates from this term only
                                  # (requires join; reference shortest-
                                  # postlist-drives + skip_to semantics)
+    compact_cap: int = 0         # squeeze eligible rows to this width
+                                 # before value-sort/agg/collapse gathers
+                                 # (sound when an AND conjunct bounds the
+                                 # match count; 0 = off)
+    req_groups: tuple = ()       # term positions of each required direct-G
+                                 # conjunct (structural; lets unify_cfgs
+                                 # recompute compact_cap from merged
+                                 # classes so the bound holds group-wide)
     emit_sort_keys: bool = False  # return top-k sort keys (mesh merge)
     n_chunks: int = 1            # docid-range chunks (pure term trees only)
     chunk_classes: tuple = ()    # per-term per-chunk slice width, len == T
@@ -566,6 +574,22 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
     count = jnp.sum(eligible.astype(jnp.int32))
     out = {"count": count}
+    if cfg.compact_cap and cfg.compact_cap < d.shape[0] and \
+            (cfg.with_aggs or cfg.sort or cfg.collapse_slot is not None):
+        # compaction: the downstream value-column gathers (sort keys, agg
+        # fields, collapse keys) serialize per element, so paying ONE extra
+        # streaming sort to pack the <=cap eligible rows first (cap = the
+        # smallest required AND conjunct's class, a static bound on the
+        # match count - plan._pick_compact_cap) shrinks every later gather
+        # from the full row width to cap. Measured 5.6x on the 1M faceted
+        # config. Stable (key, docid) order keeps eligible rows
+        # docid-ascending for the rank tie contract.
+        key = jnp.where(eligible, jnp.int32(0), jnp.int32(1))
+        k2, d, sums = lax.sort((key, d, sums), num_keys=2)
+        cap = cfg.compact_cap
+        d, sums = d[:cap], sums[:cap]
+        eligible = k2[:cap] == 0
+        d_cand = jnp.minimum(d, nd1 - 1)
     if cfg.with_aggs:
         from xapiand_tpu.ops.aggs import compute_aggs
 

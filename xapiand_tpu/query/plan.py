@@ -262,7 +262,13 @@ class BoundPlan:
     arrays: dict       # jit-traced plan arrays (numpy; converted by jax)
 
 
-SEMIJOIN_RATIO = 8   # enable when Σclasses >= ratio * driving class
+# Semijoin auto-selection is DISABLED (None): measured on v5e, the
+# binary-search probes (serialized gathers, ~30 cycles/element through
+# this memory path) lose to the streaming sort in every tested regime -
+# 44 vs 193 qps at Σ/min ratio 9 (1M docs), 15 vs 596 at ratio 5 (400k).
+# The path stays correct + force-selectable (tests set a numeric ratio);
+# the production answer to the faceted-AND problem is compact_cap below.
+SEMIJOIN_RATIO = None   # numeric: enable when Σclasses >= ratio * class
 
 
 def _pick_drive(cq: CompiledQuery, classes) -> int:
@@ -273,6 +279,8 @@ def _pick_drive(cq: CompiledQuery, classes) -> int:
     reference's shortest-postlist-drives + skip_to
     (src/xapian/matcher/queryoptimiser.h). Returns the driving term
     position, or -1 to keep the sort pipeline."""
+    if SEMIJOIN_RATIO is None:
+        return -1
     tree = cq.tree
     if tree[0] not in ("AND", "FILTER") or cq.dense:
         return -1
@@ -291,6 +299,34 @@ def _pick_drive(cq: CompiledQuery, classes) -> int:
     if sum(classes) < SEMIJOIN_RATIO * classes[pos]:
         return -1
     return pos
+
+
+def _required_groups(cq: CompiledQuery) -> tuple:
+    """Term positions of each required direct-G conjunct of an AND/FILTER
+    root (structural - identical for every query of a plan signature).
+    Every match must carry each of these groups, so the smallest one's
+    posting classes statically bound the eligible-row count."""
+    tree = cq.tree
+    if tree[0] not in ("AND", "FILTER") or cq.dense or cq.phrases:
+        return ()
+    group_positions: dict = {}
+    for i, pt in enumerate(cq.terms):
+        group_positions.setdefault(pt.group, []).append(i)
+    out = []
+    for sub in tree[1:]:
+        if sub[0] == "G" and sub[1] in group_positions:
+            out.append(tuple(group_positions[sub[1]]))
+    return tuple(out)
+
+
+def compact_cap_for(classes, req_groups) -> int:
+    """Compaction width from the CURRENT classes (per-query at bind time,
+    merged maxima after unify_cfgs): min over required conjuncts of its
+    summed class, if that actually shrinks the row width."""
+    if not req_groups:
+        return 0
+    best = min(sum(classes[i] for i in g) for g in req_groups)
+    return best if 2 * best <= sum(classes) else 0
 
 
 def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
@@ -486,6 +522,8 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         # CPU experiments; never auto-chosen.
         join=False,
         drive=_pick_drive(cq, classes),
+        req_groups=_required_groups(cq),
+        compact_cap=compact_cap_for(classes, _required_groups(cq)),
     )
     if agg_arrays:
         arrays.update(agg_arrays)
@@ -563,4 +601,7 @@ def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
         "pmax": max(c.pmax for c in cfgs),
         "cand_cap": max(c.cand_cap for c in cfgs),
         "geo_specs": geo_specs,
+        # re-derive from the MERGED classes: the per-query cap would not
+        # bound groupmates whose conjunct legs are longer
+        "compact_cap": compact_cap_for(classes, base.req_groups),
     })
