@@ -549,3 +549,44 @@ def test_api_conventions(srv):
     status, out, _ = srv.req("GET", "/conv/",
                              headers={"X-HTTP-Method-Override": "DELETE"})
     assert status == 400
+
+
+def test_python_client(srv):
+    """The bundled Python client (xapiand_tpu.client.Xapiand, the
+    contrib/python/xapiand-py analog) drives the whole surface."""
+    from xapiand_tpu.client import ConflictError, NotFoundError, Xapiand
+
+    c = Xapiand(f"127.0.0.1:{srv.port}")
+    assert c.ping()
+    assert c.info()["name"] == "xapiand-tpu"
+
+    out = c.documents.index("pycli", {"body": "hello client", "n": 1},
+                            id="1", commit=True)
+    assert out["_id"] == "1" and out["_version"] == 1
+    assert c.exists("pycli", "1") and not c.exists("pycli", "nope")
+    doc = c.get("pycli", "1")
+    assert doc["n"] == 1
+    # versioned write conflict
+    with pytest.raises(ConflictError):
+        c.documents.index("pycli", {"n": 2}, id="1", commit=True,
+                          version=99)
+    c.documents.patch("pycli", "1",
+                      [{"op": "incr", "path": "/n", "value": 4}],
+                      commit=True)
+    assert c.get("pycli", "1")["n"] == 5
+    c.documents.update("pycli", "1", {"extra": "x"}, commit=True)
+    assert c.get("pycli", "1")["extra"] == "x"
+
+    r = c.search("pycli", {"_query": {"body": "hello"}})
+    assert r["count"] == 1
+    assert c.count("pycli", {"_query": {"_match_all": {}}})["count"] == 1
+
+    # bulk restore + settings/schema views
+    c.indices.restore("pycli2",
+                      [{"_id": str(i), "body": f"doc w{i % 5}"}
+                       for i in range(50)])
+    assert c.count("pycli2", {"_query": {"_match_all": {}}})["count"] == 50
+    assert "schema" in c.indices.get_schema("pycli2")
+    c.documents.delete("pycli", "1", commit=True)
+    with pytest.raises(NotFoundError):
+        c.get("pycli", "1")
