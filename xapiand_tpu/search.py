@@ -198,6 +198,22 @@ class BatchSearcher:
         out = []
         for (cfg_g, idxs), work in zip(unified, works):
             cfg_g = self._chunkify(cfg_g, bounds, idxs)
+            if cfg_g.compact_cap and cfg_g.req_groups:
+                # tighten the compaction cap from the ACTUAL conjunct
+                # lens of the group's queries (classes are pow2-quantized
+                # group maxima - 5x looser than the data): eligible_q <=
+                # min over required conjuncts of its summed len, so the
+                # group max of that is a sound static cap (128-lane grid)
+                m = 0
+                for i in idxs:
+                    lq = np.asarray(bounds[i].arrays["lens"])
+                    mi = min(sum(int(lq[p]) if p < len(lq) else 0
+                                 for p in g)
+                             for g in cfg_g.req_groups)
+                    m = max(m, mi)
+                cap = -(-max(m, 128) // 128) * 128
+                if cap < cfg_g.compact_cap:
+                    cfg_g = replace(cfg_g, compact_cap=cap)
             width = self.max_batch
             while width > self.min_batch and \
                     width * work > self.work_ratio * self.max_batch * wmin:
