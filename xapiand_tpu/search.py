@@ -211,7 +211,9 @@ class BatchSearcher:
                                  for p in g)
                              for g in cfg_g.req_groups)
                     m = max(m, mi)
-                cap = -(-max(m, 128) // 128) * 128
+                from xapiand_tpu.models.segment import size_class
+                cap = size_class(max(m, 128))   # pow2: odd sort/slice
+                # widths hit slow XLA paths at 1M scale
                 if cap < cfg_g.compact_cap:
                     cfg_g = replace(cfg_g, compact_cap=cap)
             width = self.max_batch
