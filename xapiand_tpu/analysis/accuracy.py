@@ -24,6 +24,12 @@ DEF_ACC_DATE = ["hour", "day", "month", "year", "decade", "century"]
 DEF_ACC_GEO = [3, 5, 8, 10, 12, 13]  # HTM levels (device max = htm.MAX_LEVEL)
 
 MAX_RANGE_TERMS = 256
+# Geo covers use a lower cap: each cover term becomes a separate posting
+# slice in the executor with a 128-row class floor, so 256 tiny terms =
+# a 32k-row floor AND a 256-slice XLA graph (minutes of compile, most
+# rows padding). 64 coarser-level terms over-select a little more - the
+# exact HTM range test corrects - at 4x fewer slices and floor rows.
+GEO_COVER_MAX_TERMS = 64
 
 
 def numeric_terms(value: float, accuracies=None, prefix: str = "") -> list[str]:

@@ -183,6 +183,28 @@ def lower_bound_sorted(a, x):
     return a_before[xslots[:C]]             # x is ascending => in x order
 
 
+def rank_count(a, x, count_equal: bool):
+    """For every x[j] (ANY order): #a-elements < x[j] (count_equal=False)
+    or <= x[j] (True). a ascending [L]. Two streaming 3-channel sorts +
+    one cumsum - no serialized gathers, no scans over tuples (an
+    associative_scan formulation compiled for 20+ minutes; plain sorts
+    compile in seconds and run at VPU sort throughput)."""
+    L, C = a.shape[0], x.shape[0]
+    vals = jnp.concatenate([a, x])
+    # tie order decides < vs <=: a first (counted) for <=, x first for <
+    a_tag, x_tag = (0, 1) if count_equal else (1, 0)
+    tags = jnp.concatenate([jnp.full((L,), a_tag, jnp.int32),
+                            jnp.full((C,), x_tag, jnp.int32)])
+    is_a = jnp.concatenate([jnp.ones(L, jnp.int32),
+                            jnp.zeros(C, jnp.int32)])
+    slots = jnp.concatenate([jnp.full((L,), C, jnp.int32),
+                             jnp.arange(C, dtype=jnp.int32)])
+    _, _, sa, ss = lax.sort((vals, tags, is_a, slots), num_keys=2)
+    a_before = jnp.cumsum(sa) - sa
+    _, out = lax.sort((ss, a_before), num_keys=1)
+    return out[:C]
+
+
 def _eval_tree(tree, leaf_fns):
     """Compile the static boolean tree to a vectorised predicate.
 
@@ -217,6 +239,34 @@ def _eval_tree(tree, leaf_fns):
     if op == "XOR":
         return subs[0]() ^ subs[1]()
     raise ValueError(f"unknown tree op {op!r}")
+
+
+def _upper_tree(tree, positive: bool = True):
+    """Rewrite the boolean tree replacing every F/GEO predicate leaf with
+    ALL (positive polarity) or NONE (under a negation), yielding a tree
+    whose matches are a SUPERSET of the real ones using group bits alone.
+    The executor compacts rows by this upper bound BEFORE gathering the
+    predicate leaves, so the per-element-serialized value/geo gathers run
+    at the compaction cap instead of the full row width."""
+    op = tree[0]
+    if op in ("F", "GEO"):
+        return ("ALL",) if positive else ("NONE",)
+    if op in ("G", "PH", "ALL", "NONE"):
+        return tree
+    if op in ("AND", "OR", "FILTER"):
+        return (op,) + tuple(_upper_tree(t, positive) for t in tree[1:])
+    if op == "AND_NOT":
+        return ("AND_NOT", _upper_tree(tree[1], positive),
+                _upper_tree(tree[2], not positive))
+    if op == "AND_MAYBE":
+        # the mask is the first child alone (matcher semantics)
+        return ("AND_MAYBE", _upper_tree(tree[1], positive), ("NONE",))
+    if op == "XOR":
+        if positive:   # XOR(a,b) ⊆ a|b
+            return ("OR", _upper_tree(tree[1], True),
+                    _upper_tree(tree[2], True))
+        return ("NONE",)   # ~NONE = everything: sound upper bound
+    return ("ALL",) if positive else ("NONE",)
 
 
 def _gather_filter_leaves(seg, cfg: ExecConfig, fparams, docids):
@@ -259,16 +309,20 @@ def _gather_geo_leaves(seg, cfg: ExecConfig, geo_queries, docids):
         rs = g["flat_start"][ridx]
         re = g["flat_end"][ridx]
         rvalid = jnp.arange(RMAX)[None, :] < cnt[:, None]
-        # query cover ranges are sorted, merged, DISJOINT (htm.cover), so
-        # overlap reduces to ONE binary search per doc range: the first
-        # query range with end >= doc start overlaps iff its start <= doc
-        # end. log2(QR) gather rounds instead of a [C, RMAX, QR] broadcast
-        # (which OOMs at batch width x dense rows).
+        # query cover ranges are sorted, merged, DISJOINT (htm.cover):
+        # a doc range [rs, re] overlaps some query range iff
+        # #"qs <= re" > #"qe < rs" (monotone interval stabbing). Both
+        # counts come from the streaming rank_count sort-join - the
+        # binary-search form was log2(QR) serialized gather rounds PLUS
+        # a payload gather per (candidate, range): 5M+ gathers per
+        # launch at QR=1024 covers.
         q = geo_queries[gi]            # [QR, 2]; pad rows = INT32_MAX
         qs, qe = q[:, 0], q[:, 1]
-        pos = lower_bound(qe, rs, QR)                            # [C, RMAX]
-        pc = jnp.minimum(pos, QR - 1)
-        hit = (pos < QR) & (qs[pc] <= re) & (qs[pc] != I32MAX)
+        n_le = rank_count(qs, re.reshape(-1), True).reshape(rs.shape)
+        n_lt = rank_count(qe, rs.reshape(-1), False).reshape(rs.shape)
+        # padded query rows are [I32MAX, I32MAX]: never counted in n_le
+        # (qs > any real re), never < rs in n_lt - no extra masking
+        hit = n_le > n_lt
         outs.append(jnp.any(hit & rvalid, axis=1))
     return outs
 
@@ -549,7 +603,28 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         first &= ~seg["deleted"][jnp.minimum(d, nd1 - 1)]
 
     # predicate leaves + boolean tree (vectorised over rows)
+    precompacted = False
     if needs_bits:
+        if cfg.compact_cap and cfg.compact_cap < d.shape[0] and \
+                (cfg.n_filters or cfg.geo_specs) and not cfg.phrases:
+            # predicate-leaf gathers (value filters, HTM range tests)
+            # serialize per element: compact rows by the GROUP-SKELETON
+            # upper bound first (F/GEO leaves -> ALL under positive
+            # polarity, _upper_tree), then gather leaves at cap width.
+            # The cap bounds the true matches (smallest required
+            # conjunct), and the skeleton mask is a superset of them.
+            upper_fns = {
+                "G": lambda g: (orbits & (1 << g)) != 0,
+                "ALL": lambda: jnp.ones_like(d, dtype=bool),
+            }
+            upper = first & _eval_tree(_upper_tree(cfg.tree), upper_fns)
+            key = jnp.where(upper, jnp.int32(0), jnp.int32(1))
+            cap = cfg.compact_cap
+            k2, d, sums, orbits = lax.sort((key, d, sums, orbits),
+                                           num_keys=2)
+            d, sums, orbits = d[:cap], sums[:cap], orbits[:cap]
+            first = k2[:cap] == 0
+            precompacted = True
         d_cand = jnp.minimum(d, nd1 - 1)
         leaf_fns = {
             "G": lambda g: (orbits & (1 << g)) != 0,
@@ -574,7 +649,8 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
     count = jnp.sum(eligible.astype(jnp.int32))
     out = {"count": count}
-    if cfg.compact_cap and cfg.compact_cap < d.shape[0] and \
+    if not precompacted and \
+            cfg.compact_cap and cfg.compact_cap < d.shape[0] and \
             (cfg.with_aggs or cfg.sort or cfg.collapse_slot is not None):
         # compaction: the downstream value-column gathers (sort keys, agg
         # fields, collapse keys) serialize per element, so paying ONE extra

@@ -384,7 +384,9 @@ class QueryDSL:
         if spec.slot is None:
             raise QueryDSLError("geo query on a field without values")
         ranges, _ = geospatial.extract(value, error=spec.error)
-        cover = acc_mod.geo_range_cover(ranges, spec.accuracy, spec.prefix)
+        cover = acc_mod.geo_range_cover(
+            ranges, spec.accuracy, spec.prefix,
+            max_terms=acc_mod.GEO_COVER_MAX_TERMS)
         return Q.geo(spec.slot, ranges, cover_terms=cover)
 
 

@@ -307,15 +307,27 @@ def _required_groups(cq: CompiledQuery) -> tuple:
     Every match must carry each of these groups, so the smallest one's
     posting classes statically bound the eligible-row count."""
     tree = cq.tree
-    if tree[0] not in ("AND", "FILTER") or cq.dense or cq.phrases:
+    if tree[0] not in ("AND", "FILTER", "AND_NOT", "AND_MAYBE") \
+            or cq.dense or cq.phrases:
         return ()
     group_positions: dict = {}
     for i, pt in enumerate(cq.terms):
         group_positions.setdefault(pt.group, []).append(i)
     out = []
-    for sub in tree[1:]:
-        if sub[0] == "G" and sub[1] in group_positions:
-            out.append(tuple(group_positions[sub[1]]))
+
+    def walk(node):
+        # conjunct descent: every G reached only through AND/FILTER
+        # edges (incl. the required first child of AND_NOT/AND_MAYBE)
+        # is required at the root
+        if node[0] == "G" and node[1] in group_positions:
+            out.append(tuple(group_positions[node[1]]))
+        elif node[0] in ("AND", "FILTER"):
+            for c in node[1:]:
+                walk(c)
+        elif node[0] in ("AND_NOT", "AND_MAYBE"):
+            walk(node[1])
+
+    walk(tree)
     return tuple(out)
 
 

@@ -193,7 +193,16 @@ class BatchSearcher:
         # unify within each group; equal-work batch widths across groups
         unified = [(unify_cfgs([bounds[i].cfg for i in idxs], k=self.k),
                     idxs) for idxs in groups]
-        works = [max(sum(cfg.classes), 1) for cfg, _ in unified]
+        works = []
+        for cfg, _ in unified:
+            w = max(sum(cfg.classes), 1)
+            for _slot, _QR, RMAX in cfg.geo_specs:
+                # the exact HTM test sort-joins C*RMAX flattened doc
+                # ranges per query through a 4-channel sort + scan:
+                # weigh geo groups accordingly or wide geo batches OOM
+                # the TPU compiler
+                w *= 4 * (1 + RMAX)
+            works.append(w)
         wmin = min(works)
         out = []
         for (cfg_g, idxs), work in zip(unified, works):
@@ -219,6 +228,11 @@ class BatchSearcher:
             width = self.max_batch
             while width > self.min_batch and \
                     width * work > self.work_ratio * self.max_batch * wmin:
+                width //= 2
+            # absolute per-launch budget (rows x channel-weight): the
+            # relative rule is scale-invariant, so an all-heavy plan
+            # (e.g. every group geo) would otherwise keep full width
+            while width > 1 and width * work > 100_000_000:
                 width //= 2
             T = cfg_g.T
             fn = self.searcher.batched(cfg_g, self.scheme)
