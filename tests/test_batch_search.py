@@ -157,3 +157,44 @@ def test_chunked_docid_range_exact():
         fin = np.isfinite(av)
         assert (fin == np.isfinite(bv)).all()
         assert np.allclose(av[fin], bv[fin], rtol=1e-5)
+
+
+def test_variable_conjunct_sizes_batch_parity():
+    """Compaction caps with VARIABLE-size or_terms conjuncts: req_groups
+    positions differ per query within one signature bucket, so group caps
+    must take each member's own bound (group_compact_cap / the len
+    tightening) - a first-member-positions cap silently truncated true
+    matches (caught by the config-4 geo oracle)."""
+    import random
+
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.query.dsl import QueryDSL
+    from xapiand_tpu.search import BatchSearcher, SegmentSearcher
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    weights = [1 / (i + 1) for i in range(40)]
+    db = Database()
+    for i in range(8000):
+        db.index_document({
+            "body": " ".join(rng.choices(vocab, weights=weights, k=8)),
+            "price": rng.randint(1, 1000),
+        }, doc_id=str(i))
+    db.commit()
+    seg = db._searchers[0].segment
+    dsl = QueryDSL(db.schema)
+    qs = []
+    for _ in range(16):
+        n = rng.choice([2, 5, 9, 14])   # variable conjunct sizes
+        terms = rng.sample(vocab, n)
+        qs.append({"_and": [{"_or": [{"body": t} for t in terms]},
+                            {"price": {"_from": 100, "_to": 600}}]})
+    irs = [dsl.parse(q) for q in qs]
+    bs = BatchSearcher(SegmentSearcher(seg, db.scheme), k=10)
+    res = bs.run(irs)
+    for qi, q in enumerate(qs):
+        single = db.search(q, k=10)
+        assert res[qi]["count"] == single.total, (qi, q)
+        got = [int(d) for d, s in zip(res[qi]["docids"], res[qi]["scores"])
+               if s != float("-inf")]
+        assert got == [int(h.id) for h in single.hits], qi

@@ -337,8 +337,25 @@ def compact_cap_for(classes, req_groups) -> int:
     summed class, if that actually shrinks the row width."""
     if not req_groups:
         return 0
-    best = min(sum(classes[i] for i in g) for g in req_groups)
+    best = min(sum(classes[i] for i in g if i < len(classes))
+               for g in req_groups)
     return best if 2 * best <= sum(classes) else 0
+
+
+def group_compact_cap(cfgs, classes) -> int:
+    """Group-sound compaction cap: req_groups POSITIONS differ per query
+    (or_terms conjuncts vary in size within one signature bucket), so the
+    group bound is the max over members of each member's own conjunct
+    bound evaluated on the MERGED classes. Any member without a bound
+    disables compaction for the whole group."""
+    best = 0
+    for c in cfgs:
+        if not c.req_groups:
+            return 0
+        b = min(sum(classes[i] for i in g if i < len(classes))
+                for g in c.req_groups)
+        best = max(best, b)
+    return best if best and 2 * best <= sum(classes) else 0
 
 
 def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
@@ -613,7 +630,8 @@ def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
         "pmax": max(c.pmax for c in cfgs),
         "cand_cap": max(c.cand_cap for c in cfgs),
         "geo_specs": geo_specs,
-        # re-derive from the MERGED classes: the per-query cap would not
-        # bound groupmates whose conjunct legs are longer
-        "compact_cap": compact_cap_for(classes, base.req_groups),
+        # re-derive from the MERGED classes, member-wise: each query's
+        # conjunct POSITIONS differ (variable-size or_terms groups), so
+        # the sound group cap is the max of per-member bounds
+        "compact_cap": group_compact_cap(cfgs, classes),
     })

@@ -212,13 +212,16 @@ class BatchSearcher:
                 # lens of the group's queries (classes are pow2-quantized
                 # group maxima - 5x looser than the data): eligible_q <=
                 # min over required conjuncts of its summed len, so the
-                # group max of that is a sound static cap (128-lane grid)
+                # group max of that is a sound static cap. Each query's
+                # OWN req_groups positions are used - conjunct positions
+                # differ across members when or_terms sizes vary.
                 m = 0
                 for i in idxs:
                     lq = np.asarray(bounds[i].arrays["lens"])
+                    rgs = bounds[i].cfg.req_groups or cfg_g.req_groups
                     mi = min(sum(int(lq[p]) if p < len(lq) else 0
                                  for p in g)
-                             for g in cfg_g.req_groups)
+                             for g in rgs)
                     m = max(m, mi)
                 from xapiand_tpu.models.segment import size_class
                 cap = size_class(max(m, 128))   # pow2: odd sort/slice
