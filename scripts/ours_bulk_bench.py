@@ -43,9 +43,10 @@ def main():
 
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
-    from aiohttp import web
-
+    # xapiand_tpu.server sets AIOHTTP_NO_EXTENSIONS before aiohttp loads
+    # (pure-python parser accepts the custom verbs: COMMIT/DUMP/...)
     from xapiand_tpu.server.app import IndexManager, create_app
+    from aiohttp import web
 
     data_dir = None if args.no_wal else tempfile.mkdtemp(prefix="xt-bulk-")
     started = threading.Event()
@@ -81,8 +82,8 @@ def main():
             method="POST", headers={"Content-Type": "application/x-ndjson"})
         with urllib.request.urlopen(r, timeout=600) as resp:
             json.loads(resp.read())
-    r = urllib.request.Request(f"http://127.0.0.1:{port}/bench/",
-                               method="COMMIT")
+    r = urllib.request.Request(f"http://127.0.0.1:{port}/bench/:commit",
+                               method="POST")
     with urllib.request.urlopen(r, timeout=600):
         pass
     dt = time.time() - t0
