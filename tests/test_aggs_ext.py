@@ -200,3 +200,23 @@ def test_cardinality_multi_segment_accuracy():
     assert abs(est - 1500) / 1500 < 0.10
     # rigorous bounds always hold
     assert 1000 <= est <= 2000
+
+
+def test_ipv6_cidr_finer_than_float53_matches_bucket():
+    # ADVICE r2 (medium): '2001:db8::/64' used to parse to an INVERTED key
+    # range (float64 ulp at 2^125 is 2^72 > 2^64 addresses) and silently
+    # matched nothing. ip_interval_keys clamps to the enclosing float-
+    # resolution bucket instead.
+    db = Database()
+    db.index_document({"addr": {"_type": "ip", "_value": "2001:db8::1"}},
+                      doc_id="v6")
+    db.index_document({"addr": {"_type": "ip", "_value": "10.0.0.1"}},
+                      doc_id="v4")
+    db.commit()
+    res = db.search({"addr": "2001:db8::/64"}, k=10)
+    assert [h.id for h in res.hits] == ["v6"]
+    # the clamped agg bucket counts it too
+    res = db.search({"_match_all": {}}, k=0, aggs={"nets": {
+        "_ip_range": {"_field": "addr", "_ranges": [
+            {"_key": "db8", "_cidr": "2001:db8::/64"}]}}})
+    assert res.aggregations["nets"][0]["_doc_count"] == 1

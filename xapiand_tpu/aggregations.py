@@ -443,7 +443,9 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
             for j, r in enumerate(rs):
                 if "_cidr" in r or "_mask" in r:
                     cidr = r.get("_cidr", r.get("_mask"))
-                    lo_v, hi_v = iputils.parse_ip_interval(cidr)
+                    # clamps IPv6 prefixes finer than float53 resolution
+                    # to the enclosing bucket (iputils.ip_interval_keys)
+                    fkey, tkey = iputils.ip_interval_keys(cidr)
                     labels.append(r.get("_key", str(cidr)))
                 else:
                     lo_v = iputils.parse_ip(r["_from"]) if "_from" in r \
@@ -452,9 +454,12 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                     labels.append(r.get("_key",
                                         f"{r.get('_from', '*')}.."
                                         f"{r.get('_to', '*')}"))
-                fkey = _ser.sortable_key_u64(lo_v) if lo_v is not None else 0
-                tkey = (_ser.sortable_key_u64(hi_v) - 1) \
-                    if hi_v is not None else 2**64 - 1
+                    fkey = _ser.sortable_key_u64(lo_v) if lo_v is not None \
+                        else 0
+                    tkey = (_ser.sortable_key_u64(hi_v) - 1) \
+                        if hi_v is not None else 2**64 - 1
+                    if tkey < fkey:
+                        tkey = fkey
                 bounds[j, 0], bounds[j, 1] = _ser.split_key(fkey)
                 bounds[j, 2], bounds[j, 3] = _ser.split_key(tkey)
             specs.append(("key_range", slot, len(rs), sub_specs))
@@ -484,9 +489,9 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                     raise AggError(f"_geo_ip network #{j} needs _cidrs")
                 labels.append(net.get("_key", str(cidrs[0])))
                 for cidr in cidrs:
-                    lo_v, hi_v = iputils.parse_ip_interval(cidr)
-                    fh, fl = _ser.split_key(_ser.sortable_key_u64(lo_v))
-                    th, tl = _ser.split_key(_ser.sortable_key_u64(hi_v) - 1)
+                    fkey, tkey = iputils.ip_interval_keys(cidr)
+                    fh, fl = _ser.split_key(fkey)
+                    th, tl = _ser.split_key(tkey)
                     rows.append((fh, fl, th, tl))
                     assign.append(j)
             specs.append(("geo_ip", slot, len(nets), len(rows), sub_specs))

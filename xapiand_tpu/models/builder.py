@@ -372,6 +372,8 @@ class SegmentBuilder:
         cat_codes = np.full(nd + 1, -1, dtype=np.int32)
         has_strings = False
 
+        doc_keylists: dict[int, list] = {}
+        max_vals = 1
         for docid, vals in per_doc.items():
             raw[docid] = vals[0] if len(vals) == 1 else vals
             keys = []
@@ -397,6 +399,9 @@ class SegmentBuilder:
             hi[docid], lo[docid] = ser.split_key(kmin)
             max_hi[docid], max_lo[docid] = ser.split_key(kmax)
             present[docid] = True
+            if len(keys) > 1:
+                doc_keylists[docid] = sorted(keys)
+                max_vals = max(max_vals, len(keys))
             v0 = vals[0]
             if isinstance(v0, bool):
                 fval[docid] = 1.0 if v0 else 0.0
@@ -413,9 +418,29 @@ class SegmentBuilder:
 
         if has_strings and kind == "numeric":
             kind = "string"
+        # exact per-value containment arrays (MultipleValueRange::insideRange,
+        # multivalue/range.cc:352-366): only docs with >=2 values need them -
+        # single-value docs are exact under the [min,max] interval test
+        # (min == max), so mv_len == 0 means "trust the interval".
+        mv_hi = mv_lo = mv_off = mv_len = None
+        if doc_keylists:
+            mv_off = np.zeros(nd + 1, dtype=np.int32)
+            mv_len = np.zeros(nd + 1, dtype=np.int32)
+            flat: list[int] = []
+            for docid in sorted(doc_keylists):
+                ks = doc_keylists[docid]
+                mv_off[docid] = len(flat)
+                mv_len[docid] = len(ks)
+                flat.extend(ks)
+            guard_v = 8
+            mv_hi = np.full(len(flat) + guard_v, _I32MAX, dtype=np.int32)
+            mv_lo = np.full(len(flat) + guard_v, _I32MAX, dtype=np.int32)
+            for j, kk in enumerate(flat):
+                mv_hi[j], mv_lo[j] = ser.split_key(kk)
         col = ValueColumn(kind=kind, hi=hi, lo=lo, max_hi=max_hi,
                           max_lo=max_lo, fval=fval, present=present, raw=raw,
-                          fval2=fval2)
+                          fval2=fval2, mv_hi=mv_hi, mv_lo=mv_lo,
+                          mv_off=mv_off, mv_len=mv_len, max_vals=max_vals)
         if cats:
             names = [None] * len(cats)
             for name, code in cats.items():

@@ -113,6 +113,17 @@ class ValueColumn:
     raw: Optional[list] = None               # docid -> first raw value (host)
     fval2: Optional[np.ndarray] = None       # f32[ND+1] geo centroid lon
                                              # (fval holds lat)
+    # multi-value slots only (max_vals > 1): flat per-value key words, doc-
+    # major, each doc's values ascending - the exact per-value containment
+    # arrays behind MultipleValueRange::insideRange (multivalue/range.cc:
+    # 352-366), which unpacks the StringList and requires a REAL value in
+    # the range, not [min,max] interval overlap. Single-value columns skip
+    # these (min == max == the value, so the interval test is exact).
+    mv_hi: Optional[np.ndarray] = None       # int32[VR+guard]
+    mv_lo: Optional[np.ndarray] = None
+    mv_off: Optional[np.ndarray] = None      # int32[ND+1]
+    mv_len: Optional[np.ndarray] = None      # int32[ND+1]
+    max_vals: int = 1                        # max values in any one doc
 
 
 @dataclass
@@ -176,6 +187,9 @@ class Segment:
                 total += arr.nbytes
             if col.cats is not None:
                 total += col.cats.nbytes
+            if col.mv_hi is not None:
+                total += (col.mv_hi.nbytes + col.mv_lo.nbytes +
+                          col.mv_off.nbytes + col.mv_len.nbytes)
         for g in self.geo.values():
             total += (g.flat_start.nbytes + g.flat_end.nbytes +
                       g.doc_off.nbytes + g.doc_len.nbytes)
@@ -223,6 +237,15 @@ class DeviceSegment:
             if col.fval2 is not None:
                 self.values[slot]["fval2"] = put(
                     jnp.asarray(col.fval2, jnp.float32))
+            if col.mv_hi is not None:
+                self.values[slot]["mv_hi"] = put(
+                    jnp.asarray(col.mv_hi, jnp.int32))
+                self.values[slot]["mv_lo"] = put(
+                    jnp.asarray(col.mv_lo, jnp.int32))
+                self.values[slot]["mv_off"] = put(
+                    jnp.asarray(col.mv_off, jnp.int32))
+                self.values[slot]["mv_len"] = put(
+                    jnp.asarray(col.mv_len, jnp.int32))
         self.geo = {}
         for slot, g in seg.geo.items():
             self.geo[slot] = {

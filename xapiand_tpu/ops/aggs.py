@@ -30,6 +30,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from xapiand_tpu.ops.executor import _get_value_col
+
 
 _HLL_P = 10
 _HLL_M = 1 << _HLL_P
@@ -58,11 +60,41 @@ def _value_hist(v, m, lo, scale, nb):
 
 
 def _slot_vals(seg, slot, docids, mask):
-    col = seg["values"][slot]
+    col = _get_value_col(seg, slot)
     d = jnp.minimum(docids, col["fval"].shape[0] - 1)
     v = col["fval"][d]
     m = mask & col["present"][d]
     return v, m
+
+
+def _key_ranges_membership(col, d, b, vmax):
+    """[rows, nr] bool: does SOME actual value of doc d lie in range r?
+
+    Exact per-value containment (MultipleValueRange semantics, range.cc:
+    352-366): interval-overlap on the [min,max] key pair is exact for
+    single-value docs; docs with >=2 values (mv_len > 0) additionally
+    gather their per-value keys at static width ``vmax`` and require a
+    real hit. b: [nr, 4] int32 split-key range bounds."""
+    from xapiand_tpu.ops.executor import _lex_ge, _lex_le
+
+    ge = _lex_ge(col["max_hi"][d][:, None], col["max_lo"][d][:, None],
+                 b[None, :, 0], b[None, :, 1])
+    le = _lex_le(col["hi"][d][:, None], col["lo"][d][:, None],
+                 b[None, :, 2], b[None, :, 3])
+    inr = ge & le                                         # [rows, nr]
+    if vmax > 1 and "mv_hi" in col:
+        off = col["mv_off"][d]
+        cnt = col["mv_len"][d]
+        vidx = off[:, None] + jnp.arange(vmax)[None, :]
+        vidx = jnp.minimum(vidx, col["mv_hi"].shape[0] - 1)
+        vh = col["mv_hi"][vidx][:, :, None]               # [rows, vmax, 1]
+        vl = col["mv_lo"][vidx][:, :, None]
+        valid = (jnp.arange(vmax)[None, :] < cnt[:, None])[:, :, None]
+        hit = (_lex_ge(vh, vl, b[None, None, :, 0], b[None, None, :, 1])
+               & _lex_le(vh, vl, b[None, None, :, 2], b[None, None, :, 3])
+               & valid)
+        inr = inr & ((cnt == 0)[:, None] | jnp.any(hit, axis=1))
+    return inr
 
 
 def _sub_stats_bucketed(seg, sub_specs, docids, oh_bool):
@@ -81,7 +113,7 @@ def _sub_stats_bucketed(seg, sub_specs, docids, oh_bool):
                         "min": jnp.full_like(n, jnp.inf),
                         "max": jnp.full_like(n, -jnp.inf)})
             continue
-        col = seg["values"][slot]
+        col = _get_value_col(seg, slot)
         d = jnp.minimum(docids, col["fval"].shape[0] - 1)
         v = col["fval"][d]
         present = col["present"][d]
@@ -106,7 +138,7 @@ def _bucket_codes(seg, desc, plan, docids, mask):
     """Code-based bucketing for composite (nested) buckets:
     desc = (kind, slot, nb, params_key) -> (codes i32[rows], valid[rows])."""
     kind, slot, nb, pkey = desc
-    col = seg["values"][slot]
+    col = _get_value_col(seg, slot)
     d = jnp.minimum(docids, col["fval"].shape[0] - 1)
     if kind == "terms":
         code = col["cats"][d] if "cats" in col else jnp.full_like(d, -1)
@@ -179,7 +211,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             continue
         if kind == "missing":
             slot, sub_specs = spec[1], spec[2]
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["present"].shape[0] - 1)
             m = mask & ~col["present"][d]
             res = {"count": jnp.sum(m.astype(jnp.int32))}
@@ -216,7 +248,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
         elif kind == "terms":
             ncats = spec[2]
             sub_specs = spec[3] if len(spec) > 3 else ()
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             codes = col["cats"][d]
             remap = (plan or {}).get("cat_remap", {}).get(i)
@@ -257,21 +289,16 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
         elif kind == "key_range":
             # exact u64-sort-key range buckets (_ip_range: reserved-but-
             # disabled in the reference, aggregations.cc:86). A doc lands in
-            # every range its [min,max] key interval overlaps, mirroring the
-            # value-filter overlap semantics (multivalue/range.h).
-            from xapiand_tpu.ops.executor import _lex_ge, _lex_le
-
+            # every range containing SOME actual value, mirroring the
+            # value-filter per-value semantics (multivalue/range.cc:352-366).
             nr = spec[2]
             sub_specs = spec[3] if len(spec) > 3 else ()
-            col = seg["values"][slot]
+            vmax = spec[4] if len(spec) > 4 else 1
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
             m = mask & col["present"][d]
             b = plan["agg_ranges"][i]               # [nr, 4] int32 key pairs
-            ge = _lex_ge(col["max_hi"][d][:, None], col["max_lo"][d][:, None],
-                         b[None, :, 0], b[None, :, 1])
-            le = _lex_le(col["hi"][d][:, None], col["lo"][d][:, None],
-                         b[None, :, 2], b[None, :, 3])
-            inr = ge & le & m[:, None]
+            inr = _key_ranges_membership(col, d, b, vmax) & m[:, None]
             counts = jnp.sum(inr.astype(jnp.int32), axis=0)
             if sub_specs:
                 out.append({"counts": counts,
@@ -284,19 +311,15 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             # ip field by a caller-supplied network->location table; bucket
             # membership = OR over the location's CIDR key intervals, folded
             # through a one-hot matmul so it lands on the MXU.
-            from xapiand_tpu.ops.executor import _lex_ge, _lex_le
-
             nb, ncidr = spec[2], spec[3]
             sub_specs = spec[4] if len(spec) > 4 else ()
-            col = seg["values"][slot]
+            vmax = spec[5] if len(spec) > 5 else 1
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
             m = mask & col["present"][d]
             b = plan["agg_ranges"][i]               # [ncidr, 4]
-            ge = _lex_ge(col["max_hi"][d][:, None], col["max_lo"][d][:, None],
-                         b[None, :, 0], b[None, :, 1])
-            le = _lex_le(col["hi"][d][:, None], col["lo"][d][:, None],
-                         b[None, :, 2], b[None, :, 3])
-            inc = (ge & le).astype(jnp.float32)     # [rows, ncidr]
+            inc = _key_ranges_membership(col, d, b, vmax) \
+                .astype(jnp.float32)                # [rows, ncidr]
             assign = plan["agg_params"][i]          # [ncidr] -> bucket idx
             onehot = (assign[:, None] == jnp.arange(nb)[None, :]) \
                 .astype(jnp.float32)
@@ -342,7 +365,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
                 # (_geo_distance; declared-but-disabled in the reference)
                 from xapiand_tpu.ops.executor import _haversine
 
-                col = seg["values"][slot]
+                col = _get_value_col(seg, slot)
                 d = jnp.minimum(docids, col["fval"].shape[0] - 1)
                 lon = col["fval2"][d] if "fval2" in col \
                     else jnp.zeros_like(col["fval"][d])
@@ -371,7 +394,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             # bound when values repeat across shards). The host estimate
             # clamps into [max(exact), sum(exact)], so one-part results
             # stay exact.
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
             m = mask & col["present"][d]
             I32MAX = jnp.int32(2**31 - 1)
@@ -399,7 +422,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             out.append({"n": exact, "maxn": exact, "hll": regs})
         elif kind == "geo_stats":
             # sufficient stats for _geo_bounds / _geo_centroid
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             m = mask & col["present"][d]
             lat = col["fval"][d]

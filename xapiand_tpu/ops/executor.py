@@ -61,6 +61,9 @@ class ExecConfig:
     classes: tuple = ()          # per-term posting size class, len == T
     n_filters: int = 0
     filter_slots: tuple = ()     # slot per filter leaf
+    filter_vmax: tuple = ()      # per-filter static gather width for multi-
+                                 # value slots (pow2 of max values/doc);
+                                 # 1 = single-value column (interval exact)
     geo_specs: tuple = ()        # (slot, QR, RMAX) per geo leaf
     sort: tuple = ()             # ((kind, slot, desc), ...); () = relevance
     collapse_slot: Optional[int] = None
@@ -269,16 +272,35 @@ def _upper_tree(tree, positive: bool = True):
     return ("ALL",) if positive else ("NONE",)
 
 
+def _get_value_col(seg, slot):
+    """Value column for ``slot``, or a synthesized 1-row absent column
+    when this segment never saw the field (it appeared in a later commit):
+    every docid gather clamps to row 0 whose present=False, so range
+    leaves are False, sort keys missing-last, agg values excluded -
+    exactly a segment where no doc has the value."""
+    col = seg["values"].get(slot)
+    if col is not None:
+        return col
+    i32max = jnp.full((1,), 2**31 - 1, jnp.int32)
+    return {"hi": i32max, "lo": i32max, "max_hi": i32max, "max_lo": i32max,
+            "fval": jnp.zeros((1,), jnp.float32),
+            "present": jnp.zeros((1,), bool)}
+
+
 def _gather_filter_leaves(seg, cfg: ExecConfig, fparams, docids):
     """Per-candidate value range filter results, one bool array per leaf.
 
-    Range semantics on (possibly multi-value) slots: doc matches if its
-    [min,max] key interval overlaps the query interval - exact for
-    single-value slots (src/multivalue/range.h MultipleValueRange)."""
+    Exact MultipleValueRange semantics (multivalue/range.cc:352-366): a doc
+    matches iff SOME actual value lies inside [lo, hi]. Single-value docs
+    are exact under the [min,max] interval overlap test (min == max); docs
+    with >=2 values (mv_len > 0) additionally gather their per-value keys
+    (column mv_* arrays, static width cfg.filter_vmax[i]) and require a
+    real containment hit - interval overlap alone would false-positive
+    (e.g. values {1,10} vs query [4,6])."""
     outs = []
     for i in range(cfg.n_filters):
         slot = cfg.filter_slots[i]
-        col = seg["values"][slot]
+        col = _get_value_col(seg, slot)
         d = jnp.minimum(docids, col["hi"].shape[0] - 1)
         vmin_h, vmin_l = col["hi"][d], col["lo"][d]
         vmax_h, vmax_l = col["max_hi"][d], col["max_lo"][d]
@@ -288,6 +310,18 @@ def _gather_filter_leaves(seg, cfg: ExecConfig, fparams, docids):
         ok = (present
               & _lex_ge(vmax_h, vmax_l, lo_h, lo_l)
               & _lex_le(vmin_h, vmin_l, hi_h, hi_l))
+        vmax = cfg.filter_vmax[i] if i < len(cfg.filter_vmax) else 1
+        if vmax > 1 and "mv_hi" in col:
+            off = col["mv_off"][d]                       # [C]
+            cnt = col["mv_len"][d]                       # [C]
+            vidx = off[:, None] + jnp.arange(vmax)[None, :]
+            vidx = jnp.minimum(vidx, col["mv_hi"].shape[0] - 1)
+            vh = col["mv_hi"][vidx]                      # [C, vmax]
+            vl = col["mv_lo"][vidx]
+            valid = jnp.arange(vmax)[None, :] < cnt[:, None]
+            inr = (_lex_ge(vh, vl, lo_h, lo_l)
+                   & _lex_le(vh, vl, hi_h, hi_l) & valid)
+            ok = ok & ((cnt == 0) | jnp.any(inr, axis=1))
         outs.append(ok)
     return outs
 
@@ -371,7 +405,7 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
     for si, spec in enumerate(cfg.sort):
         kind, slot, desc = spec[0], spec[1], spec[2]
         if kind == "value":
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
             h, l = col["hi"][d], col["lo"][d]
             if desc:
@@ -384,7 +418,7 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
             keys.append(jnp.where(eligible, sk, jnp.inf))
         elif kind == "dist":
             # nearest-to-target numeric key (keymaker.h distance keys)
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             kf = jnp.abs(col["fval"][d] - plan["sort_targets"][si, 0])
             kf = jnp.where(col["present"][d], kf, jnp.inf)
@@ -392,7 +426,7 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
                 kf = -kf
             keys.append(jnp.where(eligible, kf, jnp.inf))
         elif kind == "geodist":
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             lon = col["fval2"][d] if "fval2" in col \
                 else jnp.zeros_like(col["fval"][d])
@@ -405,7 +439,7 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
             keys.append(jnp.where(eligible, kf, jnp.inf))
         elif kind == "strmetric":
             # per-category metric distances precomputed host-side
-            col = seg["values"][slot]
+            col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             tab = plan["sort_strtabs"][si]
             code = col["cats"][d] if "cats" in col \
@@ -438,7 +472,7 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
 def _collapse(cfg: ExecConfig, seg, docids, scores, eligible):
     """Keep only the best-scoring doc per collapse key
     (src/xapian/matcher/collapser.cc semantics, one level)."""
-    col = seg["values"][cfg.collapse_slot]
+    col = _get_value_col(seg, cfg.collapse_slot)
     d = jnp.minimum(docids, col["hi"].shape[0] - 1)
     kh, kl = col["hi"][d], col["lo"][d]
     present = col["present"][d]

@@ -54,14 +54,23 @@ def pad_uniform(segments: list[Segment]) -> list[Segment]:
     gr_pad = {slot: max((s.geo[slot].flat_start.shape[0]
                          for s in segments if slot in s.geo), default=64)
               for slot in all_geo}
+    # slots where ANY shard has multi-value docs need uniform mv_* arrays
+    # on every shard (SPMD pytree structure must match)
+    vr_pad = {}
+    for slot in all_slots:
+        sizes = [s.values[slot].mv_hi.shape[0] for s in segments
+                 if slot in s.values and s.values[slot].mv_hi is not None]
+        if sizes:
+            vr_pad[slot] = max(sizes)
     out = []
     for s in segments:
         out.append(_pad_one(s, nd_pad, p_pad, pp_pad, all_slots, all_geo,
-                            gr_pad))
+                            gr_pad, vr_pad))
     return out
 
 
-def _pad_one(s: Segment, nd_pad, p_pad, pp_pad, all_slots, all_geo, gr_pad):
+def _pad_one(s: Segment, nd_pad, p_pad, pp_pad, all_slots, all_geo, gr_pad,
+             vr_pad=None):
     import copy as _copy
 
     from xapiand_tpu.models.segment import GeoColumn, ValueColumn
@@ -119,6 +128,19 @@ def _pad_one(s: Segment, nd_pad, p_pad, pp_pad, all_slots, all_geo, gr_pad):
             if col.fval2 is not None:
                 nc.fval2 = pad1(col.fval2, nd_pad + 1, 0.0)
             ns.values[slot] = nc
+        if vr_pad and slot in vr_pad:
+            nc = ns.values[slot]
+            vr = vr_pad[slot]
+            if nc.mv_hi is None:
+                nc.mv_hi = np.full(vr, _I32MAX, np.int32)
+                nc.mv_lo = np.full(vr, _I32MAX, np.int32)
+                nc.mv_off = np.zeros(nd_pad + 1, np.int32)
+                nc.mv_len = np.zeros(nd_pad + 1, np.int32)
+            else:
+                nc.mv_hi = pad1(nc.mv_hi, vr, _I32MAX)
+                nc.mv_lo = pad1(nc.mv_lo, vr, _I32MAX)
+                nc.mv_off = pad1(nc.mv_off, nd_pad + 1, 0)
+                nc.mv_len = pad1(nc.mv_len, nd_pad + 1, 0)
     ns.geo = {}
     for slot in all_geo:
         g = s.geo.get(slot)
@@ -176,6 +198,15 @@ def stack_segments(segments: list[Segment], mesh: Mesh) -> dict:
             out["values"][slot]["fval2"] = shard_arr(
                 [c.fval2 if c.fval2 is not None
                  else np.zeros_like(c.fval) for c in cols], 1)
+        if all(c.mv_hi is not None for c in cols):
+            out["values"][slot]["mv_hi"] = shard_arr(
+                [c.mv_hi for c in cols], 1)
+            out["values"][slot]["mv_lo"] = shard_arr(
+                [c.mv_lo for c in cols], 1)
+            out["values"][slot]["mv_off"] = shard_arr(
+                [c.mv_off for c in cols], 1)
+            out["values"][slot]["mv_len"] = shard_arr(
+                [c.mv_len for c in cols], 1)
     for slot in segments[0].geo:
         gs = [s.geo[slot] for s in segments]
         out["geo"][slot] = {

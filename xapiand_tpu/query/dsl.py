@@ -309,14 +309,13 @@ class QueryDSL:
 
             s = str(value)
             if "/" in s:
-                # CIDR query = half-open value-range over the sortable keys
-                lo_v, hi_v = iputils.parse_ip_interval(s)
+                # CIDR query = half-open value-range over the sortable keys;
+                # ip_interval_keys clamps IPv6 prefixes finer than float53
+                # resolution to the enclosing bucket (never an empty range)
                 if spec.slot is None:
                     raise QueryDSLError(f"CIDR query on {path!r} needs values")
-                # value ranges are inclusive; keys are a monotonic bijection
-                # over floats, so key(hi)-1 == "value < hi"
-                return Q.value_range(spec.slot, ser.sortable_key_u64(lo_v),
-                                     ser.sortable_key_u64(hi_v) - 1)
+                fkey, tkey = iputils.ip_interval_keys(s)
+                return Q.value_range(spec.slot, fkey, tkey)
             return Q.term(pfx + ":" + ser.serialise_float_term(
                 iputils.parse_ip(s)), factor=factor)
         if ftype == FieldType.GEO:

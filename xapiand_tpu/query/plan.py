@@ -434,6 +434,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         "qlen": np.float32(max(qlen, 1)),
     }
 
+    filter_vmax = []
     if cq.filters:
         fp = np.zeros((len(cq.filters), 4), dtype=np.int32)
         for i, (slot, lo, hi) in enumerate(cq.filters):
@@ -441,6 +442,12 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
             hi = (1 << 64) - 1 if hi is None else hi
             fp[i, 0], fp[i, 1] = ser.split_key(lo)
             fp[i, 2], fp[i, 3] = ser.split_key(hi)
+            # static per-value gather width (pow2) for exact multi-value
+            # containment; 1 = single-value column, interval test exact
+            col = seg.values.get(slot)
+            mv = int(getattr(col, "max_vals", 1)) if col is not None else 1
+            filter_vmax.append(1 if mv <= 1
+                               else 1 << (mv - 1).bit_length())
         arrays["fparams"] = fp
 
     geo_specs = []
@@ -521,6 +528,21 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         if strtabs:
             arrays["sort_strtabs"] = strtabs
 
+    # key_range/geo_ip agg buckets share the range-filter per-value
+    # containment semantics; stamp the static multi-value gather width
+    # (trailing spec element) so ops/aggs.py can be exact on multi slots
+    if aggs:
+        patched = []
+        for spec in aggs:
+            if spec and spec[0] in ("key_range", "geo_ip"):
+                col_a = seg.values.get(spec[1])
+                mv = int(getattr(col_a, "max_vals", 1)) \
+                    if col_a is not None else 1
+                vmax_a = 1 if mv <= 1 else 1 << (mv - 1).bit_length()
+                spec = tuple(spec) + (vmax_a,)
+            patched.append(spec)
+        aggs = tuple(patched)
+
     rows = nd1 if cq.dense else sum(classes)
     unweighted = (getattr(scheme, "name", "") == "bool"
                   or not (any(pt.scoring for pt in cq.terms)
@@ -531,6 +553,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         classes=tuple(classes),
         n_filters=len(cq.filters),
         filter_slots=tuple(slot for slot, _, _ in cq.filters),
+        filter_vmax=tuple(filter_vmax),
         geo_specs=tuple(geo_specs),
         sort=tuple(sort_static),
         collapse_slot=collapse_slot,
@@ -630,6 +653,16 @@ def unify_cfgs(cfgs: list[ExecConfig], k: Optional[int] = None) -> ExecConfig:
         "pmax": max(c.pmax for c in cfgs),
         "cand_cap": max(c.cand_cap for c in cfgs),
         "geo_specs": geo_specs,
+        "filter_vmax": tuple(
+            max(c.filter_vmax[fi] if fi < len(c.filter_vmax) else 1
+                for c in cfgs)
+            for fi in range(len(base.filter_slots))),
+        # key_range/geo_ip specs carry a trailing static mv gather width -
+        # take the shard-wise max so one compiled shape fits every shard
+        "with_aggs": tuple(
+            (spec[:-1] + (max(c.with_aggs[si][-1] for c in cfgs),))
+            if spec and spec[0] in ("key_range", "geo_ip") else spec
+            for si, spec in enumerate(base.with_aggs)),
         # re-derive from the MERGED classes, member-wise: each query's
         # conjunct POSITIONS differ (variable-size or_terms groups), so
         # the sound group cap is the max of per-member bounds

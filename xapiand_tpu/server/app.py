@@ -219,8 +219,11 @@ class IndexManager:
             fdb.index_document({"_schema_props": shared}, doc_id=fdoc,
                                commit=True)
 
-        def writeback(props, _fdb=fdb, _fdoc=fdoc):
-            _fdb.index_document(
+        def writeback(props, _mgr=self, _fidx=fidx, _fdoc=fdoc):
+            # resolve the owning index at WRITE time: capturing the
+            # Database object would write through a closed WAL (or a
+            # stale instance) after an LRU eviction/reopen (_evict_lru)
+            _mgr.get(_fidx, create=True).index_document(
                 {"_schema_props": {k: v for k, v in props.items()
                                    if k != "_foreign"}},
                 doc_id=_fdoc, commit=True)

@@ -37,6 +37,27 @@ def parse_ip_interval(value) -> tuple[float, float]:
     return float(v), float(v + 1)
 
 
+def ip_interval_keys(value) -> tuple[int, int]:
+    """CIDR or single address -> INCLUSIVE (lo_key, hi_key) sortable-u64
+    pair, safe against float53 collapse.
+
+    IPv6 prefixes finer than the float64 mantissa at the address's
+    magnitude (finer than ~/53 for global-unicast space, including the
+    standard /64) round ``float(lo + num_addresses)`` back onto
+    ``float(lo)``; the naive ``key(hi) - 1`` then INVERTS the range and
+    matches nothing. Clamp to an equal-key range instead so such queries
+    degrade to the enclosing float-resolution bucket (every address that
+    rounds with the prefix), never to silence."""
+    from xapiand_tpu.utils import serialise as ser
+
+    lo_v, hi_v = parse_ip_interval(value)
+    fkey = ser.sortable_key_u64(lo_v)
+    tkey = ser.sortable_key_u64(hi_v) - 1
+    if tkey < fkey:
+        tkey = fkey
+    return fkey, tkey
+
+
 def format_ip(value: float, version_hint: int = 4) -> str:
     """Best-effort float -> address string (for response shaping)."""
     v = int(value)
