@@ -309,29 +309,34 @@ class Database:
     def _compact_tier(self):
         """Tiered background compaction (≙ glass_compact / the honey
         read-optimised rebuild): merge the smallest segments down to half
-        the trigger count, re-inverting only their live documents. Large
-        segments are left alone, so steady-state write amplification stays
-        logarithmic like an LSM."""
+        the trigger count. Large segments are left alone, so steady-state
+        write amplification stays logarithmic like an LSM. The merge is a
+        pure data merge (models/merge.py) - posting spans and value/geo
+        columns are concatenated with docids rebased, NO re-tokenization
+        (the reference's compact streams tables, glass_compact.cc; it
+        never re-analyzes documents)."""
+        from xapiand_tpu.models.merge import merge_segments_data
+
         order = sorted(range(len(self._searchers)),
                        key=lambda i: self._searchers[i].segment.doc_count)
         n_keep_small = self.auto_merge_segments // 2
         victims = set(order[: len(order) - n_keep_small])
         if len(victims) < 2:
             return
-        builder = SegmentBuilder()
-        for i in sorted(victims):
-            seg = self._searchers[i].segment
-            for docid, key in enumerate(seg.doc_keys):
-                if seg.deleted[docid] or self._locate.get(key) != (i, docid):
-                    continue
-                doc = self._docs_store.get(key)
-                if doc is None:
-                    continue
-                builder.add(self.schema.index(
-                    doc, key,
-                    defer_text=getattr(builder, "wants_deferred_text",
-                                       False)))
-        merged = builder.finalize() if len(builder) else None
+        vlist = sorted(victims)
+        segs = [self._searchers[i].segment for i in vlist]
+        alive = []
+        for i, seg in zip(vlist, segs):
+            al = (~seg.deleted[: seg.num_docs]).copy()
+            keys = seg.doc_keys
+            for docid in np.nonzero(al)[0]:
+                # replaced rows are delete-flagged at replace time, so this
+                # locate check is belt-and-braces against drift
+                if self._locate.get(keys[docid]) != (i, int(docid)):
+                    al[docid] = False
+            alive.append(al)
+        merged_seg, _remaps = merge_segments_data(segs, alive)
+        merged = merged_seg if merged_seg.num_docs else None
         new_searchers, remap = [], {}
         for i, s in enumerate(self._searchers):
             if i in victims:

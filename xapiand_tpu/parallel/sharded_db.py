@@ -180,32 +180,59 @@ class ShardedDatabase(Database):
         return super().merge_segments()
 
     def _compact_tier(self):
-        """Compaction rebuilds everything into ONE generation (per-shard);
-        generations are already per-commit, so the small-segment tiering of
-        the base class does not apply."""
-        docs = []
-        for seg_idx, s in enumerate(self._searchers):
-            seg = s.segment
-            for docid, key in enumerate(seg.doc_keys):
-                if not seg.deleted[docid] and \
-                        self._locate.get(key) == (seg_idx, docid):
-                    doc = self._docs_store.get(key)
-                    if doc is not None:
-                        docs.append((key, doc))
-        builder = self._new_builder()
-        for key, doc in docs:
-            builder.add(self.schema.index(
-                doc, key, defer_text=builder.wants_deferred_text))
-        self._builder = builder   # freeze via the standard path (orderkeys)
-        segs = self._finalize_pending()
-        self._builder = self._new_builder()
+        """Generation consolidation: fold every per-commit generation into
+        ONE via a per-shard data merge (models/merge.py - postings and
+        value/geo columns concatenated with docids rebased, no re-analysis),
+        so ``_search_mesh`` launches the SPMD step once per query no matter
+        how many commits the index has seen (the reference's per-shard
+        search cost never grows with commit count, shard.cc). Insertion-
+        order tiebreak arrays are carried through the docid remaps, so
+        equal-score ranks stay identical to the unsharded oracle."""
+        from xapiand_tpu.models.merge import merge_segments_data
+        from xapiand_tpu.parallel.sharded import pad_uniform
+
+        if len(self._generations) < 2:
+            return
+        per_shard: list[list] = [[] for _ in range(self.n_shards)]
+        for gen in self._generations:
+            for shard, seg_idx in enumerate(gen["searcher_idx"]):
+                per_shard[shard].append(
+                    (seg_idx, self._searchers[seg_idx].segment,
+                     gen["orderkey"][shard]))
+        new_segs, new_okeys = [], []
+        for shard in range(self.n_shards):
+            segs = [t[1] for t in per_shard[shard]]
+            alive = []
+            for seg_idx, seg, _ok in per_shard[shard]:
+                al = (~seg.deleted[: seg.num_docs]).copy()
+                keys = seg.doc_keys
+                for docid in np.nonzero(al)[0]:
+                    if docid >= len(keys) or \
+                            self._locate.get(keys[docid]) != (seg_idx,
+                                                              int(docid)):
+                        al[docid] = False
+                alive.append(al)
+            merged, remaps = merge_segments_data(segs, alive)
+            ok = np.full(merged.num_docs + 1, 2**31 - 1, np.int32)
+            for (_si, _seg, okrow), rm in zip(per_shard[shard], remaps):
+                kept = np.nonzero(rm >= 0)[0]
+                ok[rm[kept]] = okrow[kept]
+            new_segs.append(merged)
+            new_okeys.append(ok)
+        if self.mesh is not None:
+            new_segs = pad_uniform(new_segs)
+        nd = max(s.num_docs for s in new_segs)
+        okeys = np.full((self.n_shards, nd + 1), 2**31 - 1, np.int32)
+        for si, ok in enumerate(new_okeys):
+            okeys[si, : ok.shape[0] - 1] = ok[:-1]
+        self._last_orderkeys = okeys
         self._searchers = []
         self._locate = {}
         self._generations = []
         self._seg_to_gen = {}
         self._mesh_step_cache.clear()
         new_indices = []
-        for seg in segs:
+        for seg in new_segs:
             searcher = SegmentSearcher(seg, self.scheme, device=self.device)
             idx = len(self._searchers)
             self._searchers.append(searcher)
