@@ -118,8 +118,8 @@ def test_multi_generation_and_delete(pair):
 
 
 def test_mesh_fallback_features(pair):
-    """Features outside the mesh step (collapse, percentiles) transparently
-    fall back to the inherited per-segment path with identical results."""
+    """Order-stat aggs ride the mesh; anything outside MESH_AGG_KINDS
+    transparently falls back with identical results."""
     ref, sdb = pair
     slot = ref.schema.get_field("cat").slot
     r1 = ref.search({"body": "alpha"}, k=5, collapse_slot=slot)
@@ -285,3 +285,66 @@ def test_generation_consolidation_data_merge():
     assert r4.total == r5.total
     assert sorted(h.id for h in r4.hits) == sorted(h.id for h in r5.hits)
     assert not set(gone) & {h.id for h in r4.hits}
+
+
+def test_collapse_on_mesh(pair):
+    """_collapse rides the mesh as two-level collapse: per-shard collapse
+    inside the SPMD step + host re-collapse of the full gathered union
+    (collapser.cc + handler.cc:1543-1549). Exact parity vs unsharded."""
+    from xapiand_tpu.parallel import sharded as _sh
+
+    ref, sdb = pair
+    slot = ref.schema.get_field("cat").slot
+    calls = []
+    orig = _sh.MeshExecutor.run
+
+    def spy(self, *a, **k):
+        calls.append(k.get("collapse_slot"))
+        return orig(self, *a, **k)
+
+    _sh.MeshExecutor.run = spy
+    try:
+        for cmax in (1, 2):
+            for q in ({"body": "alpha"}, {"_match_all": {}},
+                      {"_or": [{"body": "beta"}, {"body": "gamma"}]}):
+                r1 = ref.search(q, k=8, collapse_slot=slot,
+                                collapse_max=cmax)
+                r2 = sdb.search(q, k=8, collapse_slot=slot,
+                                collapse_max=cmax)
+                assert r2.total == r1.total, (q, cmax)
+                assert [(h.id, round(h.score, 4)) for h in r2.hits] == \
+                    [(h.id, round(h.score, 4)) for h in r1.hits], (q, cmax)
+    finally:
+        _sh.MeshExecutor.run = orig
+    assert calls and all(c == slot for c in calls)
+
+
+def test_scripted_metric_match_phase_on_mesh(pair):
+    """_scripted_metric folds host-side, but its candidate match phase and
+    any sibling device aggs ride the mesh (no more silent full fallback)."""
+    from xapiand_tpu.parallel import sharded as _sh
+
+    ref, sdb = pair
+    aggs = {"tot": {"_scripted_metric": {
+                "_init": {"t": 0, "n": 0},
+                "_map": "state['t'] += doc.get('price', 0)\n"
+                        "state['n'] += 1",
+                "_reduce": "result = state['t'] / max(state['n'], 1)"}},
+            "mx": {"_max": {"_field": "price"}}}
+    calls = []
+    orig = _sh.MeshExecutor.run
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    _sh.MeshExecutor.run = spy
+    try:
+        r1 = ref.search({"body": "alpha"}, k=5, aggs=dict(aggs))
+        r2 = sdb.search({"body": "alpha"}, k=5, aggs=dict(aggs))
+    finally:
+        _sh.MeshExecutor.run = orig
+    assert calls, "mesh step was never used for the scripted-metric query"
+    assert r2.aggregations["tot"] == r1.aggregations["tot"]
+    assert r2.aggregations["mx"] == r1.aggregations["mx"]
+    assert [h.id for h in r2.hits] == [h.id for h in r1.hits]

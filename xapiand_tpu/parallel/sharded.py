@@ -698,7 +698,8 @@ class MeshExecutor:
 
     def run(self, segments, stacked, schema, stats, global_tf, global_cf,
             irs: list, k: int, aggs: Optional[dict] = None, sort=None,
-            scheme=None, slot_ranges=None) -> dict:
+            scheme=None, slot_ranges=None, collapse_slot=None,
+            collapse_max: int = 1) -> dict:
         """Execute a same-signature batch of Q IRs over the mesh.
 
         Returns {"docids": [nq,k] global-striped int, "scores": [nq,k],
@@ -827,6 +828,8 @@ class MeshExecutor:
                               global_tf=global_tf, k=k,
                               global_cf=global_cf,
                               aggs=agg_specs, sort=sort_t,
+                              collapse_slot=collapse_slot,
+                              collapse_max=collapse_max,
                               sort_strtabs_override=sort_overrides or None)
                          for seg in segments]
             bounds.append(per_shard)

@@ -12,10 +12,13 @@ merge, all_gather top-k merge) via MeshExecutor.
 Design: a generation = one commit's per-shard segments, uniform-padded and
 stacked over the mesh ('shard' axis). Commits stay incremental (the delta-
 segment model of Database); searches run the SPMD step once per generation
-and merge host-side exactly like Database merges its segments. Features
-the mesh step cannot express (collapse, scripted metrics) transparently
-fall back to the inherited per-segment path, so the sharded index serves the complete
-API surface either way. With fewer devices than shards (e.g. one real
+and merge host-side exactly like Database merges its segments (generation
+consolidation folds commits back to ONE, so steady-state is one launch
+per query). Collapse runs two-level on the mesh (per-shard collapse in
+the step + host re-collapse); scripted metrics fold host-side with their
+match phase on the mesh. The few agg kinds outside MESH_AGG_KINDS
+transparently fall back to the inherited per-segment path, so the
+sharded index serves the complete API surface either way. With fewer devices than shards (e.g. one real
 chip) the mesh is skipped entirely and only the inherited path runs -
 routing and shard layout stay identical, so indexes move between
 single-chip and mesh deployments without rebuilds.
@@ -255,33 +258,49 @@ class ShardedDatabase(Database):
                collapse_slot: Optional[int] = None,
                aggs: Optional[dict] = None, count_only: bool = False,
                scheme=None, collapse_max: int = 1) -> SearchResult:
-        mesh_ok = (
-            self.mesh is not None
-            and self._generations
-            and collapse_slot is None
-            and not (aggs and any(isinstance(b, dict)
-                                  and "_scripted_metric" in b
-                                  for b in aggs.values()))
-        )
+        # _scripted_metric folds a sandboxed script per matched doc on the
+        # coordinator (aggregations.cc:118-207 analog); its candidate
+        # gathering recurses through THIS method, so the match phase still
+        # rides the mesh - only the fold is host-side
+        scripted = None
+        if aggs and any(isinstance(b, dict) and "_scripted_metric" in b
+                        for b in aggs.values()):
+            scripted = {n: b for n, b in aggs.items()
+                        if isinstance(b, dict) and "_scripted_metric" in b}
+            aggs = {n: b for n, b in aggs.items()
+                    if n not in scripted} or None
+        mesh_ok = self.mesh is not None and self._generations
         if not mesh_ok:
-            return super().search(query, k=k, offset=offset, sort=sort,
-                                  collapse_slot=collapse_slot, aggs=aggs,
-                                  count_only=count_only, scheme=scheme,
-                                  collapse_max=collapse_max)
-        try:
-            return self._search_mesh(query, k, offset, sort, aggs,
-                                     count_only, scheme)
-        except ValueError:
-            # mesh-incompatible feature (agg kind outside MESH_AGG_KINDS):
-            # the inherited per-segment path serves it instead - same
-            # results, coordinator execution
-            return super().search(query, k=k, offset=offset, sort=sort,
-                                  collapse_slot=collapse_slot, aggs=aggs,
-                                  count_only=count_only, scheme=scheme,
-                                  collapse_max=collapse_max)
+            result = super().search(query, k=k, offset=offset, sort=sort,
+                                    collapse_slot=collapse_slot, aggs=aggs,
+                                    count_only=count_only, scheme=scheme,
+                                    collapse_max=collapse_max)
+        else:
+            try:
+                result = self._search_mesh(query, k, offset, sort, aggs,
+                                           count_only, scheme,
+                                           collapse_slot, collapse_max)
+            except ValueError:
+                # mesh-incompatible feature (agg kind outside
+                # MESH_AGG_KINDS): the inherited per-segment path serves
+                # it instead - same results, coordinator execution
+                result = super().search(query, k=k, offset=offset,
+                                        sort=sort,
+                                        collapse_slot=collapse_slot,
+                                        aggs=aggs, count_only=count_only,
+                                        scheme=scheme,
+                                        collapse_max=collapse_max)
+        if scripted:
+            ir = query if isinstance(query, Q) else \
+                QueryDSL(self.schema,
+                         term_expander=self.expand_prefix).parse(query)
+            shaped = self._scripted_metrics(ir, scripted, self.stats())
+            result.aggregations = {**(result.aggregations or {}), **shaped}
+        return result
 
     def _search_mesh(self, query, k, offset, sort, aggs, count_only,
-                     scheme) -> SearchResult:
+                     scheme, collapse_slot=None,
+                     collapse_max=1) -> SearchResult:
         from xapiand_tpu import aggregations as aggs_mod
         from xapiand_tpu.models.weights import get_scheme
         from xapiand_tpu.parallel.sharded import MeshExecutor
@@ -295,6 +314,15 @@ class ShardedDatabase(Database):
                      term_expander=self.expand_prefix).parse(query)
         stats = self.stats()
         want = k + offset
+        # collapse rides the mesh as two-level collapse (collapser.cc +
+        # handler.cc:1543-1549): each shard collapses locally inside the
+        # SPMD step; the host re-collapses the merged union. The device
+        # merge must return the FULL S*want union (not just top-want) so
+        # the host pass sees every per-shard survivor - per-shard depth
+        # `want` is sufficient for exactness, the widening is only so the
+        # union slice drops nothing.
+        run_k = want * self.n_shards if collapse_slot is not None \
+            else max(want, 1)
         ex = MeshExecutor(self.mesh, self.n_shards, self.scheme,
                           self._mesh_step_cache)
         slot_ranges = None
@@ -310,9 +338,11 @@ class ShardedDatabase(Database):
             stacked = self._ensure_stacked(gen)
             raw = ex.run(gen["segments"], stacked, self.schema, stats,
                          self.global_termfreq, self.global_collfreq,
-                         [ir], max(want, 1), aggs=aggs,
+                         [ir], run_k, aggs=aggs,
                          sort=tuple(sort) if sort else None, scheme=scheme,
-                         slot_ranges=slot_ranges)
+                         slot_ranges=slot_ranges,
+                         collapse_slot=collapse_slot,
+                         collapse_max=collapse_max)
             total += int(raw["counts"][0])
             if aggs and raw["agg_parts"] is not None:
                 agg_parts.append(raw["agg_parts"](0))
@@ -344,6 +374,9 @@ class ShardedDatabase(Database):
             merged = self._merge_sorted(merged, sort)
         else:
             merged.sort()
+        if collapse_slot is not None:
+            # second collapse level across shards + generations
+            merged = self._recollapse(merged, collapse_slot, collapse_max)
         from xapiand_tpu.database import Hit
 
         for rank, (negscore, _tb, seg_idx, did) in enumerate(
