@@ -63,6 +63,10 @@ def main(argv=None):
     p.add_argument("--num-doc-preparers", type=int, default=None,
                    help="bulk prepare pool width (≙ opts.h:71; "
                         "default: min(8, cpus))")
+    p.add_argument("--num-http-clients", type=int, default=8,
+                   help="request worker pool width: device execution and "
+                        "bulk indexing run here, off the event loop "
+                        "(\u2259 opts.h:67 num_http_clients)")
     p.add_argument("--num-replicas", type=int, default=0,
                    help="default replicas per new index (≙ opts.h:86)")
     p.add_argument("--autocommit-max-force", type=float, default=3.0,
@@ -141,6 +145,7 @@ def main(argv=None):
         server_opts={"pretty": args.pretty,
                      "comments": not args.no_comments,
                      "echo": args.echo, "human": args.human,
+                     "num_http_clients": args.num_http_clients,
                      "cluster_name": args.cluster_name})
     web.run_app(app, host=args.bind, port=args.port)
 

@@ -282,8 +282,10 @@ class IndexManager:
             if len(db._builder) or db._pending_deletes:
                 db.commit()
         if self.commit_runner is not None:
-            # serialize with request handling (single-writer discipline)
-            self.commit_runner(run)
+            # serialize with request handling (single-writer discipline):
+            # the server routes this through the worker pool under the
+            # index's exclusive lock
+            self.commit_runner(run, name)
         else:
             run()
 
@@ -314,16 +316,32 @@ def parse_path(path: str):
 class RestServer:
     def __init__(self, manager: IndexManager, cluster=None, replicator=None,
                  server_opts: Optional[dict] = None):
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         # response-shaping defaults (≙ opts.h:40-47 pretty/echo/human/
         # comments flags); per-request ?pretty still overrides
         self.opts = {"pretty": False, "comments": True, "echo": False,
-                     "human": False, "cluster_name": "xapiand-tpu"}
+                     "human": False, "cluster_name": "xapiand-tpu",
+                     "num_http_clients": 8}
         if server_opts:
             self.opts.update(server_opts)
         self.man = manager
         self.cluster = cluster
         self.replicator = replicator
         self.started = time.time()
+        # device execution and bulk indexing run in this worker pool so a
+        # slow query (or a first-compile of a new shape) never stalls the
+        # event loop - /:metrics and other requests keep flowing
+        # (≙ the reference's N http clients over a database pool,
+        # manager.h:155-163, opts.h num_http_clients). Per-index RW lock:
+        # concurrent searches, single writer (Xapian's reader/writer
+        # discipline per shard).
+        self.pool = ThreadPoolExecutor(
+            max_workers=max(int(self.opts["num_http_clients"]), 1),
+            thread_name_prefix="xapiand-http")
+        self._locks: dict = {}
+        self._locks_guard = threading.Lock()
         if CollectorRegistry is not None:
             self.registry = CollectorRegistry()
             self.op_count = Counter(
@@ -334,6 +352,50 @@ class RestServer:
                 ["operation"], registry=self.registry)
         else:  # pragma: no cover
             self.registry = None
+
+    def _lock_for(self, index: str):
+        from xapiand_tpu.utils.rwlock import RWLock
+
+        lk = self._locks.get(index)
+        if lk is None:
+            with self._locks_guard:
+                lk = self._locks.setdefault(index, RWLock())
+        return lk
+
+    async def _read_op(self, index: str, fn):
+        """Run fn in the worker pool under the index's shared lock."""
+        loop = asyncio.get_running_loop()
+        lk = self._lock_for(index)
+
+        def work():
+            with lk.read():
+                return fn()
+
+        return await loop.run_in_executor(self.pool, work)
+
+    async def _write_op(self, index: str, fn):
+        """Run fn in the worker pool under the index's exclusive lock."""
+        loop = asyncio.get_running_loop()
+        lk = self._lock_for(index)
+
+        def work():
+            with lk.write():
+                return fn()
+
+        return await loop.run_in_executor(self.pool, work)
+
+    def submit_write(self, fn, index=None):
+        """Fire-and-forget a write under the index's exclusive lock - the
+        autocommit debouncer (timer thread) posts commits through here."""
+        if index is None:
+            self.pool.submit(fn)
+            return
+
+        def work():
+            with self._lock_for(index).write():
+                fn()
+
+        self.pool.submit(work)
 
     # -- plumbing --------------------------------------------------------------
 
@@ -438,13 +500,15 @@ class RestServer:
         if method == "INFO":
             return self._info(index), 200
         if method == "COMMIT":
-            return self._commit(index), 200
+            return await self._write_op(
+                index, lambda: self._commit(index)), 200
         if method == "DUMP":
             return await self._dump(request, index)
         if method == "RESTORE":
             return await self._restore(request, index, t0)
         if method == "CHECK":
-            return self.man.get(index).check(), 200
+            return await self._read_op(
+                index, lambda: self.man.get(index).check()), 200
         if method == "POST" and doc_id is None:
             return await self._write_doc(request, index, None, t0)
         if method == "PUT" and doc_id is None:
@@ -466,7 +530,9 @@ class RestServer:
             return self._info(index), 200
         if method == "DELETE":
             if doc_id is not None:
-                return self._delete_doc(request, index, doc_id, t0)
+                return await self._write_op(
+                    index,
+                    lambda: self._delete_doc(request, index, doc_id, t0))
             self.man.delete(index)
             return {"#deleted": index}, 200
         raise ApiError(405, f"method {method} not supported here")
@@ -503,13 +569,15 @@ class RestServer:
         if cmd == "metadata":
             return await self._metadata(request, method, index)
         if cmd == "commit":
-            return self._commit(index), 200
+            return await self._write_op(
+                index, lambda: self._commit(index)), 200
         if cmd == "dump":
             return await self._dump(request, index)
         if cmd == "restore":
             return await self._restore(request, index, t0)
         if cmd == "check":
-            return self.man.get(index).check(), 200
+            return await self._read_op(
+                index, lambda: self.man.get(index).check()), 200
         if cmd == "wal":
             db = self.man.get(index)
             if db.wal is None:
@@ -517,15 +585,18 @@ class RestServer:
             frm = int(request.query.get("from", 0))
             return {"wal": db.wal.repr_wal(from_revision=frm)}, 200
         if cmd == "merge":
-            n = self.man.get(index).merge_segments()
+            n = await self._write_op(
+                index, lambda: self.man.get(index).merge_segments())
             return {"#merged": n}, 200
         if cmd == "nearest":
             parts = index.split("/")
             if len(parts) < 2:
                 raise ApiError(400, ":nearest needs /index/docid/:nearest")
-            db = self.man.get("/".join(parts[:-1]))
+            idx_name = "/".join(parts[:-1])
+            db = self.man.get(idx_name)
             k = int(request.query.get("limit", 10))
-            res = db.find_similar(parts[-1], k=k)
+            res = await self._read_op(
+                idx_name, lambda: db.find_similar(parts[-1], k=k))
             hits = [{**h.data, "_id": h.id, "_score": h.score}
                     for h in res.hits]
             return {"total": res.total, "hits": hits}, 200
@@ -534,8 +605,10 @@ class RestServer:
             word = request.query.get("q", "")
             if not word:
                 raise ApiError(400, ":suggest needs ?q=word")
-            return {"suggestions": db.suggest_spelling(
-                word, limit=int(request.query.get("limit", 5)))}, 200
+            sugg = await self._read_op(
+                index, lambda: db.suggest_spelling(
+                    word, limit=int(request.query.get("limit", 5))))
+            return {"suggestions": sugg}, 200
         if cmd == "update":
             parts = index.split("/")
             return await self._update_doc(request, "/".join(parts[:-1]),
@@ -616,6 +689,11 @@ class RestServer:
         body = await self._body(request)
         if not isinstance(body, dict):
             raise ApiError(400, "document body must be an object")
+        return await self._write_op(
+            index, lambda: self._write_doc_sync(request, index, doc_id,
+                                                body, t0))
+
+    def _write_doc_sync(self, request, index, doc_id, body, t0):
         db = self.man.get(index, create=True)
         commit = "commit" in request.query
         version = self._req_version(request, body)
@@ -630,6 +708,11 @@ class RestServer:
     async def _patch_doc(self, request, index, doc_id, t0):
         self._check_primary(index, request)
         patch = await self._body(request)
+        return await self._write_op(
+            index, lambda: self._patch_doc_sync(request, index, doc_id,
+                                                patch, t0))
+
+    def _patch_doc_sync(self, request, index, doc_id, patch, t0):
         db = self.man.get(index)
         version = self._req_version(request, patch if isinstance(patch, dict)
                                     else None)
@@ -648,6 +731,11 @@ class RestServer:
         body = await self._body(request)
         if not isinstance(body, dict):
             raise ApiError(400, "update body must be an object")
+        return await self._write_op(
+            index, lambda: self._update_doc_sync(request, index, doc_id,
+                                                 body, t0))
+
+    def _update_doc_sync(self, request, index, doc_id, body, t0):
         db = self.man.get(index, create=True)
         try:
             doc = db.get_document(doc_id)
@@ -735,7 +823,8 @@ class RestServer:
 
     async def _dump(self, request, index):
         db = self.man.get(index)
-        docs = list(db.dump_documents())
+        docs = await self._read_op(index,
+                                   lambda: list(db.dump_documents()))
         ct = neg.pick_accept(request.headers.get("Accept"), None)
         if ct == neg.CT_NDJSON:
             return web.Response(body=neg.encode_body(docs, ct),
@@ -771,7 +860,7 @@ class RestServer:
                 raise ApiError(400, "restore expects a list of documents")
             for doc in body:
                 indexer.prepare(doc)
-        counters = indexer.wait()
+        counters = await self._write_op(index, indexer.wait)
         self._observe("restore", t0)
         out = counters.as_dict()
         out["#restored"] = counters.indexed
@@ -780,8 +869,12 @@ class RestServer:
     async def _search(self, request, index, t0):
         if "," in index:
             return await self._multi_search(request, index, t0)
-        db = self.man.get(index)
         body = await self._body(request) if request.can_read_body else None
+        return await self._read_op(
+            index, lambda: self._search_sync(request, index, body, t0))
+
+    def _search_sync(self, request, index, body, t0):
+        db = self.man.get(index)
         body = body or {}
         # _check_at_least accepted for API parity; counts here are always
         # exact (the reference returns estimates below this threshold,
@@ -880,17 +973,25 @@ class RestServer:
         k = int(request.query.get("limit", body.get("_limit", 10)))
         offset = int(request.query.get("offset", body.get("_offset", 0)))
         q = request.query.get("q")
-        merged = []
-        total = 0
-        for name in names:
-            db = self.man.get(name)
-            dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
-            ir = dsl.parse_string(q) if q is not None else \
-                dsl.parse(body.get("_query", {"_match_all": {}}))
-            res = db.search(ir, k=k + offset)
-            total += res.total
-            for h in res.hits:
-                merged.append((-h.score, name, h))
+        loop = asyncio.get_running_loop()
+
+        def work():
+            merged = []
+            total = 0
+            for name in names:
+                with self._lock_for(name).read():
+                    db = self.man.get(name)
+                    dsl = QueryDSL(db.schema,
+                                   term_expander=db.expand_prefix)
+                    ir = dsl.parse_string(q) if q is not None else \
+                        dsl.parse(body.get("_query", {"_match_all": {}}))
+                    res = db.search(ir, k=k + offset)
+                total += res.total
+                for h in res.hits:
+                    merged.append((-h.score, name, h))
+            return merged, total
+
+        merged, total = await loop.run_in_executor(self.pool, work)
         merged.sort(key=lambda t: (t[0], t[1], t[2].id))
         hits = []
         for rank, (_, name, h) in enumerate(merged[offset:offset + k]):
@@ -904,16 +1005,20 @@ class RestServer:
         return {"total": total, "count": len(hits), "hits": hits}, 200
 
     async def _count(self, request, index, t0):
-        db = self.man.get(index)
         body = await self._body(request) if request.can_read_body else None
-        body = body or {}
-        q = request.query.get("q")
-        dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
-        ir = dsl.parse_string(q) if q is not None else \
-            dsl.parse(body.get("_query", {"_match_all": {}}))
-        n = db.count(ir)
-        self._observe("count", t0)
-        return {"count": n}, 200
+
+        def work():
+            db = self.man.get(index)
+            b = body or {}
+            q = request.query.get("q")
+            dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
+            ir = dsl.parse_string(q) if q is not None else \
+                dsl.parse(b.get("_query", {"_match_all": {}}))
+            n = db.count(ir)
+            self._observe("count", t0)
+            return {"count": n}, 200
+
+        return await self._read_op(index, work)
 
     async def _metadata(self, request, method, index):
         db = self.man.get(index)
@@ -971,7 +1076,21 @@ def create_app(data_dir: Optional[str] = None,
             if frm != cluster.me.name else None)
 
         def post_open(name, db):
-            db.on_commit = lambda rev, _n=name: cluster.db_updated(_n, rev)
+            def notify(rev, _n=name):
+                # commits now run on worker threads; UDP sends must happen
+                # on the serving loop (DatagramTransport is not threadsafe)
+                loop = getattr(man, "_serving_loop", None)
+                try:
+                    running = asyncio.get_running_loop()
+                except RuntimeError:
+                    running = None
+                if loop is not None and running is not loop \
+                        and not loop.is_closed():
+                    loop.call_soon_threadsafe(cluster.db_updated, _n, rev)
+                else:
+                    cluster.db_updated(_n, rev)
+
+            db.on_commit = notify
             if db.revision:
                 cluster.me.revisions[name] = db.revision
 
@@ -993,10 +1112,15 @@ def create_app(data_dir: Optional[str] = None,
     app["server"] = server
 
     async def wire_commit_runner(app):
-        loop = asyncio.get_running_loop()
-        man.commit_runner = loop.call_soon_threadsafe
+        man._serving_loop = asyncio.get_running_loop()
+        man.commit_runner = server.submit_write
 
     app.on_startup.append(wire_commit_runner)
+
+    async def shutdown_pool(app):
+        server.pool.shutdown(wait=False)
+
+    app.on_cleanup.append(shutdown_pool)
     if cluster is not None:
         async def on_startup(app):
             await cluster.start()
