@@ -101,9 +101,16 @@ class Database:
 
     def _replay_wal(self):
         from xapiand_tpu.index.wal import WalOp
+        from xapiand_tpu.models.snapshot import load_checkpoint
 
         self._replaying = True
         try:
+            # O(bytes) restart: load the durable snapshot if one exists and
+            # replay only the WAL tail past its revision (the reference
+            # opens committed glass tables directly and never re-analyzes;
+            # snapshot.py is the flat-array equivalent). Corrupt/missing
+            # snapshot -> full replay.
+            base_rev = load_checkpoint(self)
             def apply(entry):
                 op = entry[0]
                 if op == WalOp.REPLACE_DOCUMENT:
@@ -121,11 +128,20 @@ class Database:
                 elif op == WalOp.COMMIT:
                     self.commit()
 
-            self.wal.replay(apply)
+            self.wal.replay(apply, from_revision=base_rev or 0)
             if len(self._builder) or self._pending_deletes:
                 self.commit()  # uncommitted tail after crash
         finally:
             self._replaying = False
+
+    def checkpoint(self) -> Optional[str]:
+        """Persist committed state as a binary snapshot and prune the WAL
+        below it (POST /idx/:snapshot; ≙ the reference's compacted-revision
+        durability: restart opens tables, it does not re-index)."""
+        from xapiand_tpu.models.snapshot import write_checkpoint
+
+        self.commit()
+        return write_checkpoint(self)
 
     @property
     def uuid(self) -> Optional[str]:

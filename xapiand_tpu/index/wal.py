@@ -170,6 +170,33 @@ class DatabaseWAL:
                 break
         return out
 
+    # -- checkpoint integration ---------------------------------------------
+
+    def prune(self, before_revision: int) -> int:
+        """Delete volumes wholly below ``before_revision`` (their lines are
+        captured by a durable snapshot; restart replays only the tail).
+        The open volume is never deleted. Returns volumes removed."""
+        vols = self._volumes()
+        removed = 0
+        for i in range(len(vols) - 1):
+            if vols[i + 1][0] <= before_revision:
+                os.remove(vols[i][1])
+                removed += 1
+        return removed
+
+    def reset(self, revision: int) -> None:
+        """Drop ALL volumes and restart the log at ``revision`` - the
+        replica's full-copy swap: its history is replaced wholesale by the
+        primary's snapshot, so local WAL lines before it are meaningless
+        (≙ the temp-database swap in replication_protocol_client.cc:547)."""
+        if self._volume is not None:
+            self._volume.close()
+            self._volume = None
+        for _rev, path in self._volumes():
+            os.remove(path)
+        self.revision = revision
+        self._open_volume(revision)
+
     def close(self):
         if self._volume is not None:
             self._volume.close()

@@ -95,12 +95,24 @@ async def pull_once(db: Database, primary_url: str, index: str,
 
 async def full_copy(db: Database, primary_url: str, index: str,
                     session=None) -> int:
+    """Replica bootstrap. Preferred path: the primary's ``:snapshot``
+    stream - committed segments as checksummed LZ4 records, deserialised
+    directly into flat arrays with NO re-analysis, then the local WAL is
+    reset to the primary's revision and a durable checkpoint written (the
+    temp-apply + swap of replication_protocol_client.cc:547-583, O(bytes)
+    instead of O(re-tokenize)). Falls back to ``:dump`` + re-index for
+    primaries without the endpoint."""
     import aiohttp
 
     own = session is None
     if own:
         session = aiohttp.ClientSession()
     try:
+        async with session.get(f"{primary_url}/{index}/:snapshot") as r:
+            if r.status == 200 and r.content_type == \
+                    "application/octet-stream":
+                data = await r.read()
+                return _apply_snapshot(db, data)
         async with session.get(f"{primary_url}/{index}/:dump") as r:
             if r.status != 200:
                 raise ReplicationError(f"dump fetch failed: {r.status}")
@@ -120,6 +132,23 @@ async def full_copy(db: Database, primary_url: str, index: str,
     finally:
         if own:
             await session.close()
+
+
+def _apply_snapshot(db: Database, data: bytes) -> int:
+    from xapiand_tpu.models.snapshot import (load_snapshot_bytes,
+                                             write_checkpoint)
+
+    db._replaying = True   # state swap, not writes: nothing hits the WAL
+    try:
+        n = load_snapshot_bytes(db, data)
+    finally:
+        db._replaying = False
+    if db.wal is not None:
+        # local history is superseded wholesale; restart must load the
+        # checkpoint + empty tail, never replay pre-bootstrap lines
+        db.wal.reset(db.revision)
+    write_checkpoint(db)
+    return n
 
 
 class Replicator:

@@ -617,6 +617,24 @@ class RestServer:
             parts = index.split("/")
             return await self._store_blob(request, "/".join(parts[:-1]),
                                           parts[-1])
+        if cmd == "snapshot":
+            # GET streams committed segments as LZ4 records (replica
+            # full-copy bootstrap, O(bytes) - the REPLY_DB_* file stream,
+            # replication_protocol_client.h:68-80); POST checkpoints the
+            # snapshot to the data dir and prunes the WAL below it.
+            from xapiand_tpu.models.snapshot import snapshot_bytes
+
+            if method in ("POST", "PUT", "COMMIT"):
+                path = await self._write_op(
+                    index, lambda: self.man.get(index).checkpoint())
+                db = self.man.get(index)
+                return {"#snapshot": path, "revision": db.revision}, 200
+            data = await self._read_op(
+                index, lambda: snapshot_bytes(self.man.get(index)))
+            return web.Response(
+                body=data, content_type="application/octet-stream",
+                headers={"X-Snapshot-Revision":
+                         str(self.man.get(index).revision)}), 200
         raise ApiError(404, f"unknown command :{cmd}")
 
     # -- views ---------------------------------------------------------------------
