@@ -27,9 +27,9 @@ import time
 import urllib.error
 import urllib.request
 
-_HEAD = re.compile(r"^### (GET|PUT|POST|PATCH|DELETE|HEAD|UPDATE|MERGE|"
-                   r"STORE|SEARCH|COUNT|INFO|COMMIT|DUMP|RESTORE|CHECK)"
-                   r" (\S+)(?:\s*\((.*)\))?\s*$")
+_HEAD = re.compile(r"^### (GET|PUT|POST|PATCH|DELETE|HEAD|UPDATE|UPSERT|"
+                   r"MERGE|STORE|SEARCH|COUNT|INFO|COMMIT|DUMP|RESTORE|"
+                   r"CHECK|FLUSH|QUIT|OPEN|CLOSE) (\S+)(?:\s*\((.*)\))?\s*$")
 _EXPECT = re.compile(r"^expect (\d{3})\s*:?\s*$")
 _VOLATILE = {"#took", "uuid"}
 

@@ -37,3 +37,18 @@ def test_subset_matcher():
     assert conf.subset_match([{"x": 1}], [{"x": 1, "y": 0}, "extra"]) is None
     assert conf.subset_match([1, 2], [1]) is not None
     assert conf.subset_match({"#took": 1}, {}) is None  # volatile ignored
+
+
+def test_docs_examples_replay_on_mesh(tmp_path):
+    """The same conformance suite against a server whose every index is
+    mesh-sharded (default_num_shards=2): REST semantics must be identical
+    whether an index lives on one device or across the mesh."""
+    conf = _load()
+    cases = conf.parse_spec(os.path.join(_ROOT, "docs", "EXAMPLES.md"))
+    srv = ServerThread(str(tmp_path / "conf-mesh"),
+                       manager_opts={"default_num_shards": 2})
+    try:
+        failures = conf.replay(f"http://127.0.0.1:{srv.port}", cases)
+    finally:
+        srv.stop()
+    assert failures == 0

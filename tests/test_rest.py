@@ -13,10 +13,14 @@ from xapiand_tpu.server.app import IndexManager, create_app
 
 
 class ServerThread:
-    def __init__(self, data_dir=None, http_port=0, cluster_config=None):
+    def __init__(self, data_dir=None, http_port=0, cluster_config=None,
+                 server_opts=None, manager_opts=None):
         self.data_dir = data_dir
         self.http_port = http_port
         self.cluster_config = cluster_config
+        self.server_opts = server_opts
+        self.manager_opts = manager_opts or {}
+        self.server = None
         self.port = None
         self._loop = None
         self._started = threading.Event()
@@ -28,8 +32,11 @@ class ServerThread:
         from aiohttp import web
 
         async def start():
-            app = create_app(manager=IndexManager(self.data_dir),
-                             cluster_config=self.cluster_config)
+            app = create_app(manager=IndexManager(self.data_dir,
+                                                  **self.manager_opts),
+                             cluster_config=self.cluster_config,
+                             server_opts=self.server_opts)
+            self.server = app["server"]
             runner = web.AppRunner(app)
             await runner.setup()
             site = web.TCPSite(runner, "127.0.0.1", self.http_port)
@@ -590,3 +597,58 @@ def test_python_client(srv):
     c.documents.delete("pycli", "1", commit=True)
     with pytest.raises(NotFoundError):
         c.get("pycli", "1")
+
+
+def test_update_strict_vs_upsert(srv):
+    # UPDATE merges into an EXISTING doc only (handler.cc:554-585
+    # update(create=false)): 404 when absent
+    status, out, _ = srv.req("UPDATE", "/ups/missing", {"a": 1})
+    assert status == 404
+    # UPSERT creates when absent (http_client.cc:1601-1607 create=true)
+    status, out, _ = srv.req("UPSERT", "/ups/1", {"a": {"b": 1}, "n": 1})
+    assert status == 200 and out["_version"] == 1
+    # ... and merges (recursively, MsgPack::update semantics) when present
+    status, out, _ = srv.req("UPSERT", "/ups/1", {"a": {"c": 2}})
+    assert status == 200 and out["_version"] == 2
+    _, doc, _ = srv.req("GET", "/ups/1")
+    assert doc["a"] == {"b": 1, "c": 2} and doc["n"] == 1
+    # the :upsert command path is the method-override spelling
+    status, _, _ = srv.req("POST", "/ups/2/:upsert", {"x": 1})
+    assert status == 200
+    status, _, _ = srv.req("POST", "/ups/3/:update", {"x": 1})
+    assert status == 404
+
+
+def test_admin_commands_gated(srv):
+    # FLUSH and QUIT are refused without --admin-commands
+    # (opts.admin_commands, http_client.cc:1169/1193)
+    status, out, _ = srv.req("FLUSH", "/")
+    assert status == 405
+    status, out, _ = srv.req("QUIT", "/")
+    assert status == 405
+
+
+def test_admin_flush_and_quit(tmp_path):
+    s = ServerThread(str(tmp_path / "admin"),
+                     server_opts={"admin_commands": True})
+    try:
+        s.req("PUT", "/adm/1", {"body": "hello flush"}, )
+        status, out, _ = s.req("FLUSH", "/")
+        assert status == 200 and out["#databases_flushed"] >= 1
+        # flushed index reopens lazily with its data intact
+        status, doc, _ = s.req("GET", "/adm/1")
+        assert status == 200 and doc["body"] == "hello flush"
+        # QUIT only applies to the bare path
+        status, _, _ = s.req("QUIT", "/adm/")
+        assert status == 405
+        fired = []
+        s.server.on_quit = lambda: fired.append(True)
+        status, out, _ = s.req("QUIT", "/")
+        assert status == 200 and out["#quit"] is True
+        import time as _t
+        deadline = _t.time() + 5
+        while not fired and _t.time() < deadline:
+            _t.sleep(0.05)
+        assert fired   # the shutdown hook fired after the response
+    finally:
+        s.stop()

@@ -88,11 +88,14 @@ def test_database_pool_lru_eviction(tmp_path):
         db = man.get(f"idx{i}", create=True)
         db.index_document({"v": i}, doc_id="d")
         db.commit()
-    assert len(man.indexes) == 2                 # LRU capped
+    open_dbs = [n for n, d in man.indexes.items() if d is not None]
+    assert len(open_dbs) == 2                    # LRU caps OPEN databases
+    # evicted names stay discoverable (lazily None), not 404
+    assert len(man.indexes) == 4
     # evicted index reopens from disk with its data intact
     db0 = man.get("idx0")
     assert db0.get_document("d")["v"] == 0
-    assert len(man.indexes) == 2
+    assert len([d for d in man.indexes.values() if d is not None]) == 2
 
 
 def test_offline_dump_restore_cli(tmp_path):

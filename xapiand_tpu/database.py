@@ -427,7 +427,10 @@ class Database:
     # -- metadata (≙ handler.h:149-153 get/set_metadata) -----------------------
 
     def set_metadata(self, key: str, value) -> None:
-        self._metadata[str(key)] = value
+        if value is None:   # deletion (Xapian set_metadata("") semantics)
+            self._metadata.pop(str(key), None)
+        else:
+            self._metadata[str(key)] = value
         if self.wal is not None and not self._replaying:
             self.wal.write_set_metadata(str(key), value, fsync=True)
 

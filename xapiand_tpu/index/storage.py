@@ -47,14 +47,22 @@ class FaultInjector:
         self.db_rate = float(os.environ.get("XAPIAND_RANDOM_ERRORS_DB", 0))
         self.net_rate = float(os.environ.get("XAPIAND_RANDOM_ERRORS_NET",
                                              0))
+        self.net_every = 0
+        self._net_count = 0
         self._rng = random.Random(
             int(os.environ.get("XAPIAND_RANDOM_ERRORS_SEED", 42)))
 
     def set_rates(self, io: float = 0.0, db: float = 0.0,
-                  net: float = 0.0, seed: int = 42):
+                  net: float = 0.0, seed: int = 42, net_every: int = 0):
         import random
 
         self.io_rate, self.db_rate, self.net_rate = io, db, net
+        # net_every=N drops exactly every Nth send: same loss RATE as
+        # net=1/N but with a bounded gap between delivered messages, so
+        # chaos tests can assert convergence within a fixed deadline
+        # (a random stream can legally drop 20 heartbeats in a row)
+        self.net_every = int(net_every)
+        self._net_count = 0
         self._rng = random.Random(seed)
 
     def maybe_io(self, what: str):
@@ -77,6 +85,9 @@ class FaultInjector:
 
     def drop_net(self, what: str = "send") -> bool:
         """True = drop this network message (packet-loss chaos)."""
+        if self.net_every:
+            self._net_count += 1
+            return self._net_count % self.net_every == 0
         return bool(self.net_rate and self._rng.random() < self.net_rate)
 
 

@@ -25,6 +25,7 @@ majority ack, and every node applies committed commands in log order via
 from __future__ import annotations
 
 import asyncio
+import os
 import random
 import time
 from dataclasses import dataclass, field
@@ -75,7 +76,8 @@ class ClusterNode:
     def __init__(self, name: str, host: str, port: int, http_port: int,
                  peers: Optional[list[tuple[str, int]]] = None,
                  on_db_updated: Optional[Callable] = None,
-                 on_leader_change: Optional[Callable] = None):
+                 on_leader_change: Optional[Callable] = None,
+                 state_dir: Optional[str] = None):
         self.me = Node(name, host, port, http_port)
         self.nodes: dict[str, Node] = {name: self.me}
         self.peers = list(peers or [])      # bootstrap addresses
@@ -97,6 +99,48 @@ class ClusterNode:
         self._applied = 0                  # applied entry count
         self._match: dict[str, int] = {}   # leader: follower acked lengths
         self.on_command: Optional[Callable[[dict], None]] = None
+        # durable raft state: term/votedFor/log survive restarts so a
+        # restarted node can never double-vote in the same term (the
+        # reference persists cluster state in the .xapiand metadata index,
+        # schemas_lru.cc:289; raft requires currentTerm/votedFor/log[] be
+        # stable storage before answering RPCs)
+        self._state_path = os.path.join(state_dir, "raft_state") \
+            if state_dir else None
+        self._load_state()
+
+    # -- durable raft state (term/votedFor/log; raft §5.2 stable storage) ----
+
+    def _load_state(self):
+        if self._state_path is None or not os.path.exists(self._state_path):
+            return
+        try:
+            with open(self._state_path, "rb") as fh:
+                st = unpack_msgpack(fh.read())
+            self.term = int(st.get("term", 0))
+            self.voted_for = st.get("voted_for")
+            self.log = list(st.get("log", []))
+            self.commit_index = min(int(st.get("commit_index", 0)),
+                                    len(self.log))
+        except Exception:   # corrupt state: start fresh (term 0 is safe
+            pass            # only because peers' vote replies re-teach it)
+
+    def _persist(self):
+        """fsync term/votedFor/log BEFORE any RPC that promises them
+        (vote grants, election starts, log appends) - tmp+rename so a
+        crash mid-write keeps the previous state."""
+        if self._state_path is None:
+            return
+        tmp = self._state_path + ".tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(pack_msgpack({
+                    "term": self.term, "voted_for": self.voted_for,
+                    "log": self.log, "commit_index": self.commit_index}))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._state_path)
+        except OSError:
+            pass
 
     # -- lifecycle ---------------------------------------------------------------
 
@@ -105,6 +149,8 @@ class ClusterNode:
         self._transport, _ = await loop.create_datagram_endpoint(
             lambda: _Proto(self), local_addr=(self.me.host, self.me.port))
         self._send_all({"op": "hello", **self._me_dict()})
+        # re-apply restored committed commands now that on_command is wired
+        self._apply_committed()
         self._tasks = [
             asyncio.create_task(self._ticker()),
         ]
@@ -171,7 +217,9 @@ class ClusterNode:
                     self.nodes[n["name"]] = Node(
                         n["name"], n["host"], n["port"], n["http_port"])
             if msg.get("leader") and msg.get("term", 0) >= self.term:
-                self.term = msg["term"]
+                if msg["term"] > self.term:
+                    self.term = msg["term"]
+                    self._persist()
                 self._set_leader(msg["leader"])
         elif op == "bye":
             n = self.nodes.get(msg.get("name"))
@@ -215,6 +263,7 @@ class ClusterNode:
     def _on_heartbeat(self, msg):
         term = msg.get("term", 0)
         if term >= self.term:
+            dirty = term > self.term
             self.term = term
             self.role = Role.FOLLOWER
             self._last_heartbeat = time.monotonic()
@@ -234,9 +283,15 @@ class ClusterNode:
                             if self.log[pos]["term"] != e["term"]:
                                 del self.log[pos:]   # conflict: truncate
                                 self.log.append(e)
+                                dirty = True
                         else:
                             self.log.append(e)
-                self.commit_index = min(msg.get("commit", 0), len(self.log))
+                            dirty = True
+                commit = min(msg.get("commit", 0), len(self.log))
+                dirty = dirty or commit != self.commit_index
+                self.commit_index = commit
+                if dirty:   # durable before the ack promises the entries
+                    self._persist()
                 self._apply_committed()
                 self._send(node.addr, {"op": "append_ack",
                                        "name": self.me.name,
@@ -245,14 +300,19 @@ class ClusterNode:
 
     def _on_request_vote(self, msg, addr):
         term = msg.get("term", 0)
+        dirty = False
         if term > self.term:
             self.term = term
             self.voted_for = None
             self.role = Role.FOLLOWER
+            dirty = True
         grant = term >= self.term and self.voted_for in (None, msg["name"])
         if grant:
             self.voted_for = msg["name"]
             self._last_heartbeat = time.monotonic()
+            dirty = True
+        if dirty:   # the vote must be on stable storage before the reply
+            self._persist()
         self._send(addr, {"op": "vote", "name": self.me.name,
                           "term": self.term, "granted": bool(grant)})
 
@@ -351,8 +411,10 @@ class ClusterNode:
             self.log.append({"term": self.term, "cmd": cmd})
             if len(self._alive()) == 1:
                 self.commit_index = len(self.log)
+                self._persist()
                 self._apply_committed()
             else:
+                self._persist()
                 self._broadcast_heartbeat()
             return True
         if self.leader and self.leader in self.nodes:
@@ -374,6 +436,7 @@ class ClusterNode:
         if majority > self.commit_index and majority <= len(self.log) and \
                 self.log[majority - 1]["term"] == self.term:
             self.commit_index = majority
+            self._persist()
             self._apply_committed()
 
     def _apply_committed(self):
@@ -390,6 +453,7 @@ class ClusterNode:
         self.term += 1
         self.role = Role.CANDIDATE
         self.voted_for = self.me.name
+        self._persist()   # own candidacy vote hits stable storage first
         self._votes = {self.me.name}
         self._last_heartbeat = time.monotonic()
         if len(self._alive()) == 1:

@@ -57,6 +57,9 @@ def main(argv=None):
                         "(≙ opts.h:41)")
     p.add_argument("--human", action="store_true",
                    help="humanize #took durations (≙ opts.h:44)")
+    p.add_argument("--admin-commands", action="store_true",
+                   help="enable FLUSH and QUIT verbs "
+                        "(≙ opts.h admin_commands, http_client.cc:1169)")
     # pool/tuning (≙ opts.h:63-86)
     p.add_argument("--database-pool-size", type=int, default=10,
                    help="LRU cap of open databases (≙ opts.h:77)")
@@ -146,7 +149,18 @@ def main(argv=None):
                      "comments": not args.no_comments,
                      "echo": args.echo, "human": args.human,
                      "num_http_clients": args.num_http_clients,
-                     "cluster_name": args.cluster_name})
+                     "cluster_name": args.cluster_name,
+                     "admin_commands": args.admin_commands})
+
+    def _graceful_quit():
+        # SIGTERM-to-self: web.run_app's signal handler shuts the runner
+        # down gracefully (≙ XapiandManager::try_shutdown, main.cc)
+        import os
+        import signal
+
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    app["server"].on_quit = _graceful_quit
     web.run_app(app, host=args.bind, port=args.port)
 
 

@@ -37,8 +37,8 @@ except ImportError:  # pragma: no cover
 _SAFE_SEG = re.compile(r"^[\w.\-]+$", re.UNICODE)
 
 CUSTOM_METHODS = ("SEARCH", "COUNT", "INFO", "COMMIT", "DUMP", "RESTORE",
-                  "CHECK", "UPDATE", "MERGE", "STORE", "OPEN", "CLOSE",
-                  "FLUSH")
+                  "CHECK", "UPDATE", "UPSERT", "MERGE", "STORE", "OPEN",
+                  "CLOSE", "FLUSH", "QUIT")
 
 
 class ApiError(web.HTTPException):
@@ -128,6 +128,11 @@ class IndexManager:
         if not isinstance(ns, int) or not (1 <= ns <= 256):
             raise ApiError(400, "num_shards must be an int in [1, 256]")
         cur = self.indexes.get(name)
+        if cur is None and name in self.indexes and \
+                self.get_settings(name).get("num_shards") != ns:
+            # lazily-closed on-disk index: reopen to check emptiness, else
+            # resharding a non-empty index would slip through unchecked
+            cur = self.get(name)
         if cur is not None and cur.doc_count + len(cur._builder) > 0 \
                 and self.get_settings(name).get("num_shards") != ns:
             raise ApiError(400,
@@ -244,15 +249,27 @@ class IndexManager:
 
     def _evict_lru(self):
         """Close least-recently-used databases over pool_size (≙ the
-        reference database pool checkin/checkout LRU, pool.cc)."""
-        while len(self.indexes) > self.pool_size:
-            oldest = next(iter(self.indexes))
-            db = self.indexes.pop(oldest)
-            try:
-                db.commit()
-            except Exception:
-                pass
-            db.close()
+        reference database pool checkin/checkout LRU, pool.cc). The name
+        stays mapped (lazily None) so the index remains discoverable and
+        reopens on demand."""
+        open_names = [n for n, d in self.indexes.items() if d is not None]
+        while len(open_names) > self.pool_size:
+            oldest = open_names.pop(0)
+            self.flush_one(oldest)
+
+    def flush_one(self, name: str) -> bool:
+        """Commit + close one open database; it reopens lazily on the next
+        access (one unit of database_pool->cleanup, http_client.cc:1176)."""
+        db = self.indexes.get(name)
+        if db is None or db.path is None:
+            return False   # in-memory databases cannot lazily reopen
+        try:
+            db.commit()
+        except Exception:
+            pass
+        db.close()
+        self.indexes[name] = None
+        return True
 
     def exists(self, name: str) -> bool:
         return name in self.indexes
@@ -323,9 +340,12 @@ class RestServer:
         # comments flags); per-request ?pretty still overrides
         self.opts = {"pretty": False, "comments": True, "echo": False,
                      "human": False, "cluster_name": "xapiand-tpu",
-                     "num_http_clients": 8}
+                     "num_http_clients": 8, "admin_commands": False}
         if server_opts:
             self.opts.update(server_opts)
+        # QUIT wiring: __main__ sets this to a SIGTERM-to-self so
+        # web.run_app shuts down gracefully; embedded servers leave it None
+        self.on_quit = None
         self.man = manager
         self.cluster = cluster
         self.replicator = replicator
@@ -417,7 +437,8 @@ class RestServer:
         if isinstance(obj, dict):
             obj.setdefault("#took", round(took * 1000, 3))
             if self.opts["echo"] and status < 300 and "_id" in obj \
-                    and request.method in ("PUT", "PATCH", "UPDATE"):
+                    and request.method in ("PUT", "PATCH", "UPDATE",
+                                           "UPSERT"):
                 # --echo: document-write responses carry the stored body
                 # (≙ opts.h echo; reference echoes the indexed object)
                 try:
@@ -468,13 +489,46 @@ class RestServer:
         trailing = request.path != "/" and request.path.endswith("/")
         doc_id = None
         if cmd is None and index and not trailing and method in (
-                "PUT", "PATCH", "GET", "HEAD", "DELETE", "UPDATE", "MERGE",
-                "STORE"):
+                "PUT", "PATCH", "GET", "HEAD", "DELETE", "UPDATE", "UPSERT",
+                "MERGE", "STORE"):
             parts = index.split("/")
             if len(parts) >= 2:
                 index, doc_id = "/".join(parts[:-1]), parts[-1]
             elif method in ("PUT", "PATCH", "STORE"):
                 raise ApiError(400, "document id required (use /index/id)")
+
+        if method == "QUIT":
+            # admin-gated process shutdown, bare path only
+            # (http_client.cc:1192-1203, opts --admin-commands gate)
+            if index or cmd is not None:
+                raise ApiError(405, "QUIT only applies to /")
+            self._require_admin()
+            if self.on_quit is not None:
+                asyncio.get_running_loop().call_later(0.2, self.on_quit)
+            return {"#quit": True}, 200
+        if method == "FLUSH":
+            # admin-gated: flush databases (commit + close the LRU pool)
+            # and/or clients; ?databases / ?clients select one
+            # (http_client.cc:1168-1185)
+            if index or cmd is not None:
+                raise ApiError(405, "FLUSH only applies to /")
+            self._require_admin()
+            flush_db = "databases" in request.query
+            flush_cl = "clients" in request.query
+            out = {}
+            if flush_db or not flush_cl:
+                self.man.flush_autocommit()
+                n = 0
+                for name in [k for k, d in self.man.indexes.items()
+                             if d is not None]:
+                    # per-index exclusive lock: never close under a reader
+                    if await self._write_op(
+                            name, lambda n=name: self.man.flush_one(n)):
+                        n += 1
+                out["#databases_flushed"] = n
+            if flush_cl or not flush_db:
+                out["#clients_flushed"] = 0   # asyncio: no pooled clients
+            return out, 200
 
         if not index and cmd is None:
             if method in ("GET", "HEAD"):
@@ -509,6 +563,16 @@ class RestServer:
         if method == "CHECK":
             return await self._read_op(
                 index, lambda: self.man.get(index).check()), 200
+        if method == "OPEN":
+            # load the index into the pool (reference declares OPEN but
+            # 501s it, http_client.cc:1212-1214; here it is real)
+            db = await self._read_op(index, lambda: self.man.get(index))
+            return {"#open": index, "revision": db.revision}, 200
+        if method == "CLOSE":
+            # commit + release from the pool; reopens lazily on next use
+            closed = await self._write_op(
+                index, lambda: self.man.flush_one(index))
+            return {"#closed": bool(closed)}, 200
         if method == "POST" and doc_id is None:
             return await self._write_doc(request, index, None, t0)
         if method == "PUT" and doc_id is None:
@@ -521,7 +585,15 @@ class RestServer:
         if method == "PATCH":
             return await self._patch_doc(request, index, doc_id, t0)
         if method in ("UPDATE", "MERGE"):
-            return await self._update_doc(request, index, doc_id, t0)
+            # UPDATE merges into an EXISTING doc (404 when absent,
+            # handler.cc:554-585 update() with create=false)
+            return await self._update_doc(request, index, doc_id, t0,
+                                          create=False)
+        if method == "UPSERT":
+            # UPSERT = UPDATE that creates when absent (create=true,
+            # http_client.cc:1601-1607)
+            return await self._update_doc(request, index, doc_id, t0,
+                                          create=True)
         if method == "STORE":
             return await self._store_blob(request, index, doc_id)
         if method in ("GET", "HEAD") and doc_id is not None:
@@ -609,10 +681,11 @@ class RestServer:
                 index, lambda: db.suggest_spelling(
                     word, limit=int(request.query.get("limit", 5))))
             return {"suggestions": sugg}, 200
-        if cmd == "update":
+        if cmd in ("update", "upsert"):
             parts = index.split("/")
             return await self._update_doc(request, "/".join(parts[:-1]),
-                                          parts[-1], t0)
+                                          parts[-1], t0,
+                                          create=cmd == "upsert")
         if cmd == "store":
             parts = index.split("/")
             return await self._store_blob(request, "/".join(parts[:-1]),
@@ -657,6 +730,24 @@ class RestServer:
         body = generate_latest(self.registry)
         return web.Response(body=body,
                             content_type="text/plain"), 200
+
+    def _require_admin(self):
+        """FLUSH/QUIT are refused unless --admin-commands was given
+        (≙ opts.admin_commands, http_client.cc:1169/1193)."""
+        if not self.opts.get("admin_commands"):
+            raise ApiError(405, "admin commands are disabled "
+                                "(start with --admin-commands)")
+
+    def _check_volatile(self, index, request):
+        """``?volatile`` pins a read to the index primary (read-your-writes;
+        ≙ query_field.primary, http_client.cc:2921-2933). On a non-primary
+        node the request redirects exactly like a write."""
+        if "volatile" not in request.query:
+            return
+        val = request.query.get("volatile", "")
+        if val and val.lower() in ("f", "false", "0", "no"):
+            return
+        self._check_primary(index, request)
 
     def _check_primary(self, index, request):
         """Writes must land on the index primary; followers redirect with
@@ -744,20 +835,23 @@ class RestServer:
         self._observe("patch", t0)
         return {"_id": doc_id, "_version": db.version_of(doc_id)}, 200
 
-    async def _update_doc(self, request, index, doc_id, t0):
+    async def _update_doc(self, request, index, doc_id, t0, create=True):
         self._check_primary(index, request)
         body = await self._body(request)
         if not isinstance(body, dict):
             raise ApiError(400, "update body must be an object")
         return await self._write_op(
             index, lambda: self._update_doc_sync(request, index, doc_id,
-                                                 body, t0))
+                                                 body, t0, create))
 
-    def _update_doc_sync(self, request, index, doc_id, body, t0):
-        db = self.man.get(index, create=True)
+    def _update_doc_sync(self, request, index, doc_id, body, t0,
+                         create=True):
+        db = self.man.get(index, create=create)
         try:
             doc = db.get_document(doc_id)
         except DocumentNotFound:
+            if not create:   # UPDATE is strict; UPSERT creates
+                raise
             doc = {}
         version = self._req_version(request, body)
         merged = _deep_merge(doc, body)
@@ -770,6 +864,7 @@ class RestServer:
         return {"_id": doc_id, "_version": db.version_of(doc_id)}, 200
 
     def _get_doc(self, request, index, doc_id, head=False):
+        self._check_volatile(index, request)
         db = self.man.get(index)
         # content-type-addressed blob retrieval: GET with an Accept header
         # matching a STOREd content type streams the blob back
@@ -787,7 +882,11 @@ class RestServer:
         sel = request.query.get("selector")
         if sel:
             from xapiand_tpu.server.selector import apply_selector
-            picked = apply_selector(doc, sel)
+            try:
+                picked = apply_selector(doc, sel)
+            except KeyError as e:
+                raise ApiError(
+                    404, f"selector path {sel!r} not in document ({e})")
             if not isinstance(picked, dict):
                 picked = {"_selected": picked}
             doc = dict(picked)
@@ -885,6 +984,7 @@ class RestServer:
         return out, 200
 
     async def _search(self, request, index, t0):
+        self._check_volatile(index, request)
         if "," in index:
             return await self._multi_search(request, index, t0)
         body = await self._body(request) if request.can_read_body else None
@@ -1023,6 +1123,7 @@ class RestServer:
         return {"total": total, "count": len(hits), "hits": hits}, 200
 
     async def _count(self, request, index, t0):
+        self._check_volatile(index, request)
         body = await self._body(request) if request.can_read_body else None
 
         def work():
@@ -1055,6 +1156,16 @@ class RestServer:
             for k, v in body.items():
                 db.set_metadata(k, v)
             return {"#updated": sorted(body)}, 200
+        if method == "DELETE":
+            # delete_metadata_view (http_client.h:331; empty value =
+            # removal, like Xapian set_metadata(""))
+            key = request.query.get("key")
+            if not key:
+                raise ApiError(400, "DELETE :metadata needs ?key=")
+            if db.get_metadata(key) is None:
+                raise ApiError(404, f"metadata {key!r} not found")
+            db.set_metadata(key, None)
+            return {"#deleted": key}, 200
         raise ApiError(405, "unsupported metadata method")
 
 
@@ -1085,6 +1196,9 @@ def create_app(data_dir: Optional[str] = None,
             port=cluster_config["port"],
             http_port=cluster_config["http_port"],
             peers=cluster_config.get("peers", []),
+            # raft term/votedFor/log persist under the data dir so a
+            # restarted node cannot double-vote in its old term
+            state_dir=cluster_config.get("state_dir", man.data_dir),
         )
         replicator = Replicator(
             get_db=lambda idx: man.get(idx, create=True), cluster=cluster,
