@@ -23,9 +23,11 @@ but leaves them disabled (aggregations.cc:118-207) - implemented here.
 
 Device kernels (ops/aggs.py) return sufficient statistics; partials from
 segments/shards merge exactly here (≙ AggregationMatchSpy::merge_results,
-src/database/handler.cc:1543-1545) except _median/_mode which are exact
-single-segment and doc-count-weighted picks across segments (documented
-deviation).
+src/database/handler.cc:1543-1545). _median/_mode merge by summing the
+same fixed-grid histograms the mesh path psums (ORDER_STAT_BINS bins,
+pow2 bin scale - exact on integer grids, one quantization everywhere:
+single-segment, cross-segment and cross-shard results agree by
+construction), clamped into the observed [min, max].
 """
 
 from __future__ import annotations

@@ -255,6 +255,53 @@ class DeviceSegment:
                 "doc_len": put(jnp.asarray(g.doc_len, jnp.int32)),
             }
 
+        self.postvals: dict = {}
+
+    def ensure_postval(self, slot: int, channels: tuple) -> bool:
+        """Posting-aligned value channels: pv.<slot>.<ch>[i] = the value
+        column's <ch> for post_docids[i], denormalised at upload time
+        (one numpy fancy-index) exactly like post_doclen. Carried through
+        the executor's docid sort as payload, they turn the per-candidate
+        value gathers (sort keys, agg fields - serialized ~30 cycles/elem
+        on TPU) into streamed sort channels. Presence coding: fval is NaN
+        where absent, cats is -1; hi/lo stay raw (consumers derive the
+        present mask from the slot's carried fval).
+
+        Returns False (and builds nothing) when the slot has no column
+        here - the executor falls back to clamped gathers."""
+        import jax
+        import jax.numpy as jnp
+
+        col = self.host.values.get(slot)
+        if col is None:
+            return False
+        d = self.host.post_docids
+        built = False
+        for ch in channels:
+            key = f"pv.{slot}.{ch}"
+            if key in self.postvals:
+                continue
+            if ch == "fval":
+                arr = np.where(col.present[d], col.fval[d],
+                               np.float32(np.nan)).astype(np.float32)
+                a = jnp.asarray(arr, jnp.float32)
+            elif ch == "fval2":
+                if col.fval2 is None:
+                    return False
+                a = jnp.asarray(col.fval2[d], jnp.float32)
+            elif ch == "cats":
+                if col.cats is None:
+                    return False
+                a = jnp.asarray(col.cats[d], jnp.int32)
+            elif ch in ("hi", "lo"):
+                a = jnp.asarray(getattr(col, ch)[d], jnp.int32)
+            else:
+                return False
+            self.postvals[key] = jax.device_put(a)
+            built = True
+        return built or all(f"pv.{slot}.{ch}" in self.postvals
+                            for ch in channels)
+
     def arrays_pytree(self) -> dict:
         """All device arrays as a pytree (what jitted executors take)."""
         return {
@@ -269,4 +316,5 @@ class DeviceSegment:
             "uniqterms": self.uniqterms,
             "values": self.values,
             "geo": self.geo,
+            **self.postvals,
         }

@@ -59,7 +59,14 @@ def _value_hist(v, m, lo, scale, nb):
     return jnp.sum(oh, axis=0)
 
 
-def _slot_vals(seg, slot, docids, mask):
+def _slot_vals(seg, slot, docids, mask, carried=None):
+    cc = (carried or {}).get(slot)
+    if cc and "fval" in cc:
+        # carried channel (cfg.carry): row-aligned, NaN codes absence -
+        # sanitize to 0 so masked sums never see NaN
+        v = cc["fval"]
+        m = mask & ~jnp.isnan(v)
+        return jnp.where(m, v, 0.0), m
     col = _get_value_col(seg, slot)
     d = jnp.minimum(docids, col["fval"].shape[0] - 1)
     v = col["fval"][d]
@@ -160,7 +167,8 @@ def _bucket_codes(seg, desc, plan, docids, mask):
     raise ValueError(f"unbucketable nested kind {kind!r}")
 
 
-def compute_aggs(seg, specs, docids, mask, scores, plan=None):
+def compute_aggs(seg, specs, docids, mask, scores, plan=None,
+                 carried=None):
     from xapiand_tpu.ops.executor import lower_bound
 
     out = []
@@ -222,7 +230,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
         slot = spec[1]
         if kind in ("sum", "avg", "min", "max", "variance", "std_deviation",
                     "stats", "extended_stats", "median", "mode"):
-            v, m = _slot_vals(seg, slot, docids, mask)
+            v, m = _slot_vals(seg, slot, docids, mask, carried)
             fm = m.astype(jnp.float32)
             n = jnp.sum(fm)
             s = jnp.sum(v * fm)
@@ -248,9 +256,15 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
         elif kind == "terms":
             ncats = spec[2]
             sub_specs = spec[3] if len(spec) > 3 else ()
-            col = _get_value_col(seg, slot)
-            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
-            codes = col["cats"][d]
+            cc = (carried or {}).get(slot)
+            if cc and "cats" in cc:
+                codes = cc["cats"]    # carried channel: -1 codes absence
+            else:
+                col = _get_value_col(seg, slot)
+                d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+                # segments that never saw the field have no cats table
+                codes = col["cats"][d] if "cats" in col \
+                    else jnp.full_like(d, -1)
             remap = (plan or {}).get("cat_remap", {}).get(i)
             if remap is not None:
                 # mesh path: local category codes -> global table
@@ -263,14 +277,14 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None):
             counts = jnp.sum(in_bucket.astype(jnp.int32), axis=0)
             if sub_specs:
                 out.append({"counts": counts,
-                            "subs": _sub_stats_bucketed(seg, sub_specs, d,
-                                                        in_bucket)})
+                            "subs": _sub_stats_bucketed(seg, sub_specs,
+                                                        docids, in_bucket)})
             else:
                 out.append(counts)
         elif kind == "histogram":
             nb = spec[2]
             sub_specs = spec[3] if len(spec) > 3 else ()
-            v, m = _slot_vals(seg, slot, docids, mask)
+            v, m = _slot_vals(seg, slot, docids, mask, carried)
             interval = plan["agg_params"][i][0]
             shift = plan["agg_params"][i][1]
             b = jnp.floor((v - shift) / interval).astype(jnp.int32)

@@ -94,6 +94,11 @@ class ExecConfig:
     emit_sort_keys: bool = False  # return top-k sort keys (mesh merge)
     n_chunks: int = 1            # docid-range chunks (pure term trees only)
     chunk_classes: tuple = ()    # per-term per-chunk slice width, len == T
+    carry: tuple = ()            # ((slot, (ch, ...)), ...): posting-aligned
+                                 # value channels (DeviceSegment pv.*) ride
+                                 # the docid sort as payload so sort-key and
+                                 # agg value reads need NO per-candidate
+                                 # gather (fval NaN-codes absence, cats -1)
 
     def term_classes(self) -> tuple:
         return self.classes if self.classes else (self.L,) * self.T
@@ -375,13 +380,26 @@ def _haversine(lat, lon, lat0, lon0):
     return 2.0 * 6371008.8 * jnp.arcsin(jnp.sqrt(jnp.clip(a, 0.0, 1.0)))
 
 
+def _carried_col(carried, slot):
+    """Row-aligned carried channels for ``slot`` (cfg.carry), or None.
+    present := ~isnan(fval) (pv fval NaN-codes absence)."""
+    ch = (carried or {}).get(slot)
+    if not ch:
+        return None
+    out = dict(ch)
+    if "fval" in out:
+        out["present"] = ~jnp.isnan(out["fval"])
+    return out
+
+
 def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
-                   rows_sorted: bool = True, plan=None):
+                   rows_sorted: bool = True, plan=None, carried=None):
     """Final ordering: relevance top-k (+ exact tie refinement) or full
     multi-key sort for value ordering / unweighted queries."""
     if cfg.collapse_slot is not None:
         docids, scores, eligible = _collapse(cfg, seg, docids, scores,
                                              eligible)
+        carried = None   # collapse permutes rows: carried channels stale
     if not cfg.sort and not cfg.unweighted:
         masked = jnp.where(eligible, scores, -jnp.inf)
         if rows_sorted:
@@ -404,13 +422,18 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
         keys.append(jnp.where(eligible, docids, SENTINEL))
     for si, spec in enumerate(cfg.sort):
         kind, slot, desc = spec[0], spec[1], spec[2]
+        cc = _carried_col(carried, slot)
         if kind == "value":
-            col = _get_value_col(seg, slot)
-            d = jnp.minimum(docids, col["hi"].shape[0] - 1)
-            h, l = col["hi"][d], col["lo"][d]
+            if cc is not None and "hi" in cc and "present" in cc:
+                h, l, present = cc["hi"], cc["lo"], cc["present"]
+            else:
+                col = _get_value_col(seg, slot)
+                d = jnp.minimum(docids, col["hi"].shape[0] - 1)
+                h, l, present = col["hi"][d], col["lo"][d], \
+                    col["present"][d]
             if desc:
                 h, l = ~h, ~l
-            h = jnp.where(col["present"][d], h, jnp.int32(2**31 - 1))
+            h = jnp.where(present, h, jnp.int32(2**31 - 1))
             keys.extend([jnp.where(eligible, h, jnp.int32(2**31 - 1)),
                          jnp.where(eligible, l, jnp.int32(2**31 - 1))])
         elif kind == "score":
@@ -418,32 +441,44 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
             keys.append(jnp.where(eligible, sk, jnp.inf))
         elif kind == "dist":
             # nearest-to-target numeric key (keymaker.h distance keys)
-            col = _get_value_col(seg, slot)
-            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
-            kf = jnp.abs(col["fval"][d] - plan["sort_targets"][si, 0])
-            kf = jnp.where(col["present"][d], kf, jnp.inf)
+            if cc is not None and "fval" in cc:
+                v, present = cc["fval"], cc["present"]
+            else:
+                col = _get_value_col(seg, slot)
+                d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+                v, present = col["fval"][d], col["present"][d]
+            kf = jnp.abs(v - plan["sort_targets"][si, 0])
+            kf = jnp.where(present, kf, jnp.inf)
             if desc:
                 kf = -kf
             keys.append(jnp.where(eligible, kf, jnp.inf))
         elif kind == "geodist":
-            col = _get_value_col(seg, slot)
-            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
-            lon = col["fval2"][d] if "fval2" in col \
-                else jnp.zeros_like(col["fval"][d])
-            kf = _haversine(col["fval"][d], lon,
+            if cc is not None and "fval" in cc and "fval2" in cc:
+                lat, lon, present = cc["fval"], cc["fval2"], cc["present"]
+            else:
+                col = _get_value_col(seg, slot)
+                d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+                lat = col["fval"][d]
+                lon = col["fval2"][d] if "fval2" in col \
+                    else jnp.zeros_like(lat)
+                present = col["present"][d]
+            kf = _haversine(lat, lon,
                             plan["sort_targets"][si, 0],
                             plan["sort_targets"][si, 1])
-            kf = jnp.where(col["present"][d], kf, jnp.inf)
+            kf = jnp.where(present, kf, jnp.inf)
             if desc:
                 kf = -kf
             keys.append(jnp.where(eligible, kf, jnp.inf))
         elif kind == "strmetric":
             # per-category metric distances precomputed host-side
-            col = _get_value_col(seg, slot)
-            d = jnp.minimum(docids, col["fval"].shape[0] - 1)
             tab = plan["sort_strtabs"][si]
-            code = col["cats"][d] if "cats" in col \
-                else jnp.full_like(d, -1)
+            if cc is not None and "cats" in cc:
+                code = cc["cats"]
+            else:
+                col = _get_value_col(seg, slot)
+                d = jnp.minimum(docids, col["fval"].shape[0] - 1)
+                code = col["cats"][d] if "cats" in col \
+                    else jnp.full_like(d, -1)
             srem = plan.get("sort_cat_remap", {}).get(si)
             if srem is not None:
                 # mesh: local category codes -> the global metric table
@@ -546,11 +581,23 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     needs_uniq = getattr(scheme, "needs_uniqterms", False)
     ids_parts, w_parts, bit_parts = [], [], []
     wdf_parts, dl_parts = [], []
+    # posting-aligned value channels (cfg.carry): sliced like post_wdf,
+    # they ride the docid sort as payload so downstream sort-key/agg reads
+    # are plain row reads instead of serialized per-candidate gathers
+    # only channels whose pv arrays were actually uploaded ride; a seg
+    # dict without them (mesh stacks, cold searchers) falls back to
+    # clamped gathers - presence is static at trace time
+    carry_keys = [(slot, ch) for slot, chs in cfg.carry for ch in chs
+                  if f"pv.{slot}.{ch}" in seg]
+    cv_parts: dict = {kk: [] for kk in carry_keys}
     for t in range(T):
         Lt = classes[t]
         idt = lax.dynamic_slice(seg["post_docids"], (offsets[t],), (Lt,))
         wdft = lax.dynamic_slice(seg["post_wdf"], (offsets[t],), (Lt,))
         dlt = lax.dynamic_slice(seg["post_doclen"], (offsets[t],), (Lt,))
+        for kk in carry_keys:
+            cv_parts[kk].append(lax.dynamic_slice(
+                seg[f"pv.{kk[0]}.{kk[1]}"], (offsets[t],), (Lt,)))
         inlen = jnp.arange(Lt) < lens[t]
         idt = jnp.where(inlen, idt, SENTINEL)
         if needs_uniq:
@@ -590,6 +637,10 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     if needs_wdf:
         extra.append(jnp.concatenate(wdf_parts))
         extra.append(jnp.concatenate(dl_parts))
+    # carried value channels ride last (every row of a doc's run holds the
+    # same per-doc value, so the run-tail row - the one scores are read
+    # at - carries the doc's value, same invariant as post_doclen)
+    extra.extend(jnp.concatenate(cv_parts[kk]) for kk in carry_keys)
     if needs_bits:
         sorted_ = lax.sort(
             (ids_flat, base_w, jnp.concatenate(bit_parts)) + tuple(extra),
@@ -636,6 +687,9 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     if cfg.has_deletes:
         first &= ~seg["deleted"][jnp.minimum(d, nd1 - 1)]
 
+    carried_vals = list(rest[len(rest) - len(carry_keys):]) \
+        if carry_keys else []
+
     # predicate leaves + boolean tree (vectorised over rows)
     precompacted = False
     if needs_bits:
@@ -654,9 +708,11 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
             upper = first & _eval_tree(_upper_tree(cfg.tree), upper_fns)
             key = jnp.where(upper, jnp.int32(0), jnp.int32(1))
             cap = cfg.compact_cap
-            k2, d, sums, orbits = lax.sort((key, d, sums, orbits),
-                                           num_keys=2)
+            packed = lax.sort((key, d, sums, orbits) +
+                              tuple(carried_vals), num_keys=2)
+            k2, d, sums, orbits = packed[:4]
             d, sums, orbits = d[:cap], sums[:cap], orbits[:cap]
+            carried_vals = [a[:cap] for a in packed[4:]]
             first = k2[:cap] == 0
             precompacted = True
         d_cand = jnp.minimum(d, nd1 - 1)
@@ -695,19 +751,24 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         # config. Stable (key, docid) order keeps eligible rows
         # docid-ascending for the rank tie contract.
         key = jnp.where(eligible, jnp.int32(0), jnp.int32(1))
-        k2, d, sums = lax.sort((key, d, sums), num_keys=2)
+        packed = lax.sort((key, d, sums) + tuple(carried_vals), num_keys=2)
+        k2, d, sums = packed[:3]
         cap = cfg.compact_cap
         d, sums = d[:cap], sums[:cap]
+        carried_vals = [a[:cap] for a in packed[3:]]
         eligible = k2[:cap] == 0
         d_cand = jnp.minimum(d, nd1 - 1)
+    carried: dict = {}
+    for kk, arr in zip(carry_keys, carried_vals):
+        carried.setdefault(kk[0], {})[kk[1]] = arr
     if cfg.with_aggs:
         from xapiand_tpu.ops.aggs import compute_aggs
 
         out["aggs"] = compute_aggs(seg, cfg.with_aggs, d_cand, eligible,
-                                   sums, plan)
+                                   sums, plan, carried=carried)
     if not cfg.count_only:
         docids, scores, skeys = _rank_and_topk(cfg, seg, d, sums, eligible,
-                                               plan=plan)
+                                               plan=plan, carried=carried)
         out["docids"] = docids
         out["scores"] = scores
         if cfg.emit_sort_keys and cfg.sort and skeys is not None:

@@ -358,6 +358,52 @@ def group_compact_cap(cfgs, classes) -> int:
     return best if best and 2 * best <= sum(classes) else 0
 
 
+def _carry_enabled() -> bool:
+    """Posting-aligned value channels (ExecConfig.carry): value sort keys
+    and agg fields ride the docid sort instead of being gathered per
+    candidate (~30 serialized cycles/element on TPU). Default ON; set
+    XT_CARRY=0 to A/B the gather path."""
+    import os
+
+    return os.environ.get("XT_CARRY", "1") != "0"
+
+
+def carry_channels(sort_static, aggs, collapse_slot) -> tuple:
+    """Which pv channels each sort/agg consumer can read row-aligned.
+    Only kinds whose executor/agg reads understand carried channels are
+    listed - everything else keeps the clamped-gather path. Collapse
+    permutes rows, so carrying is pointless under it."""
+    if collapse_slot is not None:
+        return ()
+    need: dict = {}
+
+    def add(slot, *chs):
+        if slot is None or slot < 0:
+            return
+        need.setdefault(int(slot), set()).update(chs)
+
+    for spec in sort_static or ():
+        kind, slot = spec[0], spec[1]
+        if kind == "value":
+            add(slot, "hi", "lo", "fval")   # fval: NaN codes absence
+        elif kind == "dist":
+            add(slot, "fval")
+        elif kind == "geodist":
+            add(slot, "fval", "fval2")
+        elif kind == "strmetric":
+            add(slot, "cats")
+    for spec in aggs or ():
+        kind = spec[0] if spec else None
+        if kind in ("sum", "avg", "min", "max", "variance",
+                    "std_deviation", "stats", "extended_stats",
+                    "median", "mode", "histogram"):
+            add(spec[1], "fval")
+        elif kind == "terms":
+            add(spec[1], "cats")
+    return tuple(sorted((slot, tuple(sorted(chs)))
+                        for slot, chs in need.items()))
+
+
 def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
          global_tf: Optional[Callable[[str], int]] = None,
          k: int = 10, sort: tuple = (), collapse_slot: Optional[int] = None,
@@ -547,6 +593,8 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
     unweighted = (getattr(scheme, "name", "") == "bool"
                   or not (any(pt.scoring for pt in cq.terms)
                           or cq.synonyms))
+    carry = carry_channels(sort_static, aggs, collapse_slot) \
+        if _carry_enabled() else ()
     cfg = ExecConfig(
         T=T, L=L, k=min(k, rows),
         tree=cq.tree,
@@ -576,6 +624,7 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         drive=_pick_drive(cq, classes),
         req_groups=_required_groups(cq),
         compact_cap=compact_cap_for(classes, _required_groups(cq)),
+        carry=carry,
     )
     if agg_arrays:
         arrays.update(agg_arrays)

@@ -66,6 +66,8 @@ class SegmentSearcher:
                 scheme: Optional[WeightScheme] = None) -> dict:
         """stats: {"N": float, "avg_doclen": float, "doclen_lower": float,
         "doclen_upper": float, "total_len": float}."""
+        for slot, chs in bound.cfg.carry:
+            self.device_segment.ensure_postval(slot, chs)
         fn = self._compiled(bound.cfg, scheme or self.scheme)
         plan_arrays = jax.tree.map(jnp.asarray, bound.arrays)
         stats_arrays = {k: jnp.float32(v) for k, v in stats.items()}
@@ -193,6 +195,12 @@ class BatchSearcher:
         # unify within each group; equal-work batch widths across groups
         unified = [(unify_cfgs([bounds[i].cfg for i in idxs], k=self.k),
                     idxs) for idxs in groups]
+        # upload posting-aligned value channels BEFORE any arrays_pytree()
+        # call so every fn of this searcher compiles against one stable
+        # pytree (cfg.carry; executor falls back per missing channel)
+        for cfg_u, _ in unified:
+            for slot, chs in cfg_u.carry:
+                self.searcher.device_segment.ensure_postval(slot, chs)
         works = []
         for cfg, _ in unified:
             w = max(sum(cfg.classes), 1)
