@@ -58,13 +58,18 @@ def _run(db, monkeypatch, enabled, **kw):
                                       "_interval": 10}}}},
     {"sort": [{"price": {"_order": "desc"}}],
      "aggs": {"st": {"_extended_stats": {"_field": "price"}}}},
+    {"collapse": "cat"},
+    {"collapse": "cat", "sort": [{"price": {"_order": "desc"}}]},
 ])
 def test_carry_matches_gather(facet_db, monkeypatch, kw):
     import xapiand_tpu.query.dsl as dsl
 
+    kw = dict(kw)
     if "sort" in kw:
-        kw = dict(kw)
         kw["sort"] = dsl.parse_sort(facet_db.schema, kw["sort"])
+    if "collapse" in kw:
+        kw["collapse_slot"] = \
+            facet_db.schema.get_field(kw.pop("collapse")).slot
     off = _run(facet_db, monkeypatch, False, **kw)
     on = _run(facet_db, monkeypatch, True, **kw)
     assert off == on
@@ -90,6 +95,7 @@ def test_carry_cfg_and_upload(facet_db, monkeypatch):
     s2 = SegmentSearcher(facet_db._searchers[1].segment, facet_db.scheme)
     assert not s2.device_segment.ensure_postval(slot, ("fval", "hi", "lo"))
     assert not s2.device_segment.postvals
-    # collapse disables carrying entirely
-    assert planmod.carry_channels(
-        [("value", slot, True)], (), collapse_slot=3) == ()
+    # collapse keys carry too (permuted along with the rows)
+    cc = planmod.carry_channels([("value", slot, True)], (),
+                                collapse_slot=3)
+    assert (3, ("fval", "hi", "lo")) in cc

@@ -397,9 +397,8 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
     """Final ordering: relevance top-k (+ exact tie refinement) or full
     multi-key sort for value ordering / unweighted queries."""
     if cfg.collapse_slot is not None:
-        docids, scores, eligible = _collapse(cfg, seg, docids, scores,
-                                             eligible)
-        carried = None   # collapse permutes rows: carried channels stale
+        docids, scores, eligible, carried = _collapse(
+            cfg, seg, docids, scores, eligible, carried)
     if not cfg.sort and not cfg.unweighted:
         masked = jnp.where(eligible, scores, -jnp.inf)
         if rows_sorted:
@@ -504,22 +503,37 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
     return order[-2][: cfg.k], order[-1][: cfg.k], None
 
 
-def _collapse(cfg: ExecConfig, seg, docids, scores, eligible):
+def _collapse(cfg: ExecConfig, seg, docids, scores, eligible,
+              carried=None):
     """Keep only the best-scoring doc per collapse key
-    (src/xapian/matcher/collapser.cc semantics, one level)."""
-    col = _get_value_col(seg, cfg.collapse_slot)
-    d = jnp.minimum(docids, col["hi"].shape[0] - 1)
-    kh, kl = col["hi"][d], col["lo"][d]
-    present = col["present"][d]
+    (src/xapian/matcher/collapser.cc semantics, one level). Carried value
+    channels (cfg.carry) ride the collapse sort as payload so later
+    sort-key/agg reads stay row-aligned after the permutation."""
+    cc = _carried_col(carried, cfg.collapse_slot)
+    if cc is not None and "hi" in cc and "present" in cc:
+        kh, kl, present = cc["hi"], cc["lo"], cc["present"]
+    else:
+        col = _get_value_col(seg, cfg.collapse_slot)
+        d = jnp.minimum(docids, col["hi"].shape[0] - 1)
+        kh, kl = col["hi"][d], col["lo"][d]
+        present = col["present"][d]
+    ckeys = [(slot, ch) for slot, chs in (carried or {}).items()
+             for ch in sorted(chs)]
+    cvals = tuple((carried or {})[slot][ch] for slot, ch in ckeys)
     grouped = present & eligible
     solo = ~grouped
     gflag = solo.astype(jnp.int32)
     uniq = jnp.where(grouped, kl, docids)
     order = lax.sort(
         (gflag, jnp.where(grouped, kh, 0), uniq, -scores, docids, scores,
-         eligible.astype(jnp.int32)),
+         eligible.astype(jnp.int32)) + cvals,
         num_keys=4)
-    ogf, okh, oku, _, od, osc, oel = order
+    ogf, okh, oku, _, od, osc, oel = order[:7]
+    out_carried: Optional[dict] = None
+    if ckeys:
+        out_carried = {}
+        for (slot, ch), arr in zip(ckeys, order[7:]):
+            out_carried.setdefault(slot, {})[ch] = arr
     head = jnp.concatenate([
         jnp.ones((1,), bool),
         (ogf[1:] != ogf[:-1]) | (okh[1:] != okh[:-1]) | (oku[1:] != oku[:-1])])
@@ -529,7 +543,7 @@ def _collapse(cfg: ExecConfig, seg, docids, scores, eligible):
     for j in range(1, min(cfg.collapse_max, 8)):
         keep = keep | _shift_right(head, j, False)
     keep = keep | (ogf > 0)
-    return od, osc, (oel > 0) & keep
+    return od, osc, (oel > 0) & keep, out_carried
 
 
 # --------------------------------------------------------------------------

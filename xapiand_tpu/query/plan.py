@@ -372,9 +372,8 @@ def carry_channels(sort_static, aggs, collapse_slot) -> tuple:
     """Which pv channels each sort/agg consumer can read row-aligned.
     Only kinds whose executor/agg reads understand carried channels are
     listed - everything else keeps the clamped-gather path. Collapse
-    permutes rows, so carrying is pointless under it."""
-    if collapse_slot is not None:
-        return ()
+    keys carry too (the collapse sort permutes every carried channel
+    along with the rows)."""
     need: dict = {}
 
     def add(slot, *chs):
@@ -382,6 +381,7 @@ def carry_channels(sort_static, aggs, collapse_slot) -> tuple:
             return
         need.setdefault(int(slot), set()).update(chs)
 
+    add(collapse_slot, "hi", "lo", "fval")
     for spec in sort_static or ():
         kind, slot = spec[0], spec[1]
         if kind == "value":
