@@ -430,10 +430,24 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             rho = jnp.where(rest == 0, 32 - _HLL_P + 1,
                             lax.clz(rest).astype(jnp.int32) + 1)
             rho = jnp.where(m, rho, 0).astype(jnp.int32)
-            regs = jnp.max(
-                jnp.where(idx[:, None] == jnp.arange(_HLL_M)[None, :],
-                          rho[:, None], 0), axis=0)
-            out.append({"n": exact, "maxn": exact, "hll": regs})
+            # per-register max as a sort-based segment reduction: append
+            # an identity grid so every register id has a segment, sort
+            # by (register, rho), read maxima at segment tails, then pack
+            # the tails to the front. Two streamed sorts of rows+m - the
+            # masked [rows, 1024] broadcast-max this replaces risks a
+            # multi-GB materialization at full row width if XLA declines
+            # to fuse it (compact_cap is 0 for OR/match-all queries)
+            grid = jnp.arange(_HLL_M, dtype=jnp.int32)
+            ks, vs = lax.sort(
+                (jnp.concatenate([idx, grid]),
+                 jnp.concatenate([rho, jnp.zeros((_HLL_M,), jnp.int32)])),
+                num_keys=2)
+            tailm = jnp.concatenate([ks[1:] != ks[:-1],
+                                     jnp.ones((1,), bool)])
+            k2 = jnp.where(tailm, jnp.int32(0), jnp.int32(1))
+            _, _, regs = lax.sort((k2, ks, vs), num_keys=2)
+            out.append({"n": exact, "maxn": exact,
+                        "hll": regs[:_HLL_M]})
         elif kind == "geo_stats":
             # sufficient stats for _geo_bounds / _geo_centroid
             col = _get_value_col(seg, slot)
