@@ -374,6 +374,28 @@ class SegmentBuilder:
 
         doc_keylists: dict[int, list] = {}
         max_vals = 1
+        # vectorised fast path: every doc has exactly ONE plain-number
+        # value (the dominant shape - price-like fields). The per-value
+        # Python loop below costs ~75s/1M docs; this is 3 numpy passes.
+        if per_doc and all(
+                len(vals) == 1 and type(vals[0]) in (int, float)
+                for vals in per_doc.values()):
+            dids = np.fromiter(per_doc.keys(), np.int64, len(per_doc))
+            xs = np.fromiter((vals[0] for vals in per_doc.values()),
+                             np.float64, len(per_doc))
+            keys_np = ser.sortable_keys_u64_np(xs)
+            h, l = ser.split_keys_np(keys_np)
+            hi[dids], lo[dids] = h, l
+            max_hi[dids], max_lo[dids] = h, l
+            present[dids] = True
+            fval[dids] = xs.astype(np.float32)
+            for docid, vals in per_doc.items():
+                raw[docid] = vals[0]
+            return ValueColumn(
+                kind="numeric", hi=hi, lo=lo, max_hi=max_hi,
+                max_lo=max_lo, fval=fval, present=present, cats=None,
+                raw=raw, fval2=None, max_vals=1)
+        _skey_memo: dict[str, int] = {}
         for docid, vals in per_doc.items():
             raw[docid] = vals[0] if len(vals) == 1 else vals
             keys = []
@@ -385,7 +407,11 @@ class SegmentBuilder:
                     keys.append(ser.sortable_key_u64(float(v)))
                 elif isinstance(v, str):
                     has_strings = True
-                    keys.append(ser.serialise_string_key(v))
+                    k = _skey_memo.get(v)
+                    if k is None:
+                        k = ser.serialise_string_key(v)
+                        _skey_memo[v] = k
+                    keys.append(k)
                 elif isinstance(v, tuple) and len(v) == 2:
                     # geo centroid (lat, lon): key on packed lat for sorting;
                     # real geo filtering uses the GeoColumn ranges

@@ -43,6 +43,28 @@ def sortable_key_u64(x: float) -> int:
     return bits | _SIGN
 
 
+def sortable_keys_u64_np(x):
+    """Vectorised sortable_key_u64 over a float64 numpy array."""
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    x = x + 0.0                       # normalises -0.0 to +0.0
+    bits = x.view(np.uint64)
+    neg = (bits >> np.uint64(63)) != 0
+    return np.where(neg, ~bits, bits | np.uint64(1 << 63))
+
+
+def split_keys_np(keys):
+    """Vectorised split_key: uint64 array -> (hi, lo) int32 arrays."""
+    import numpy as np
+
+    keys = np.asarray(keys, np.uint64)
+    hi = ((keys >> np.uint64(32)).astype(np.uint32)
+          ^ np.uint32(0x80000000)).view(np.int32)
+    lo = (keys.astype(np.uint32) ^ np.uint32(0x80000000)).view(np.int32)
+    return hi, lo
+
+
 def sortable_key_to_float(key: int) -> float:
     key &= _MASK64
     if key & _SIGN:
