@@ -82,6 +82,9 @@ class DocumentsClient {
   update(index, id, body, { commit = false, version = null } = {}) {
     return this._t.perform("UPDATE", `/${esc(index)}/${esc(id)}`, body, { commit, version });
   }
+  upsert(index, id, body, { commit = false, version = null } = {}) {
+    return this._t.perform("UPSERT", `/${esc(index)}/${esc(id)}`, body, { commit, version });
+  }
   patch(index, id, ops, { commit = false } = {}) {
     return this._t.perform("PATCH", `/${esc(index)}/${esc(id)}`, ops, { commit });
   }
@@ -94,8 +97,8 @@ class DocumentsClient {
       throw e;
     }
   }
-  get(index, id, { selector = null } = {}) {
-    return this._t.perform("GET", `/${esc(index)}/${esc(id)}`, null, { selector });
+  get(index, id, { selector = null, volatile = false } = {}) {
+    return this._t.perform("GET", `/${esc(index)}/${esc(id)}`, null, { selector, volatile });
   }
   delete(index, id, { commit = false } = {}) {
     return this._t.perform("DELETE", `/${esc(index)}/${esc(id)}`, null, { commit });
@@ -123,6 +126,15 @@ class IndicesClient {
   }
   commit(index) {
     return this._t.perform("POST", `/${esc(index)}/:commit`);
+  }
+  open(index) {
+    return this._t.perform("OPEN", `/${esc(index)}/`);
+  }
+  close(index) {
+    return this._t.perform("CLOSE", `/${esc(index)}/`);
+  }
+  snapshot(index) {
+    return this._t.perform("POST", `/${esc(index)}/:snapshot`);
   }
   delete(index) {
     return this._t.perform("DELETE", `/${esc(index)}/`);
@@ -168,6 +180,10 @@ export class Xapiand {
   }
   info() {
     return this.transport.perform("GET", "/");
+  }
+  flush() {
+    // admin FLUSH / (requires --admin-commands on the server)
+    return this.transport.perform("FLUSH", "/");
   }
   index(index, body, opts) {
     return this.documents.index(index, body, opts);

@@ -27,7 +27,9 @@ from config_bench import CFG3_AGGS, CFG3_SORT, build_corpus3, queries3  # noqa: 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
-    ap.add_argument("--variants", default="full,count,sort,aggs")
+    ap.add_argument("--variants",
+                    default="full,full-nocarry,count,sort,sort-nocarry,"
+                            "aggs,aggs-nocarry")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -67,16 +69,20 @@ def main():
 
     variants = {
         "full": dict(sort=sort, aggs=(specs, arrays)),
+        "full-nocarry": dict(sort=sort, aggs=(specs, arrays), carry="0"),
         "count": dict(sort=None, aggs=None),
         "sort": dict(sort=sort, aggs=None),
+        "sort-nocarry": dict(sort=sort, aggs=None, carry="0"),
         "aggs": dict(sort=None, aggs=(specs, arrays)),
+        "aggs-nocarry": dict(sort=None, aggs=(specs, arrays), carry="0"),
     }
     for name in args.variants.split(","):
-        kw = variants[name.strip()]
+        kw = dict(variants[name.strip()])
+        os.environ["XT_CARRY"] = kw.pop("carry", "1")
         bs = BatchSearcher(searcher, k=10, min_batch=64, work_ratio=2.0,
                            **kw)
         qps = _timed_qps(bs, searcher, irs, seg)
-        print(f"{name:10s} {qps:8.1f} qps")
+        print(f"{name:14s} {qps:8.1f} qps", flush=True)
 
 
 if __name__ == "__main__":

@@ -583,10 +583,20 @@ def test_python_client(srv):
     assert c.get("pycli", "1")["n"] == 5
     c.documents.update("pycli", "1", {"extra": "x"}, commit=True)
     assert c.get("pycli", "1")["extra"] == "x"
+    # native UPSERT verb: creates when absent, merges when present
+    out = c.documents.upsert("pycli", "9", {"n": 9}, commit=True)
+    assert out["_version"] == 1
+    out = c.documents.upsert("pycli", "9", {"m": 1}, commit=True)
+    assert out["_version"] == 2
+    assert c.get("pycli", "9", volatile=True)["n"] == 9
 
-    r = c.search("pycli", {"_query": {"body": "hello"}})
+    r = c.search("pycli", {"_query": {"body": "hello"}}, volatile=True)
     assert r["count"] == 1
-    assert c.count("pycli", {"_query": {"_match_all": {}}})["count"] == 1
+    assert c.count("pycli", {"_query": {"_match_all": {}}})["count"] == 2
+    c.documents.delete("pycli", "9", commit=True)
+    # durable checkpoint via the client (POST :snapshot)
+    snap = c.indices.snapshot("pycli")
+    assert "#snapshot" in snap
 
     # bulk restore + settings/schema views
     c.indices.restore("pycli2",

@@ -131,11 +131,13 @@ class DocumentsClient:
             {"commit": commit or None, "version": version})
         return out
 
-    def upsert(self, index, id, body=None, commit=False):
-        try:
-            return self.update(index, id, body, commit=commit)
-        except NotFoundError:
-            return self.index(index, body, id=id, commit=commit)
+    def upsert(self, index, id, body=None, commit=False, version=None):
+        """Native UPSERT verb: UPDATE that creates when absent, one
+        round trip (≙ http_client.cc:141-155 verb table)."""
+        _, out = self._t.perform(
+            "UPSERT", f"/{_esc(index)}/{_esc(id)}", body,
+            {"commit": commit or None, "version": version})
+        return out
 
     def patch(self, index, id, body=None, commit=False):
         _, out = self._t.perform("PATCH", f"/{_esc(index)}/{_esc(id)}",
@@ -149,9 +151,10 @@ class DocumentsClient:
         except NotFoundError:
             return False
 
-    def get(self, index, id, selector=None):
+    def get(self, index, id, selector=None, volatile=False):
         _, out = self._t.perform("GET", f"/{_esc(index)}/{_esc(id)}",
-                                 params={"selector": selector})
+                                 params={"selector": selector,
+                                         "volatile": volatile or None})
         return out
 
     def delete(self, index, id, commit=False):
@@ -211,17 +214,29 @@ class IndicesClient:
         _, out = self._t.perform("GET", f"/{_esc(index)}/:schema")
         return out
 
-    def count(self, index, body=None, q=None):
+    def count(self, index, body=None, q=None, volatile=False):
         _, out = self._t.perform("POST", f"/{_esc(index)}/:count",
-                                 body, params={"q": q})
+                                 body, params={"q": q,
+                                               "volatile": volatile or None})
         return out
 
     def search(self, index, body=None, q=None, limit=None, offset=None,
-               sort=None, selector=None):
+               sort=None, selector=None, volatile=False):
         params = {"q": q, "limit": limit, "offset": offset,
-                  "sort": sort, "selector": selector}
+                  "sort": sort, "selector": selector,
+                  "volatile": volatile or None}
         _, out = self._t.perform("POST", f"/{_esc(index)}/:search",
                                  body, params)
+        return out
+
+    def snapshot(self, index):
+        """Durable binary checkpoint + WAL prune (POST :snapshot)."""
+        _, out = self._t.perform("POST", f"/{_esc(index)}/:snapshot")
+        return out
+
+    def flush(self):
+        """Admin FLUSH / (requires --admin-commands on the server)."""
+        _, out = self._t.perform("FLUSH", "/")
         return out
 
     def restore(self, index, docs: Iterable[dict], batch: int = 2000,
@@ -291,6 +306,12 @@ class Xapiand:
 
     def count(self, index, body=None, **kw):
         return self.indices.count(index, body, **kw)
+
+    def upsert(self, index, id, body=None, **kw):
+        return self.documents.upsert(index, id, body, **kw)
+
+    def flush(self):
+        return self.indices.flush()
 
     def __repr__(self):
         return f"<Xapiand({self.transport.hosts})>"
