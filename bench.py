@@ -115,10 +115,15 @@ def main():
                for q in queries]
     from xapiand_tpu.search import BatchSearcher
 
+    PREFIX_CAP = int(os.environ.get("XT_PREFIX_CAP", "0"))
     bsearch = BatchSearcher(
         searcher, k=K, max_batch=BATCH,
-        chunk_rows=int(os.environ.get("BENCH_CHUNK_ROWS", "0")))
-    planned = bsearch.plan([Q.or_terms(q) for q in queries], stats=stats)
+        chunk_rows=int(os.environ.get("BENCH_CHUNK_ROWS", "0")),
+        prefix_cap=PREFIX_CAP)
+    irs = [Q.or_terms(q) for q in queries]
+    planned = bsearch.plan(irs, stats=stats)
+    if PREFIX_CAP:
+        seg_arrays = searcher.device_segment.arrays_pytree()  # + imp.*
     batches = [(cfg_g, fn, batch, chunk)
                for cfg_g, fn, batch, chunk in planned]
     group_shapes = {}
@@ -145,20 +150,66 @@ def main():
     log(f"compile+warmup ({len(warmed)} shapes) {time.time()-t0:.1f}s")
 
     # recall parity vs the CPU baseline on a sample (BASELINE.md gate)
-    sample = min(8, len(chunk0))
-    base = cpu_baseline(seg, [queries[i] for i in chunk0[:sample]])
-    log("cpu baseline sample done")
-    dev_docs = np.asarray(out0["docids"])[:sample]
-    dev_scores = np.asarray(out0["scores"])[:sample]
-    for qi in range(sample):
-        expect = [d for d, _ in base[qi]]
-        got = [int(d) for d, s in zip(dev_docs[qi], dev_scores[qi])
-               if np.isfinite(s)][: len(expect)]
-        if got != expect:
-            print(json.dumps({"metric": "RECALL_PARITY_FAILURE",
-                              "query": qi, "got": got[:10],
-                              "expect": expect[:10]}), file=sys.stderr)
-            raise SystemExit(1)
+    if PREFIX_CAP:
+        # prefix mode: merge certified rows with exact re-runs of the
+        # uncertified ones, gate parity on the MERGED results, and time
+        # the full pipeline (prefix launches + fallback launches) so the
+        # reported QPS is end-to-end honest
+        merged: dict = {}
+        uncert: list = []
+        for cfg_g, fn, batch, chunk in batches:
+            o = fn(seg_arrays, batch, stats_d)
+            dv, sv = np.asarray(o["docids"]), np.asarray(o["scores"])
+            cv = np.asarray(o["certified"]) if "certified" in o \
+                else np.ones(len(chunk), bool)
+            for row, qi in enumerate(chunk):
+                if qi in merged:
+                    continue
+                merged[qi] = (dv[row], sv[row]) if cv[row] else None
+                if not cv[row]:
+                    uncert.append(qi)
+        extra = []
+        if uncert:
+            fb = BatchSearcher(searcher, k=K, max_batch=BATCH)
+            extra = fb.plan([irs[qi] for qi in uncert], stats=stats)
+            for cfg_g, fn, batch, chunk in extra:
+                o = fn(seg_arrays, batch, stats_d)
+                dv, sv = np.asarray(o["docids"]), np.asarray(o["scores"])
+                for row, li in enumerate(chunk):
+                    qi = uncert[li]
+                    if merged[qi] is None:
+                        merged[qi] = (dv[row], sv[row])
+        log(f"prefix cap {PREFIX_CAP}: {len(uncert)}/{len(queries)} "
+            f"uncertified -> exact re-run ({len(extra)} extra launches)")
+        sample_qis = list(range(8)) + uncert[:4]
+        base = cpu_baseline(seg, [queries[i] for i in sample_qis])
+        log("cpu baseline sample done")
+        for si, qi in enumerate(sample_qis):
+            expect = [d for d, _ in base[si]]
+            dv, sv = merged[qi]
+            got = [int(d) for d, s in zip(dv, sv)
+                   if np.isfinite(s)][: len(expect)]
+            if got != expect:
+                print(json.dumps({"metric": "RECALL_PARITY_FAILURE",
+                                  "query": int(qi), "got": got[:10],
+                                  "expect": expect[:10]}), file=sys.stderr)
+                raise SystemExit(1)
+        batches = batches + extra
+    else:
+        sample = min(8, len(chunk0))
+        base = cpu_baseline(seg, [queries[i] for i in chunk0[:sample]])
+        log("cpu baseline sample done")
+        dev_docs = np.asarray(out0["docids"])[:sample]
+        dev_scores = np.asarray(out0["scores"])[:sample]
+        for qi in range(sample):
+            expect = [d for d, _ in base[qi]]
+            got = [int(d) for d, s in zip(dev_docs[qi], dev_scores[qi])
+                   if np.isfinite(s)][: len(expect)]
+            if got != expect:
+                print(json.dumps({"metric": "RECALL_PARITY_FAILURE",
+                                  "query": qi, "got": got[:10],
+                                  "expect": expect[:10]}), file=sys.stderr)
+                raise SystemExit(1)
 
     # timed runs. TPU executes enqueued programs in order, so enqueueing
     # every batch and reading back only the LAST result is a sound fence

@@ -39,4 +39,6 @@ run cfg3 7200 python scripts/config_bench.py --config 3 --skip-reference
 run cfg4 7200 python scripts/config_bench.py --config 4 --skip-reference
 # 4. headline bench sanity + tail re-measure
 run bench 7200 python bench.py
+# 5. concurrent REST serving row (ours on chip; ref leg runs separately)
+run conc_ours 7200 python scripts/concurrent_bench.py --target ours
 echo "$(date -u +%H:%M:%S) queue complete" >> /tmp/chipq/queue.log

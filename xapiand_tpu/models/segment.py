@@ -174,6 +174,62 @@ class Segment:
     def max_posting_len(self) -> int:
         return max((t.length for t in self.terms.values()), default=0)
 
+    def impact_arrays(self, scheme, stats):
+        """Impact-permuted posting mirror for maxweight-style pruning
+        (≙ matcher.cc:415 max_weight recalc + bm25weight.cc get_maxpart).
+
+        Returns (docids, wdf, doclen) shaped like the post_* arrays, where
+        each term's block holds ITS OWN postings reordered by descending
+        per-posting impact g = sumpart(wdf, dl, tconst=1) (docid-ascending
+        on ties, so ordering is deterministic). Because the order is
+        g-descending by construction, g at any position upper-bounds the
+        whole tail from that position - the executor's prefix mode reads
+        that boundary value as the unseen-mass bound. Valid only for the
+        (scheme key, avg_doclen) it was built with; cached per segment."""
+        g = scheme.impact_np(self.post_wdf, self.post_doclen, stats)
+        if g is None:
+            return None
+        key = (scheme.key(), round(float(stats.avg_doclen), 6))
+        cache = getattr(self, "_impact_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        n = len(self.post_docids)
+        offs = np.fromiter((t.offset for t in self.terms.values()),
+                           np.int64, len(self.terms))
+        lens = np.fromiter((t.length for t in self.terms.values()),
+                           np.int64, len(self.terms))
+        tid = np.full(n, len(self.terms), np.int64)
+        if len(offs):
+            order = np.argsort(offs, kind="stable")
+            offs, lens = offs[order], lens[order]
+            starts = np.repeat(offs, lens)
+            tids_r = np.repeat(np.arange(len(offs), dtype=np.int64), lens)
+            pos_in = np.arange(len(starts), dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            rows = starts + pos_in
+            tid[rows] = tids_r
+        # stable sort: primary term block, secondary -g; stability keeps
+        # equal-impact postings docid-ascending (post arrays are)
+        perm = np.lexsort((-g, tid))
+        grouped_tid = tid[perm]
+        covered = grouped_tid < len(self.terms)
+        perm = perm[covered]
+        grouped_tid = grouped_tid[covered]
+        # destination = term offset + rank within the term's group
+        group_start = np.searchsorted(grouped_tid, np.arange(len(offs)))
+        rank = np.arange(len(perm), dtype=np.int64) - \
+            group_start[grouped_tid]
+        dest = offs[grouped_tid] + rank
+        imp_d = self.post_docids.copy()
+        imp_w = self.post_wdf.copy()
+        imp_l = self.post_doclen.copy()
+        imp_d[dest] = self.post_docids[perm]
+        imp_w[dest] = self.post_wdf[perm]
+        imp_l[dest] = self.post_doclen[perm]
+        out = (imp_d, imp_w, imp_l)
+        self._impact_cache = (key, out)
+        return out
+
     def nbytes(self) -> int:
         total = 0
         for arr in (self.post_docids, self.post_wdf, self.post_doclen,
@@ -256,6 +312,30 @@ class DeviceSegment:
             }
 
         self.postvals: dict = {}
+        self.impact: dict = {}
+        self._impact_key = None
+
+    def ensure_impact(self, scheme, stats) -> bool:
+        """Upload the impact-permuted posting mirror (Segment.impact_arrays)
+        for the executor's prefix mode. Rebuilt when the (scheme,
+        avg_doclen) key changes (deletes shift avg_doclen); False when the
+        scheme isn't impact-separable."""
+        import jax
+        import jax.numpy as jnp
+
+        key = (scheme.key(), round(float(stats.avg_doclen), 6))
+        if self._impact_key == key and self.impact:
+            return True
+        arrs = self.host.impact_arrays(scheme, stats)
+        if arrs is None:
+            return False
+        self.impact = {
+            "imp.docids": jax.device_put(jnp.asarray(arrs[0], jnp.int32)),
+            "imp.wdf": jax.device_put(jnp.asarray(arrs[1], jnp.float32)),
+            "imp.doclen": jax.device_put(jnp.asarray(arrs[2], jnp.float32)),
+        }
+        self._impact_key = key
+        return True
 
     def ensure_postval(self, slot: int, channels: tuple) -> bool:
         """Posting-aligned value channels: pv.<slot>.<ch>[i] = the value
@@ -317,4 +397,5 @@ class DeviceSegment:
             "values": self.values,
             "geo": self.geo,
             **self.postvals,
+            **self.impact,
         }

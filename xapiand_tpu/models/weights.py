@@ -53,6 +53,14 @@ class WeightScheme:
     n_constants = 1          # floats returned by term_constant()
     needs_uniqterms = False  # sumpart() wants per-doc distinct-term counts
 
+    def impact_np(self, wdf, doclen, stats: CollectionStats):
+        """Numpy per-posting impact g(wdf, doclen) for schemes whose
+        sumpart factorises as tconst * g (the maxweight-pruning order,
+        ≙ bm25weight.cc:184 get_maxpart). None = not separable; the
+        impact-prefix fast path (ops/executor.py prefix mode) is then
+        unavailable for this scheme."""
+        return None
+
     def term_constant(self, stats: CollectionStats, termfreq: int,
                       wqf: int = 1, factor: float = 1.0, collfreq: int = 0):
         """Host-side per-term constant(s) (the reference's Weight::init)."""
@@ -121,6 +129,18 @@ class BM25(WeightScheme):
         normlen = jnp.maximum(doclen * lf, self.min_normlen)
         denom = self.k1 * (normlen * self.b + (1.0 - self.b)) + wdf
         return tconst * (wdf / jnp.maximum(denom, 1e-9))
+
+    def impact_np(self, wdf, doclen, stats):
+        # sumpart == tconst * g: the same formula, host-side numpy (the
+        # impact-prefix build sorts 10^7-10^8 postings; routing that
+        # through jnp would round-trip the arrays over the device tunnel)
+        import numpy as np
+        avg = float(stats.avg_doclen)
+        lf = (1.0 / max(avg, 1e-9)) if (avg > 0 and not (
+            self.k2 == 0 and (self.b == 0 or self.k1 == 0))) else 0.0
+        normlen = np.maximum(doclen * lf, self.min_normlen)
+        denom = self.k1 * (normlen * self.b + (1.0 - self.b)) + wdf
+        return (wdf / np.maximum(denom, 1e-9)).astype(np.float32)
 
     def sumextra(self, doclen, stats):
         # bm25weight.cc:219-224 (k2 doc-length correction; k2=0 default)

@@ -99,6 +99,16 @@ class ExecConfig:
                                  # the docid sort as payload so sort-key and
                                  # agg value reads need NO per-candidate
                                  # gather (fval NaN-codes absence, cats -1)
+    prefix: tuple = ()           # impact-prefix mode (maxweight pruning,
+                                 # matcher.cc:415): per-term slice width
+                                 # over the impact-permuted mirror
+                                 # (seg imp.*), 0 = read full main postings.
+                                 # Output gains a per-query exactness
+                                 # certificate ("certified"); uncertified
+                                 # queries re-run the exact path host-side
+    verify_k: int = 0            # prefix mode: candidates exact-rescored
+                                 # via docid binary search before the
+                                 # certificate (>= k; 0 = no prefix mode)
 
     def term_classes(self) -> tuple:
         return self.classes if self.classes else (self.L,) * self.T
@@ -604,11 +614,33 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     carry_keys = [(slot, ch) for slot, chs in cfg.carry for ch in chs
                   if f"pv.{slot}.{ch}" in seg]
     cv_parts: dict = {kk: [] for kk in carry_keys}
+    # impact-prefix mode: truncated terms read the first P rows of the
+    # impact-permuted mirror (descending per-posting weight) instead of
+    # the full docid-ordered block; the weight AT the boundary row upper-
+    # bounds every unread posting's contribution (the maxweight-pruning
+    # invariant, matcher.cc:415 / bm25weight.cc get_maxpart)
+    prefix = cfg.prefix if cfg.prefix else (0,) * T
+    tail_bounds = []
     for t in range(T):
-        Lt = classes[t]
-        idt = lax.dynamic_slice(seg["post_docids"], (offsets[t],), (Lt,))
-        wdft = lax.dynamic_slice(seg["post_wdf"], (offsets[t],), (Lt,))
-        dlt = lax.dynamic_slice(seg["post_doclen"], (offsets[t],), (Lt,))
+        Pt = prefix[t]
+        if Pt and "imp.docids" in seg:
+            Lt = Pt
+            idt = lax.dynamic_slice(seg["imp.docids"], (offsets[t],), (Lt,))
+            wdft = lax.dynamic_slice(seg["imp.wdf"], (offsets[t],), (Lt,))
+            dlt = lax.dynamic_slice(seg["imp.doclen"], (offsets[t],), (Lt,))
+            bpos = jnp.minimum(offsets[t] + Pt,
+                               seg["imp.wdf"].shape[0] - 1)
+            wb = lax.dynamic_slice(seg["imp.wdf"], (bpos,), (1,))[0]
+            dlb = lax.dynamic_slice(seg["imp.doclen"], (bpos,), (1,))[0]
+            gb = scheme.sumpart(wb, dlb, plan["tconst"][t], cstats)
+            tail_bounds.append(jnp.where(
+                lens[t] > Pt,
+                jnp.maximum(gb * plan["scoring"][t], 0.0), 0.0))
+        else:
+            Lt = classes[t]
+            idt = lax.dynamic_slice(seg["post_docids"], (offsets[t],), (Lt,))
+            wdft = lax.dynamic_slice(seg["post_wdf"], (offsets[t],), (Lt,))
+            dlt = lax.dynamic_slice(seg["post_doclen"], (offsets[t],), (Lt,))
         for kk in carry_keys:
             cv_parts[kk].append(lax.dynamic_slice(
                 seg[f"pv.{kk[0]}.{kk[1]}"], (offsets[t],), (Lt,)))
@@ -780,6 +812,10 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
         out["aggs"] = compute_aggs(seg, cfg.with_aggs, d_cand, eligible,
                                    sums, plan, carried=carried)
+    if cfg.verify_k and any(prefix) and not cfg.count_only:
+        _prefix_topk(cfg, seg, plan, cstats, scheme, d, sums, eligible,
+                     tail_bounds, out)
+        return out
     if not cfg.count_only:
         docids, scores, skeys = _rank_and_topk(cfg, seg, d, sums, eligible,
                                                plan=plan, carried=carried)
@@ -788,6 +824,71 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         if cfg.emit_sort_keys and cfg.sort and skeys is not None:
             out["sort_keys"] = skeys
     return out
+
+
+def _prefix_topk(cfg: ExecConfig, seg, plan, cstats, scheme, d, sums,
+                 eligible, tail_bounds, out):
+    """Prefix-mode finish: exact-rescore the top verify_k candidates by
+    binary search over the full docid-ordered postings, then certify.
+
+    Certificate (all strict, so boundary ties force the exact fallback):
+      * every candidate beyond the verify_k window has computed score
+        <= vals[K]; its true score <= vals[K] + U (U = summed unread-tail
+        bounds), so  s_k > vals[K] + U  excludes it;
+      * a doc in no prefix at all has true score <= U, so  s_k > U;
+      * the k results themselves are exact (rescored), so their order
+        (score desc, docid asc) matches the exact path's.
+    U == 0 (nothing actually truncated for this query) certifies
+    unconditionally - the prefix covered every posting.
+    The reported count remains the prefix-row lower bound; the reference
+    itself reports estimated counts under maxweight pruning
+    (matcher.cc:415; get_matches_estimated), and uncertified queries are
+    re-run on the exact path by BatchSearcher.run."""
+    T, K = cfg.T, min(cfg.verify_k, d.shape[0] - 1)
+    classes = cfg.term_classes()
+    offsets, lens = plan["offsets"], plan["lens"]
+    U = sum(tail_bounds) if tail_bounds else jnp.float32(0.0)
+    masked = jnp.where(eligible, sums, -jnp.inf)
+    vals, idx = lax.top_k(masked, K + 1)
+    cand_d = jnp.where(jnp.isfinite(vals[:K]), d[idx[:K]], SENTINEL)
+    np_post = seg["post_docids"].shape[0]
+    exact = jnp.zeros((K,), jnp.float32)
+    for t in range(T):
+        Lc = classes[t]
+        bits = max((Lc - 1).bit_length(), 1)
+        ln = jnp.minimum(lens[t], Lc)
+        pos = jnp.zeros((K,), jnp.int32)
+        for sbit in reversed(range(bits)):
+            c2 = pos + (1 << sbit)
+            probe = seg["post_docids"][
+                jnp.minimum(offsets[t] + c2 - 1, np_post - 1)]
+            ok = (c2 <= ln) & (probe < cand_d)
+            pos = jnp.where(ok, c2, pos)
+        ppos = jnp.minimum(offsets[t] + pos, np_post - 1)
+        found = (pos < ln) & (seg["post_docids"][ppos] == cand_d)
+        if getattr(scheme, "needs_uniqterms", False):
+            uq = seg["uniqterms"][jnp.minimum(cand_d,
+                                              seg["doclen"].shape[0] - 1)]
+            w = scheme.sumpart(seg["post_wdf"][ppos],
+                               seg["post_doclen"][ppos],
+                               plan["tconst"][t], cstats, uniq=uq)
+        else:
+            w = scheme.sumpart(seg["post_wdf"][ppos],
+                               seg["post_doclen"][ppos],
+                               plan["tconst"][t], cstats)
+        exact = exact + jnp.where(found, w * plan["scoring"][t], 0.0)
+    exact = jnp.where(cand_d != SENTINEL, exact, -jnp.inf)
+    _, dd, vv = lax.sort((-exact, cand_d, exact), num_keys=2)
+    out["docids"] = dd[: cfg.k]
+    out["scores"] = vv[: cfg.k]
+    sk = vv[cfg.k - 1]
+    # margin: rescored sums (term order) and row sums (sort order) differ
+    # at float-add-reorder scale; a boundary tie must fail CLOSED (exact
+    # re-run), never certify on FP noise
+    eps = 1e-5 * jnp.abs(sk) + 1e-6
+    outsider_ok = (~jnp.isfinite(vals[K])) | (sk > vals[K] + U + eps)
+    out["certified"] = (U == 0.0) | (
+        jnp.isfinite(sk) & (sk > U + eps) & outsider_ok)
 
 
 def _execute_chunked(seg, plan, cfg: ExecConfig, cstats, scheme):

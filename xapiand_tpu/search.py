@@ -101,9 +101,17 @@ class BatchSearcher:
                  max_batch: int = 256, min_batch: int = 64,
                  class_groups: int = 3, work_ratio: float = 2.0,
                  scheme: Optional[WeightScheme] = None,
-                 sort=None, aggs=None, chunk_rows: int = 0):
+                 sort=None, aggs=None, chunk_rows: int = 0,
+                 prefix_cap: int = 0):
         self.searcher = searcher
         self.k = k
+        # impact-prefix pruning (matcher.cc:415 maxweight analog): terms
+        # whose size class exceeds this cap read only the top-`cap`
+        # impact-ordered postings; a per-query device certificate proves
+        # the top-k exact, and uncertified queries re-run the exact path
+        # (run()). Counts on certified prefix queries are lower bounds
+        # (the reference reports estimates under pruning too). 0 = off.
+        self.prefix_cap = prefix_cap
         # min rows per docid-range chunk (see _chunkify); <=0 disables.
         # Default OFF: measured 8% slower end-to-end at 1M docs on v5e
         # (10,374 vs 11,312 QPS) - the isolated sort win doesn't survive
@@ -195,6 +203,9 @@ class BatchSearcher:
         # unify within each group; equal-work batch widths across groups
         unified = [(unify_cfgs([bounds[i].cfg for i in idxs], k=self.k),
                     idxs) for idxs in groups]
+        if self.prefix_cap > 0 and self.k <= 64:
+            unified = [(self._prefixify(cfg_u, stats), idxs)
+                       for cfg_u, idxs in unified]
         # upload posting-aligned value channels BEFORE any arrays_pytree()
         # call so every fn of this searcher compiles against one stable
         # pytree (cfg.carry; executor falls back per missing channel)
@@ -203,7 +214,9 @@ class BatchSearcher:
                 self.searcher.device_segment.ensure_postval(slot, chs)
         works = []
         for cfg, _ in unified:
-            w = max(sum(cfg.classes), 1)
+            w = max(sum(p or c for p, c in
+                        zip(cfg.prefix or (0,) * cfg.T, cfg.classes)), 1) \
+                if cfg.classes else 1
             for _slot, _QR, RMAX in cfg.geo_specs:
                 # the exact HTM test sort-joins C*RMAX flattened doc
                 # ranges per query through a 4-channel sort + scan:
@@ -306,6 +319,31 @@ class BatchSearcher:
                 out.append((cfg_g, fn, batch, chunk))
         return out
 
+    def _prefixify(self, cfg_g, stats):
+        """Impact-prefix pruning for the pure relevance OR-of-terms shape:
+        terms wider than prefix_cap read only their top-impact prefix
+        (ops/executor.py prefix mode). Eligibility mirrors _chunkify -
+        any predicate/sort/agg machinery needs the full row set."""
+        if (cfg_g.tree != ("G", 0) or cfg_g.n_filters or cfg_g.geo_specs
+                or cfg_g.phrases or cfg_g.sort
+                or cfg_g.collapse_slot is not None or cfg_g.with_aggs
+                or cfg_g.count_only or cfg_g.dense or cfg_g.join
+                or cfg_g.unweighted or cfg_g.syn_groups or cfg_g.max_specs
+                or cfg_g.emit_sort_keys or cfg_g.n_chunks > 1):
+            return cfg_g
+        if getattr(self.scheme, "needs_uniqterms", False):
+            return cfg_g
+        cap = self.prefix_cap
+        prefix = tuple(cap if c > cap else 0
+                       for c in cfg_g.term_classes())
+        if not any(prefix):
+            return cfg_g
+        if not self.searcher.device_segment.ensure_impact(
+                self.scheme, stats):
+            return cfg_g   # scheme not impact-separable
+        return replace(cfg_g, prefix=prefix,
+                       verify_k=max(32, 2 * self.k))
+
     def _chunkify(self, cfg_g, bounds, idxs):
         """Docid-range chunking for wide single-group term trees (the
         dominant OR-of-terms serving shape): partition docid space into
@@ -320,7 +358,7 @@ class BatchSearcher:
                 or cfg_g.collapse_slot is not None or cfg_g.with_aggs
                 or cfg_g.count_only or cfg_g.dense or cfg_g.join
                 or cfg_g.unweighted or cfg_g.syn_groups or cfg_g.max_specs
-                or cfg_g.emit_sort_keys):
+                or cfg_g.emit_sort_keys or cfg_g.prefix):
             return cfg_g
         if self.chunk_rows <= 0:
             return cfg_g
@@ -381,10 +419,13 @@ class BatchSearcher:
         pend = [(fn(seg_arrays, batch, stats_d), chunk)
                 for _cfg, fn, batch, chunk in planned]
         results: list = [None] * len(irs)
+        uncertified: list = []
         for out, chunk in pend:
             docids = np.asarray(out["docids"])
             scores = np.asarray(out["scores"])
             counts = np.asarray(out["count"])
+            cert = np.asarray(out["certified"]) \
+                if "certified" in out else None
             aggs = out.get("aggs")
             if aggs is not None:
                 import jax
@@ -392,6 +433,10 @@ class BatchSearcher:
                 aggs = jax.tree_util.tree_map(np.asarray, aggs)
             for row, qi in enumerate(chunk):
                 if results[qi] is None:
+                    if cert is not None and not bool(cert[row]):
+                        results[qi] = False   # placeholder: exact re-run
+                        uncertified.append(qi)
+                        continue
                     results[qi] = {"docids": docids[row],
                                    "scores": scores[row],
                                    "count": int(counts[row])}
@@ -400,6 +445,18 @@ class BatchSearcher:
 
                         results[qi]["aggs"] = jax.tree_util.tree_map(
                             lambda a: a[row], aggs)
+        if uncertified:
+            # the certificate failed (tight score gaps vs the unread-tail
+            # bound): re-run those queries through the exact path
+            save = self.prefix_cap
+            self.prefix_cap = 0
+            try:
+                redo = self.run([irs[qi] for qi in uncertified],
+                                stats=stats)
+            finally:
+                self.prefix_cap = save
+            for qi, res in zip(uncertified, redo):
+                results[qi] = res
         return results
 
 
