@@ -41,4 +41,7 @@ run cfg4 7200 python scripts/config_bench.py --config 4 --skip-reference
 run bench 7200 python bench.py
 # 5. concurrent REST serving row (ours on chip; ref leg runs separately)
 run conc_ours 7200 python scripts/concurrent_bench.py --target ours
+# 6. impact-prefix A/B on the 1M headline (VERDICT r2 stretch #10)
+run bench_prefix16k 7200 env XT_PREFIX_CAP=16384 python bench.py
+run bench_prefix8k 7200 env XT_PREFIX_CAP=8192 python bench.py
 echo "$(date -u +%H:%M:%S) queue complete" >> /tmp/chipq/queue.log
