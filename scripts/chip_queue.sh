@@ -44,4 +44,6 @@ run conc_ours 7200 python scripts/concurrent_bench.py --target ours
 # 6. impact-prefix A/B on the 1M headline (VERDICT r2 stretch #10)
 run bench_prefix16k 7200 env XT_PREFIX_CAP=16384 python bench.py
 run bench_prefix8k 7200 env XT_PREFIX_CAP=8192 python bench.py
+# 7. phrase-path breakdown (config-2 weak multiple)
+run exp_phrase 7200 python scripts/exp_phrase.py
 echo "$(date -u +%H:%M:%S) queue complete" >> /tmp/chipq/queue.log
