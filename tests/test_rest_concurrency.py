@@ -123,6 +123,47 @@ def test_writes_exclude_reads_but_not_other_indexes(srv):
         dbmod.Database.index_document = orig
 
 
+def test_micro_batched_searches_match_sequential():
+    """Concurrent plain searches coalesce through SearchBatcher
+    (Database.search_many) - a wide window forces coalescing and every
+    response must equal its sequential counterpart."""
+    s = ServerThread(server_opts={"search_batch_window": 0.05})
+    try:
+        for i in range(60):
+            s.req("PUT", f"/mb/{i}",
+                  {"body": f"alpha word{i % 5} beta{i % 7}"})
+        s.req("POST", "/mb/:commit")
+        queries = [{"_query": {"body": f"word{i % 5} alpha"}, "_limit": 5}
+                   for i in range(12)]
+        seq = [s.req("POST", "/mb/:search", q)[1] for q in queries]
+
+        out = [None] * len(queries)
+
+        def one(i):
+            out[i] = s.req("POST", "/mb/:search", queries[i])[1]
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(60)
+        for i, (a, b) in enumerate(zip(seq, out)):
+            assert b is not None, i
+            assert b["total"] == a["total"], i
+            assert [h["_id"] for h in b["hits"]] == \
+                [h["_id"] for h in a["hits"]], i
+
+        # non-plain queries (explicit sort) bypass the batcher, same result
+        status, o2, _ = s.req("POST", "/mb/:search",
+                              {"_query": {"body": "word1 alpha"},
+                               "_sort": ["_score"], "_limit": 5})
+        assert status == 200
+        assert o2["total"] == seq[1]["total"]
+    finally:
+        s.stop()
+
+
 def test_concurrent_search_storm(srv):
     """8 concurrent clients against one index all complete correctly."""
     errs = []

@@ -760,6 +760,67 @@ class Database:
     def count(self, query: Any) -> int:
         return self.search(query, count_only=True).total
 
+    def search_many(self, queries: list, k: int = 10, offset: int = 0,
+                    scheme: Optional[Any] = None) -> list:
+        """Batched plain relevance search: many queries, few device
+        launches. Each segment runs the whole list through BatchSearcher
+        (shape-bucketed vmapped execution); per-query results then merge
+        across segments exactly like search(). This is the engine under
+        the REST server's request micro-batcher - concurrent clients
+        become device batch width instead of serialized launches (the
+        TPU answer to the reference's http-client thread pool,
+        manager.h:155-163). Plain top-k only: queries needing sort/aggs/
+        collapse/count_only take search().
+        """
+        from xapiand_tpu.search import BatchSearcher
+
+        if scheme is None:
+            scheme = self.scheme
+        elif isinstance(scheme, str):
+            scheme = get_scheme(scheme)
+        stats = self.stats()
+        irs = []
+        for q in queries:
+            irs.append(q if isinstance(q, Q) else
+                       QueryDSL(self.schema,
+                                term_expander=self.expand_prefix).parse(q))
+        want = k + offset
+        per_seg = []
+        for searcher in self._searchers:
+            bs = BatchSearcher(searcher, k=want, min_batch=4,
+                               scheme=scheme,
+                               global_tf=self.global_termfreq,
+                               global_cf=self.global_collfreq)
+            per_seg.append(bs.run(irs, stats=stats))
+        results = []
+        docs_store = getattr(self, "_docs_store", {})
+        for qi in range(len(irs)):
+            total = 0
+            merged: list = []
+            for seg_idx, outs in enumerate(per_seg):
+                out = outs[qi]
+                total += int(out["count"])
+                seg = self._searchers[seg_idx].segment
+                for sc, did in zip(out["scores"], out["docids"]):
+                    if sc == float("-inf"):
+                        continue
+                    did = int(did)
+                    if did >= seg.num_docs or seg.deleted[did]:
+                        continue
+                    merged.append((-float(sc),
+                                   self._tiebreak(seg_idx, did),
+                                   seg_idx, did))
+            merged.sort()
+            result = SearchResult(total=total)
+            for rank, (negscore, _tb, seg_idx, did) in enumerate(
+                    merged[offset:offset + k]):
+                key = self._searchers[seg_idx].segment.doc_keys[did]
+                result.hits.append(Hit(id=key, score=-negscore,
+                                       rank=offset + rank,
+                                       data=docs_store.get(key, {})))
+            results.append(result)
+        return results
+
     SCRIPTED_METRIC_CAP = 4096
 
     def _scripted_metrics(self, ir, specs: dict, stats) -> dict:

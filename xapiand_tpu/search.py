@@ -102,9 +102,14 @@ class BatchSearcher:
                  class_groups: int = 3, work_ratio: float = 2.0,
                  scheme: Optional[WeightScheme] = None,
                  sort=None, aggs=None, chunk_rows: int = 0,
-                 prefix_cap: int = 0):
+                 prefix_cap: int = 0, global_tf=None, global_cf=None):
         self.searcher = searcher
         self.k = k
+        # cross-segment term statistics (Database.search_many): per-term
+        # constants must use GLOBAL termfreqs or scores diverge between
+        # segments of one database (handler.cc two-phase stat merge)
+        self.global_tf = global_tf
+        self.global_cf = global_cf
         # impact-prefix pruning (matcher.cc:415 maxweight analog): terms
         # whose size class exceeds this cap read only the top-`cap`
         # impact-ordered postings; a per-query device certificate proves
@@ -155,6 +160,11 @@ class BatchSearcher:
         def gcf(t):
             ti = seg.get_term(t)
             return ti.collfreq if ti else 0
+
+        if self.global_tf is not None:
+            gtf = self.global_tf
+        if self.global_cf is not None:
+            gcf = self.global_cf
 
         irs = [resolve_special(ir, self.scheme, stats, gtf, gcf)
                for ir in irs]
@@ -412,10 +422,15 @@ class BatchSearcher:
         seg = self.searcher.segment
         st = stats or CollectionStats(doc_count=seg.doc_count,
                                       avg_doclen=seg.avg_doclen,
-                                      doclen_lower=1.0)
+                                      doclen_lower=1.0,
+                                      total_len=float(seg.total_doclen))
+        # the FULL stat set: LM smoothing needs total_len, DFR schemes
+        # doclen_upper - dropping them silently zeroes those scores
         stats_d = {"N": jnp.float32(st.doc_count),
                    "avg_doclen": jnp.float32(st.avg_doclen),
-                   "doclen_lower": jnp.float32(st.doclen_lower)}
+                   "doclen_lower": jnp.float32(st.doclen_lower),
+                   "doclen_upper": jnp.float32(st.doclen_upper),
+                   "total_len": jnp.float32(st.total_len)}
         pend = [(fn(seg_arrays, batch, stats_d), chunk)
                 for _cfg, fn, batch, chunk in planned]
         results: list = [None] * len(irs)

@@ -72,6 +72,10 @@ def main(argv=None):
                         "(\u2259 opts.h:67 num_http_clients)")
     p.add_argument("--num-replicas", type=int, default=0,
                    help="default replicas per new index (≙ opts.h:86)")
+    p.add_argument("--search-batch-window", type=float, default=2.0,
+                   help="milliseconds concurrent plain searches wait to "
+                        "coalesce into one device batch "
+                        "(SearchBatcher/search_many; 0 disables)")
     p.add_argument("--autocommit-max-force", type=float, default=3.0,
                    help="autocommit force-flush ceiling seconds "
                         "(≙ committer_debounce_max_force_timeout, "
@@ -150,6 +154,7 @@ def main(argv=None):
                      "echo": args.echo, "human": args.human,
                      "num_http_clients": args.num_http_clients,
                      "cluster_name": args.cluster_name,
+                     "search_batch_window": args.search_batch_window / 1000.0,
                      "admin_commands": args.admin_commands})
 
     def _graceful_quit():

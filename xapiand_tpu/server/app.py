@@ -330,6 +330,94 @@ def parse_path(path: str):
     return "/".join(parts), cmd
 
 
+class SearchBatcher:
+    """Request micro-batcher: concurrent plain searches on one index
+    coalesce into Database.search_many calls (device batch width instead
+    of serialized ~2ms launches - the TPU answer to the reference's
+    http-client thread pool, manager.h:155-163).
+
+    Leader/follower inside the existing worker pool: the first arriving
+    thread becomes leader, sleeps the batching window collecting
+    followers, then executes one search_many per (k, offset, scheme)
+    group and distributes results. Followers block on an event; the
+    leader's finally-block guarantees every event fires."""
+
+    def __init__(self, window_s: float = 0.002, max_batch: int = 256):
+        import threading
+
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._pending: list = []
+        self._has_leader = False
+        # adaptive window: a lone client should not pay the coalescing
+        # sleep - only wait when concurrency was actually seen recently
+        self._last_multi = 0.0
+
+    def run(self, get_db, ir, k: int, offset: int, scheme):
+        import threading
+
+        item = {"ir": ir, "k": k, "offset": offset, "scheme": scheme,
+                "ev": threading.Event(), "res": None, "err": None}
+        with self._lock:
+            self._pending.append(item)
+            lead = not self._has_leader
+            if lead:
+                self._has_leader = True
+        if not lead:
+            item["ev"].wait()
+            if item["err"] is not None:
+                raise item["err"]
+            return item["res"]
+        if self.window_s > 0 and time.time() - self._last_multi < 1.0:
+            time.sleep(self.window_s)
+        while True:   # the leader drains bursts > max_batch itself:
+            #           followers are blocked and cannot self-promote
+            with self._lock:
+                batch = self._pending[: self.max_batch]
+                self._pending = self._pending[self.max_batch:]
+                if not batch:
+                    self._has_leader = False
+                    break
+                if len(batch) > 1:
+                    self._last_multi = time.time()
+            try:
+                groups: dict = {}
+                for it in batch:
+                    key = (it["k"], it["offset"],
+                           it["scheme"].key() if it["scheme"] is not None
+                           else None)
+                    groups.setdefault(key, []).append(it)
+                db = get_db()
+                for (k_g, off_g, _sk), items in groups.items():
+                    try:
+                        if len(items) == 1:   # lone query: the plain
+                            # per-query path (no batch padding/planning)
+                            items[0]["res"] = db.search(
+                                items[0]["ir"], k=k_g, offset=off_g,
+                                scheme=items[0]["scheme"])
+                            continue
+                        outs = db.search_many([it["ir"] for it in items],
+                                              k=k_g, offset=off_g,
+                                              scheme=items[0]["scheme"])
+                        for it, res in zip(items, outs):
+                            it["res"] = res
+                    except Exception as exc:   # propagate to the group
+                        for it in items:
+                            it["err"] = exc
+            except Exception as exc:   # get_db() etc.: fail the batch
+                for it in batch:
+                    if it["err"] is None and it["res"] is None:
+                        it["err"] = exc
+            finally:
+                for it in batch:
+                    if it is not item:
+                        it["ev"].set()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["res"]
+
+
 class RestServer:
     def __init__(self, manager: IndexManager, cluster=None, replicator=None,
                  server_opts: Optional[dict] = None):
@@ -340,7 +428,8 @@ class RestServer:
         # comments flags); per-request ?pretty still overrides
         self.opts = {"pretty": False, "comments": True, "echo": False,
                      "human": False, "cluster_name": "xapiand-tpu",
-                     "num_http_clients": 8, "admin_commands": False}
+                     "num_http_clients": 8, "admin_commands": False,
+                     "search_batch_window": 0.002}
         if server_opts:
             self.opts.update(server_opts)
         # QUIT wiring: __main__ sets this to a SIGTERM-to-self so
@@ -362,6 +451,7 @@ class RestServer:
             thread_name_prefix="xapiand-http")
         self._locks: dict = {}
         self._locks_guard = threading.Lock()
+        self._batchers: dict = {}   # index -> SearchBatcher (plain queries)
         if CollectorRegistry is not None:
             self.registry = CollectorRegistry()
             self.op_count = Counter(
@@ -1038,10 +1128,27 @@ class RestServer:
                     scheme = get_scheme(str(wspec))
             except (ValueError, TypeError) as exc:
                 raise ApiError(400, f"bad _weight: {exc}")
-        res = db.search(ir, k=k, offset=offset, sort=sort,
-                        collapse_slot=collapse_slot, aggs=aggs,
-                        scheme=scheme, collapse_max=collapse_max)
         div = body.get("_diversify")
+        clu0 = body.get("_cluster")
+        window = float(self.opts.get("search_batch_window") or 0)
+        if window > 0 and not sort and not aggs \
+                and collapse_slot is None and not div and not clu0 \
+                and getattr(db, "n_shards", 1) == 1:
+            # (sharded indexes keep their one-SPMD-step-per-query mesh
+            # path; the inherited per-segment search_many would bypass it)
+            # plain relevance top-k: coalesce concurrent requests into one
+            # device batch (SearchBatcher -> Database.search_many)
+            batcher = self._batchers.get(index)
+            if batcher is None:
+                with self._locks_guard:
+                    batcher = self._batchers.setdefault(
+                        index, SearchBatcher(window_s=window))
+            res = batcher.run(lambda: self.man.get(index), ir, k, offset,
+                              scheme)
+        else:
+            res = db.search(ir, k=k, offset=offset, sort=sort,
+                            collapse_slot=collapse_slot, aggs=aggs,
+                            scheme=scheme, collapse_max=collapse_max)
         if div and res.hits:
             lam = float(div.get("_lambda", 0.5)) if isinstance(div, dict) \
                 else 0.5
