@@ -62,6 +62,19 @@ def main():
     timed(bo_irs, "booleans-only")
     timed(ph_irs, "phrases-only")
 
+    # positional carry A/B: channels through the main sort vs sort-joins
+    os.environ["XT_PHRASE_CARRY"] = "1"
+    try:
+        sc = SegmentSearcher(seg, db.scheme)
+        bs = BatchSearcher(sc, k=10)
+        qps = _timed_qps(bs, sc, ph_irs, seg)
+        print(f"{'phrases-carry':18s} {qps:8.1f} qps", flush=True)
+        bs = BatchSearcher(sc, k=10)
+        qps = _timed_qps(bs, sc, ph_irs + bo_irs, seg)
+        print(f"{'full-carry':18s} {qps:8.1f} qps", flush=True)
+    finally:
+        os.environ["XT_PHRASE_CARRY"] = "0"
+
     # stub the positional stage: same compiled shapes minus verification
     real_leaves = phrase_mod.phrase_leaves
 

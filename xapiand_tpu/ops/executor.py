@@ -99,6 +99,13 @@ class ExecConfig:
                                  # the docid sort as payload so sort-key and
                                  # agg value reads need NO per-candidate
                                  # gather (fval NaN-codes absence, cats -1)
+    phrase_carry: bool = False   # positional channels ride the docid sort:
+                                 # each phrase term's (posoff+1, poslen)
+                                 # travels as sort payload and OR-merges
+                                 # over the doc's run, replacing the
+                                 # per-term lower_bound_sorted joins in
+                                 # phrase_leaves (2 sorts of (L+C) each)
+                                 # with zero extra launches
     prefix: tuple = ()           # impact-prefix mode (maxweight pruning,
                                  # matcher.cc:415): per-term slice width
                                  # over the impact-permuted mirror
@@ -621,6 +628,12 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     # invariant, matcher.cc:415 / bm25weight.cc get_maxpart)
     prefix = cfg.prefix if cfg.prefix else (0,) * T
     tail_bounds = []
+    # phrase positional carry (cfg.phrase_carry): each phrase term's
+    # (posoff+1, poslen) rides the docid sort and OR-merges over the run
+    # (one row per term per doc, others contribute 0, so OR == the value)
+    phrase_terms = sorted({t for spec in cfg.phrases for t in spec[0]}) \
+        if (cfg.phrases and cfg.phrase_carry) else []
+    pc_parts: dict = {pt: ([], []) for pt in phrase_terms}
     for t in range(T):
         Pt = prefix[t]
         if Pt and "imp.docids" in seg:
@@ -660,6 +673,18 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         if needs_wdf:
             wdf_parts.append(jnp.where(inlen, wdft, 0.0))
             dl_parts.append(jnp.where(inlen, dlt, 0.0))
+        for pt in phrase_terms:
+            if pt == t:
+                po = lax.dynamic_slice(seg["post_posoff"],
+                                       (offsets[t],), (Lt,)) + 1
+                pl = lax.dynamic_slice(seg["post_poslen"],
+                                       (offsets[t],), (Lt,))
+                pc_parts[pt][0].append(jnp.where(inlen, po, 0))
+                pc_parts[pt][1].append(jnp.where(inlen, pl, 0))
+            else:
+                z = jnp.zeros((Lt,), jnp.int32)
+                pc_parts[pt][0].append(z)
+                pc_parts[pt][1].append(z)
 
     ids_flat = jnp.concatenate(ids_parts)
     w_flat = jnp.concatenate(w_parts)
@@ -683,6 +708,10 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
     if needs_wdf:
         extra.append(jnp.concatenate(wdf_parts))
         extra.append(jnp.concatenate(dl_parts))
+    for pt in phrase_terms:   # positional channels (before carry: carry
+        # extraction below slices from the END of rest)
+        extra.append(jnp.concatenate(pc_parts[pt][0]))
+        extra.append(jnp.concatenate(pc_parts[pt][1]))
     # carried value channels ride last (every row of a doc's run holds the
     # same per-doc value, so the run-tail row - the one scores are read
     # at - carries the doc's value, same invariant as post_doclen)
@@ -727,6 +756,17 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
             else:
                 sw = scheme.sumpart(ssum, dl, tc, cstats)
             sums = sums + jnp.where(ssum > 0, sw, 0.0)
+
+    pcarry = None
+    if phrase_terms:
+        # OR over the doc's run recovers each term's (posoff+1, poslen) at
+        # the run tail (exactly one row per term per doc is nonzero)
+        pcarry = {}
+        for pi, pt in enumerate(phrase_terms):
+            po_m = _merge_runs(d, wv, rest[ri + 2 * pi], T)[1]
+            pl_m = _merge_runs(d, wv, rest[ri + 2 * pi + 1], T)[1]
+            pcarry[pt] = (po_m, pl_m)
+        ri += 2 * len(phrase_terms)
 
     real = d != SENTINEL
     first = tail & real
@@ -775,7 +815,8 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         if cfg.phrases:
             from xapiand_tpu.ops.phrase import phrase_leaves
 
-            pres = phrase_leaves(seg, plan, cfg, d, first, orbits)
+            pres = phrase_leaves(seg, plan, cfg, d, first, orbits,
+                                 pcarry=pcarry)
             leaf_fns["PH"] = lambda i: pres[i]
         match = _eval_tree(cfg.tree, leaf_fns)
         eligible = first & match

@@ -25,11 +25,15 @@ from jax import lax
 from xapiand_tpu.ops.executor import SENTINEL, lower_bound_sorted
 
 
-def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
+def phrase_leaves(seg, plan, cfg, ids_all, first, bits, pcarry=None):
     """Row-wise verified bool array per phrase spec.
 
     ids_all: [R] row docids (SENTINEL for padding); first: first-occurrence
-    row flag; bits: per-row term-group bitmask."""
+    row flag; bits: per-row term-group bitmask; pcarry (cfg.phrase_carry):
+    {term_idx: (posoff+1, poslen)} row-aligned channels OR-merged through
+    the main docid sort - the per-term sort-joins below are then skipped
+    entirely (their only job was recovering each candidate's position
+    block)."""
     C = cfg.cand_cap
     classes = cfg.term_classes()
     outs = []
@@ -41,27 +45,36 @@ def phrase_leaves(seg, plan, cfg, ids_all, first, bits):
         # compact matching docids to the front (ascending docid), carrying
         # each candidate's source ROW so verdicts scatter straight back
         rsrc = jnp.arange(ids_all.shape[0], dtype=jnp.int32)
-        cand_d, cand_src = lax.sort(
-            (jnp.where(cand_ok, ids_all, SENTINEL), rsrc), num_keys=1)
-        cand_d, cand_src = cand_d[:C], cand_src[:C]
+        chans = (jnp.where(cand_ok, ids_all, SENTINEL), rsrc)
+        if pcarry is not None:
+            for t in term_idxs:
+                chans = chans + pcarry[t]
+        packed = lax.sort(chans, num_keys=1)
+        cand_d, cand_src = packed[0][:C], packed[1][:C]
         cand_valid = cand_d != SENTINEL
 
         pos_lists = []
         pos_valids = []
-        for t in term_idxs:
-            Lt = classes[t]
-            off = plan["offsets"][t]
-            ln = plan["lens"][t]
-            ids_t = lax.dynamic_slice(seg["post_docids"], (off,), (Lt,))
-            ids_t = jnp.where(jnp.arange(Lt) < ln, ids_t, SENTINEL)
-            # cand_d is ascending (it comes out of a sort): sort-join
-            # lower bound instead of serialized binary-search gathers
-            j = lower_bound_sorted(ids_t, cand_d)
-            jc = jnp.minimum(j, Lt - 1)
-            found = (ids_t[jc] == cand_d) & cand_valid
-            slot = off + jc
-            poff = seg["post_posoff"][slot]
-            plen = jnp.minimum(seg["post_poslen"][slot], cfg.pmax)
+        for ti, t in enumerate(term_idxs):
+            if pcarry is not None:
+                poff = packed[2 + 2 * ti][:C] - 1
+                found = (poff >= 0) & cand_valid
+                poff = jnp.maximum(poff, 0)
+                plen = jnp.minimum(packed[3 + 2 * ti][:C], cfg.pmax)
+            else:
+                Lt = classes[t]
+                off = plan["offsets"][t]
+                ln = plan["lens"][t]
+                ids_t = lax.dynamic_slice(seg["post_docids"], (off,), (Lt,))
+                ids_t = jnp.where(jnp.arange(Lt) < ln, ids_t, SENTINEL)
+                # cand_d is ascending (it comes out of a sort): sort-join
+                # lower bound instead of serialized binary-search gathers
+                j = lower_bound_sorted(ids_t, cand_d)
+                jc = jnp.minimum(j, Lt - 1)
+                found = (ids_t[jc] == cand_d) & cand_valid
+                slot = off + jc
+                poff = seg["post_posoff"][slot]
+                plen = jnp.minimum(seg["post_poslen"][slot], cfg.pmax)
 
             # one flat gather instead of C dynamic_slices: vmapped
             # dynamic_slice serializes per slice on TPU (measured 11x

@@ -216,6 +216,12 @@ class BatchSearcher:
         if self.prefix_cap > 0 and self.k <= 64:
             unified = [(self._prefixify(cfg_u, stats), idxs)
                        for cfg_u, idxs in unified]
+        import os
+        if os.environ.get("XT_PHRASE_CARRY", "0") == "1":
+            # A/B gate: positional channels ride the main docid sort,
+            # replacing phrase_leaves' per-term (L+C)-wide sort-joins
+            unified = [(replace(c, phrase_carry=True) if c.phrases else c,
+                        i) for c, i in unified]
         # upload posting-aligned value channels BEFORE any arrays_pytree()
         # call so every fn of this searcher compiles against one stable
         # pytree (cfg.carry; executor falls back per missing channel)
