@@ -629,6 +629,19 @@ def test_update_strict_vs_upsert(srv):
     assert status == 404
 
 
+def test_options_allow_header(srv):
+    # capability discovery (http_client.cc:296 Allow header)
+    import urllib.request
+    for path in ("/", "/someindex/"):
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", method="OPTIONS")
+        with urllib.request.urlopen(r, timeout=60) as resp:
+            assert resp.status == 200
+            allow = resp.headers.get("Allow", "")
+        for verb in ("GET", "SEARCH", "UPSERT", "COMMIT", "RESTORE"):
+            assert verb in allow, (path, allow)
+
+
 def test_admin_commands_gated(srv):
     # FLUSH and QUIT are refused without --admin-commands
     # (opts.admin_commands, http_client.cc:1169/1193)

@@ -587,6 +587,14 @@ class RestServer:
             elif method in ("PUT", "PATCH", "STORE"):
                 raise ApiError(400, "document id required (use /index/id)")
 
+        if method == "OPTIONS":
+            # capability discovery (http_client.cc:296 Allow header)
+            from aiohttp import web
+            return web.Response(status=200, headers={
+                "Allow": "GET, POST, PUT, PATCH, UPDATE, UPSERT, STORE, "
+                         "DELETE, HEAD, OPTIONS, SEARCH, COUNT, INFO, "
+                         "COMMIT, DUMP, RESTORE, CHECK, WAL, MERGE, OPEN, "
+                         "CLOSE, FLUSH, QUIT"}), None
         if method == "QUIT":
             # admin-gated process shutdown, bare path only
             # (http_client.cc:1192-1203, opts --admin-commands gate)
@@ -1372,8 +1380,8 @@ def create_app(data_dir: Optional[str] = None,
             await cluster.stop()
 
         app.on_cleanup.append(on_shutdown)
-    methods = ["GET", "HEAD", "POST", "PUT", "DELETE", "PATCH"] + \
-        list(CUSTOM_METHODS)
+    methods = ["GET", "HEAD", "POST", "PUT", "DELETE", "PATCH",
+               "OPTIONS"] + list(CUSTOM_METHODS)
     for m in methods:
         try:
             app.router.add_route(m, "/{tail:.*}", server.handle)
