@@ -166,7 +166,11 @@ def main(argv=None):
         os.kill(os.getpid(), signal.SIGTERM)
 
     app["server"].on_quit = _graceful_quit
-    web.run_app(app, host=args.bind, port=args.port)
+    # access_log only at -vv: per-request log formatting costs real host
+    # CPU at serving rates (the reference logs at verbose levels too)
+    web.run_app(app, host=args.bind, port=args.port,
+                access_log=None if args.verbosity < 2 else
+                __import__("logging").getLogger("aiohttp.access"))
 
 
 def _offline_dump_restore(args) -> int:
