@@ -220,3 +220,48 @@ def test_ipv6_cidr_finer_than_float53_matches_bucket():
         "_ip_range": {"_field": "addr", "_ranges": [
             {"_key": "db8", "_cidr": "2001:db8::/64"}]}}})
     assert res.aggregations["nets"][0]["_doc_count"] == 1
+
+
+def test_extended_stats_sigma_bounds():
+    """_extended_stats returns _std_deviation_bounds at mean +- _sigma*std
+    (metrics.h:752 RESERVED_AGGS_SIGMA, default 2)."""
+    import math
+    db = Database()
+    vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]   # mean 5, std 2
+    for i, v in enumerate(vals):
+        db.index_document({"v": v, "g": "a"}, doc_id=str(i))
+    db.commit()
+    res = db.search({"_match_all": {}}, k=0, aggs={
+        "st": {"_extended_stats": {"_field": "v"}},
+        "st3": {"_extended_stats": {"_field": "v", "_sigma": 3}}})
+    st = res.aggregations["st"]
+    assert math.isclose(st["_avg"], 5.0)
+    assert math.isclose(st["_std_deviation"], 2.0)
+    b = st["_std_deviation_bounds"]
+    assert math.isclose(b["_upper"], 9.0) and math.isclose(b["_lower"], 1.0)
+    b3 = res.aggregations["st3"]["_std_deviation_bounds"]
+    assert math.isclose(b3["_upper"], 11.0) and math.isclose(b3["_lower"],
+                                                             -1.0)
+    # as a bucket sub-aggregation too
+    res = db.search({"_match_all": {}}, k=0, aggs={
+        "byg": {"_terms": {"_field": "g"},
+                "_aggs": {"st": {"_extended_stats": {"_field": "v",
+                                                     "_sigma": 1}}}}})
+    sub = res.aggregations["byg"][0]["st"]["_std_deviation_bounds"]
+    assert math.isclose(sub["_upper"], 7.0)
+    with pytest.raises(Exception):
+        db.search({"_match_all": {}}, k=0, aggs={
+            "bad": {"_extended_stats": {"_field": "v", "_sigma": -1}}})
+
+
+def test_bucket_sort_order_object_form():
+    """_sort accepts both {"_doc_count": "desc"} and the object form
+    {"_doc_count": {"_order": "desc"}} (bucket.h:244)."""
+    db = Database()
+    for i in range(6):
+        db.index_document({"g": "x" if i < 4 else "y"}, doc_id=str(i))
+    db.commit()
+    res = db.search({"_match_all": {}}, k=0, aggs={
+        "t": {"_terms": {"_field": "g",
+                         "_sort": {"_doc_count": {"_order": "asc"}}}}})
+    assert [b["_key"] for b in res.aggregations["t"]] == ["y", "x"]

@@ -105,7 +105,11 @@ def _compile_subs(schema, sub_dsl: dict):
         else:
             specs.append((kind, _slot_of(schema, args)))
         names.append(name)
-        metas.append({"kind": kind})
+        m = {"kind": kind}
+        if kind == "extended_stats" and isinstance(args, dict) \
+                and "_sigma" in args:
+            m["sigma"] = float(args["_sigma"])
+        metas.append(m)
     return names, tuple(specs), metas
 
 
@@ -303,7 +307,14 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
             else:
                 slot = _slot_of(schema, args)
                 specs.append((kind, slot))
-                meta.append({"kind": kind})
+                m = {"kind": kind}
+                if kind == "extended_stats" and isinstance(args, dict):
+                    # ≙ metrics.h:752 RESERVED_AGGS_SIGMA (bounds width)
+                    sig = args.get("_sigma", 2.0)
+                    if not isinstance(sig, (int, float)) or sig < 0:
+                        raise AggError("'_sigma' must be a positive number")
+                    m["sigma"] = float(sig)
+                meta.append(m)
         elif key in ("_terms", "_values", "_value"):
             slot = _slot_of(schema, args)
             col = segment.values.get(slot)
@@ -605,7 +616,7 @@ def _merge_sub_parts(sub_parts_per_segment):
     return out
 
 
-def _shape_metric(kind, n, s, s2, vmin, vmax):
+def _shape_metric(kind, n, s, s2, vmin, vmax, sigma=2.0):
     mean = s / n if n else None
     var = max(s2 / n - mean * mean, 0.0) if n else None
     if kind == "count":
@@ -627,11 +638,17 @@ def _shape_metric(kind, n, s, s2, vmin, vmax):
         return {"_count": int(n), "_min": vmin if n else None,
                 "_max": vmax if n else None, "_avg": mean, "_sum": s}
     if kind == "extended_stats":
+        std = math.sqrt(var) if var is not None else None
+        # _std_deviation_bounds at mean +- _sigma*std (metrics.h:773-775)
+        bounds = {"_upper": mean + sigma * std,
+                  "_lower": mean - sigma * std} \
+            if (std is not None and mean is not None) else \
+            {"_upper": None, "_lower": None}
         return {"_count": int(n), "_min": vmin if n else None,
                 "_max": vmax if n else None, "_avg": mean, "_sum": s,
                 "_sum_of_squares": s2, "_variance": var,
-                "_std_deviation": math.sqrt(var) if var is not None
-                else None}
+                "_std_deviation": std,
+                "_std_deviation_bounds": bounds}
     raise AggError(f"unshapeable metric {kind!r}")
 
 
@@ -642,7 +659,8 @@ def _shape_subs(meta, merged_subs, b):
                                       merged_subs):
         out[sub_name] = _shape_metric(
             sub_meta["kind"], float(ms["n"][b]), float(ms["s"][b]),
-            float(ms["s2"][b]), float(ms["min"][b]), float(ms["max"][b]))
+            float(ms["s2"][b]), float(ms["min"][b]), float(ms["max"][b]),
+            sigma=sub_meta.get("sigma", 2.0))
     return out
 
 
@@ -654,6 +672,11 @@ def _bucket_sort_key(meta, merged_subs):
     if not isinstance(sort, dict) or len(sort) != 1:
         raise AggError(f"bad _sort {sort!r}")
     field, order = next(iter(sort.items()))
+    if isinstance(order, dict):
+        # object form {"_doc_count": {"_order": "desc"}} (bucket.h:244)
+        if "_order" not in order:
+            raise AggError(f"'_sort.{field}' must contain '_order'")
+        order = order["_order"]
     reverse = str(order).lower() == "desc"
     if field == "_doc_count":
         return (lambda b: b["_doc_count"]), reverse
@@ -712,7 +735,8 @@ def merge_and_shape(names, metas, parts_per_segment, cat_names_per_segment):
                                  min(max(meta["lo"] + b / meta["scale"],
                                          vmin), vmax)}
             else:
-                out[name] = _shape_metric(kind, n, s, s2, vmin, vmax)
+                out[name] = _shape_metric(kind, n, s, s2, vmin, vmax,
+                                          sigma=meta.get("sigma", 2.0))
         elif kind == "cardinality":
             # exact within one part; across parts (segments/shards) the
             # max-merged HLL registers give the union estimate, clamped
