@@ -285,3 +285,64 @@ def test_namespace_numeric_and_native_parity():
         finally:
             N.lib = saved
     assert totals[True] == totals[False]
+
+
+def test_detection_flags():
+    """`_*_detection` root flags remove types from dynamic inference
+    (schema.cc:1899 defaults true; 5085-5190 index-time gating)."""
+    from xapiand_tpu.schema.schema import Schema
+    from xapiand_tpu.schema.types import FieldType
+
+    # defaults: everything detected
+    s = Schema()
+    assert s.index({"n": "123"}).doc_id   # numeric string ok
+    assert s.props["schema"]["n"]["_type"] in ("positive", "integer")
+    assert Schema().guess_type("true") == FieldType.BOOLEAN
+
+    # numeric_detection off: "123" indexes as text
+    s = Schema({"_version": 1, "schema": {"_numeric_detection": False}})
+    s.index({"n": "123"})
+    assert s.props["schema"]["n"]["_type"] == "text"
+
+    # uuid/datetime off: fall through to text
+    s = Schema({"_version": 1, "schema": {
+        "_uuid_detection": False, "_date_detection": False,
+        "_datetime_detection": False}})
+    s.index({"d": "2023-04-05", "u": "5a5b5c5d-0000-1000-8000-010203040506"})
+    assert s.props["schema"]["d"]["_type"] == "text"
+    assert s.props["schema"]["u"]["_type"] == "text"
+
+    # text off, term on: strings become keywords; both off errors
+    s = Schema({"_version": 1, "schema": {"_text_detection": False}})
+    s.index({"t": "some words"})
+    assert s.props["schema"]["t"]["_type"] == "keyword"
+    s = Schema({"_version": 1, "schema": {"_text_detection": False,
+                                          "_term_detection": False}})
+    with pytest.raises(Exception):
+        s.index({"t": "some words"})
+
+    # bool string detection (on by default), off restores text
+    s = Schema()
+    s.index({"b": "true"})
+    assert s.props["schema"]["b"]["_type"] == "boolean"
+    s = Schema({"_version": 1, "schema": {"_bool_detection": False}})
+    s.index({"b": "true"})
+    assert s.props["schema"]["b"]["_type"] == "text"
+
+    # strict mode accepts the detection keywords (no unknown-keyword error
+    # when the root spec is resolved)
+    s = Schema({"_version": 1, "schema": {"_strict": True,
+                                          "_numeric_detection": False}})
+    s._root_defaults()
+
+
+def test_accuracy_prefix_alias():
+    """_accuracy_prefix (the reference's canonical spelling,
+    reserved/schema.h:37) works like _acc_prefix."""
+    from xapiand_tpu.schema.schema import Schema
+    s = Schema()
+    s.index({"n": {"_type": "integer", "_value": 5,
+                   "_accuracy": [10, 100],
+                   "_accuracy_prefix": ["a1", "a2"]}})
+    assert s.props["schema"]["n"].get("_acc_prefix") or \
+        s.props["schema"]["n"].get("_accuracy_prefix")

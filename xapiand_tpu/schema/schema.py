@@ -382,18 +382,44 @@ class Schema:
         "_spelling": _kw_spelling, "_cjk_words": _kw_cjk_words,
         "_index_uuid_field": _kw_index_uuid_field,
         "_partials": _kw_partials, "_acc_prefix": _kw_acc_prefix,
+        "_accuracy_prefix": _kw_acc_prefix,   # canonical reference spelling
         "_position": _kw_position,
     }
+    # `_*_detection` root flags are consumed via _detections(), not per
+    # field - register no-op handlers so strict mode accepts them
+    for _dk in ("_bool_detection", "_date_detection", "_datetime_detection",
+                "_geo_detection", "_numeric_detection", "_term_detection",
+                "_text_detection", "_time_detection", "_timedelta_detection",
+                "_uuid_detection"):
+        _RESERVED_PARSERS[_dk] = lambda self, spec, val, path: None
+    del _dk
 
-    # -- type inference (guess_type, serialise.cc:795) -------------------------
+    # -- type inference (guess_type, serialise.cc:795; detection flags
+    #    gate the index-time chain, schema.cc:5085-5190) ---------------------
+
+    def _detections(self) -> dict:
+        # `_*_detection` root flags (schema.cc:1899 defaults, all true):
+        # turning one off removes that type from dynamic inference
+        return self.props.get("schema", {})
 
     @staticmethod
-    def guess_type(value) -> FieldType:
+    def guess_type(value, detection=None) -> FieldType:
+        d = detection or {}
+
+        def on(flag):
+            return d.get(flag, True) is not False
+
         if isinstance(value, bool):
+            if detection is not None and not on("_bool_detection"):
+                raise SchemaError("boolean value with _bool_detection off")
             return FieldType.BOOLEAN
         if isinstance(value, int):
+            if detection is not None and not on("_numeric_detection"):
+                raise SchemaError("numeric value with _numeric_detection off")
             return FieldType.INTEGER if value < 0 else FieldType.POSITIVE
         if isinstance(value, float):
+            if detection is not None and not on("_numeric_detection"):
+                raise SchemaError("numeric value with _numeric_detection off")
             return FieldType.FLOATING
         if isinstance(value, dict):
             if any(k in value for k in ("_point", "_circle", "_polygon",
@@ -408,28 +434,42 @@ class Schema:
         if isinstance(value, list):
             return FieldType.ARRAY
         if isinstance(value, str):
-            if uuid64.is_uuid(value):
+            if on("_uuid_detection") and uuid64.is_uuid(value):
                 return FieldType.UUID
-            try:
-                dtutils.parse_datetime(value)
-                return FieldType.DATETIME
-            except dtutils.DatetimeError:
-                pass
-            try:
-                dtutils.parse_time(value)
-                return FieldType.TIME
-            except dtutils.DatetimeError:
-                pass
-            if _INT_RE.match(value):
-                v = int(value)
-                return FieldType.INTEGER if v < 0 else FieldType.POSITIVE
-            if _FLOAT_RE.match(value):
-                return FieldType.FLOATING
-            from xapiand_tpu.geo.ewkt import is_ewkt
+            if on("_date_detection") and on("_datetime_detection"):
+                try:
+                    dtutils.parse_datetime(value)
+                    return FieldType.DATETIME
+                except dtutils.DatetimeError:
+                    pass
+            if on("_time_detection"):
+                try:
+                    dtutils.parse_time(value)
+                    return FieldType.TIME
+                except dtutils.DatetimeError:
+                    pass
+            if on("_numeric_detection"):
+                if _INT_RE.match(value):
+                    v = int(value)
+                    return FieldType.INTEGER if v < 0 \
+                        else FieldType.POSITIVE
+                if _FLOAT_RE.match(value):
+                    return FieldType.FLOATING
+            if on("_geo_detection"):
+                from xapiand_tpu.geo.ewkt import is_ewkt
 
-            if is_ewkt(value):
-                return FieldType.GEO
-            return FieldType.TEXT
+                if is_ewkt(value):
+                    return FieldType.GEO
+            if on("_bool_detection") and value in ("true", "false"):
+                # bare true/false strings (schema.cc:5174-5181)
+                return FieldType.BOOLEAN
+            if on("_text_detection"):
+                return FieldType.TEXT
+            if on("_term_detection"):
+                return FieldType.KEYWORD
+            raise SchemaError(
+                f"cannot infer type for {value!r} (text and term "
+                f"detection disabled)")
         raise SchemaError(f"cannot infer type for {value!r}")
 
     # -- indexing --------------------------------------------------------------
@@ -636,7 +676,7 @@ class Schema:
     def _resolve_concrete(self, node: dict, spec: FieldSpec, value,
                           path: str) -> FieldSpec:
         if spec.type in (FieldType.EMPTY, FieldType.OBJECT, FieldType.ARRAY):
-            guessed = self.guess_type(value)
+            guessed = self.guess_type(value, detection=self._detections())
             if guessed in (FieldType.OBJECT, FieldType.ARRAY):
                 raise SchemaError(f"expected concrete value at {path!r}")
             spec.type = guessed
