@@ -675,3 +675,34 @@ def test_admin_flush_and_quit(tmp_path):
         assert fired   # the shutdown hook fired after the response
     finally:
         s.stop()
+
+
+def test_restore_op_type_lines(srv):
+    """RESTORE lines may carry _op_type: index (default) / update / merge /
+    patch (handler.cc:1005-1060 prepare_documents op dispatch)."""
+    patch_line = json.dumps({"_id": "2", "_op_type": "patch", "_patch": [
+        {"op": "incr", "path": "/a", "value": 10}]})
+    nd = "\n".join([
+        '{"_id": "1", "a": 1, "tag": "x"}',
+        '{"_id": "2", "a": 2, "tag": "y"}',
+        '{"_id": "1", "_op_type": "update", "b": 5}',
+        '{"_id": "3", "_op_type": "index", "a": 3}',
+        patch_line,
+    ]) + "\n"
+    status, out, _ = srv.req(
+        "POST", "/opty/:restore", nd.encode(),
+        headers={"Content-Type": "application/x-ndjson"})
+    assert status == 200, out
+    assert out["#restored"] == 5
+    srv.req("POST", "/opty/:commit")
+    _, d1, _ = srv.req("GET", "/opty/1")
+    assert d1["a"] == 1 and d1["b"] == 5 and d1["tag"] == "x"
+    _, d2, _ = srv.req("GET", "/opty/2")
+    assert d2["a"] == 12
+    _, d3, _ = srv.req("GET", "/opty/3")
+    assert d3["a"] == 3
+    # unknown op rejected
+    status, out, _ = srv.req(
+        "POST", "/opty/:restore", b'{"_id": "9", "_op_type": "zap"}\n',
+        headers={"Content-Type": "application/x-ndjson"})
+    assert status == 400

@@ -1055,6 +1055,52 @@ class RestServer:
         db = self.man.get(index, create=True)
         ct = request.headers.get("Content-Type", "").split(";")[0].strip()
         indexer = BulkIndexer(db, n_workers=self.man.num_doc_preparers)
+        # per-line _op_type (handler.cc:1005-1060): index (default) rides
+        # the parallel prepare pipeline; from the first patch/update/merge
+        # line on, lines queue as ordered ops applied sequentially after
+        # the pipeline flush (stream order preserved, all under the
+        # index's write lock in the worker pool)
+        seq_ops: list = []
+
+        def handle(doc):
+            op = "index"
+            if isinstance(doc, dict) and "_op_type" in doc:
+                op = str(doc.pop("_op_type"))
+            if op not in ("index", "update", "merge", "patch"):
+                raise ApiError(400, f"unknown _op_type {op!r}")
+            if op == "index" and not seq_ops:
+                indexer.prepare(doc)
+                return
+            seq_ops.append((op, doc))
+
+        def apply_seq(counters):
+            for op, doc in seq_ops:
+                did = doc.pop("_id", None) if isinstance(doc, dict) \
+                    else None
+                if op == "index":
+                    db.index_document(doc, doc_id=did)
+                elif op in ("update", "merge"):
+                    if did is None:
+                        raise ApiError(400, f"{op} line needs an _id")
+                    cur = db.get_document(str(did))
+                    db.index_document(_deep_merge(cur, doc),
+                                      doc_id=str(did))
+                else:   # patch: RFC-6902 ops under "_patch" ([dev]: the
+                    # reference feeds the raw line to apply_patch, which
+                    # wants an op array)
+                    if did is None:
+                        raise ApiError(400, "patch line needs an _id")
+                    ops = doc.get("_patch")
+                    if not isinstance(ops, list):
+                        raise ApiError(400,
+                                       "patch line needs a '_patch' list")
+                    cur = db.get_document(str(did))
+                    db.index_document(apply_patch(cur, ops),
+                                      doc_id=str(did))
+                counters.indexed += 1
+                counters.total += 1
+            return counters
+
         if ct in ("application/x-ndjson", "application/ndjson"):
             import json as _json
 
@@ -1064,9 +1110,9 @@ class RestServer:
                 while b"\n" in buf:
                     line, buf = buf.split(b"\n", 1)
                     if line.strip():
-                        indexer.prepare(_json.loads(line))
+                        handle(_json.loads(line))
             if buf.strip():
-                indexer.prepare(_json.loads(buf))
+                handle(_json.loads(buf))
         else:
             body = await self._body(request)
             if isinstance(body, dict) and "#dump" in body:
@@ -1074,8 +1120,9 @@ class RestServer:
             if not isinstance(body, list):
                 raise ApiError(400, "restore expects a list of documents")
             for doc in body:
-                indexer.prepare(doc)
-        counters = await self._write_op(index, indexer.wait)
+                handle(doc)
+        counters = await self._write_op(
+            index, lambda: apply_seq(indexer.wait()))
         self._observe("restore", t0)
         out = counters.as_dict()
         out["#restored"] = counters.indexed
