@@ -706,3 +706,34 @@ def test_restore_op_type_lines(srv):
         "POST", "/opty/:restore", b'{"_id": "9", "_op_type": "zap"}\n',
         headers={"Content-Type": "application/x-ndjson"})
     assert status == 400
+
+
+def test_inline_data_blobs(srv):
+    """Writes may carry _data to attach blobs inline (handler.cc:153
+    inject_data): string -> octet-stream, object(s) with _blob +
+    _content_type, null -> erase."""
+    status, out, _ = srv.req("PUT", "/blobs/1?commit", {
+        "name": "pic",
+        "_data": [{"_blob": "png-bytes-here", "_content_type": "image/png"},
+                  {"_blob": "plain", "_content_type": "text/plain"}]})
+    assert status == 200, out
+    status, raw, ct = srv.req("GET", "/blobs/1", raw=True,
+                              headers={"Accept": "image/png"})
+    assert status == 200 and raw == b"png-bytes-here" and "png" in ct
+    # string form -> application/octet-stream
+    srv.req("UPDATE", "/blobs/1?commit", {"_data": "rawdata"})
+    status, raw, _ = srv.req("GET", "/blobs/1", raw=True,
+                             headers={"Accept": "application/octet-stream"})
+    assert status == 200 and raw == b"rawdata"
+    # the document body itself is untouched by _data
+    _, doc, _ = srv.req("GET", "/blobs/1")
+    assert doc["name"] == "pic" and "_data" not in doc
+    # null erases the octet-stream blob
+    srv.req("UPDATE", "/blobs/1?commit", {"_data": None})
+    status, _, _ = srv.req("GET", "/blobs/1", raw=True,
+                           headers={"Accept": "application/octet-stream"})
+    assert status == 404 or status == 200  # erased -> JSON doc fallback
+    # malformed object rejected
+    status, out, _ = srv.req("PUT", "/blobs/2", {
+        "x": 1, "_data": {"_blob": "b"}})
+    assert status == 400

@@ -124,7 +124,8 @@ class Database:
                 elif op == WalOp.STORE_BLOB:
                     locs = self._blobs.setdefault(entry[1], [])
                     locs[:] = [l for l in locs if l.get("_content_type")
-                               != entry[2]] + [entry[3]]
+                               != entry[2]] + \
+                        ([entry[3]] if entry[3] else [])
                 elif op == WalOp.COMMIT:
                     self.commit()
 
@@ -455,6 +456,19 @@ class Database:
             from xapiand_tpu.index.wal import WalOp
 
             self.wal.append(WalOp.STORE_BLOB, doc_id, content_type, loc,
+                            fsync=True)
+
+    def delete_blob(self, doc_id: str, content_type: str) -> None:
+        """Detach a blob (``_data: null`` erase, handler.cc:167-170).
+        WAL'd as STORE_BLOB with a null locator."""
+        doc_id = str(doc_id)
+        locs = self._blobs.get(doc_id, [])
+        locs[:] = [l for l in locs
+                   if l.get("_content_type") != content_type]
+        if self.wal is not None and not self._replaying:
+            from xapiand_tpu.index.wal import WalOp
+
+            self.wal.append(WalOp.STORE_BLOB, doc_id, content_type, None,
                             fsync=True)
 
     def get_blob(self, doc_id: str, content_type: str) -> bytes:

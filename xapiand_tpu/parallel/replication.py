@@ -48,9 +48,11 @@ def apply_changeset(db: Database, lines: list[dict]) -> int:
             db.schema = Schema.from_dict(args[0])
         elif op == WalOp.STORE_BLOB:
             # blob bytes are fetched separately; locator-only here
+            # (a null locator is the _data:null erase)
             locs = db._blobs.setdefault(args[0], [])
             locs[:] = [l for l in locs
-                       if l.get("_content_type") != args[1]] + [args[2]]
+                       if l.get("_content_type") != args[1]] + \
+                ([args[2]] if args[2] else [])
         elif op == WalOp.COMMIT:
             db.commit()
         applied += 1

@@ -40,6 +40,8 @@ CUSTOM_METHODS = ("SEARCH", "COUNT", "INFO", "COMMIT", "DUMP", "RESTORE",
                   "CHECK", "UPDATE", "UPSERT", "MERGE", "STORE", "OPEN",
                   "CLOSE", "FLUSH", "QUIT")
 
+_MISSING = object()   # "_data absent" sentinel (None means erase)
+
 
 class ApiError(web.HTTPException):
     def __init__(self, status: int, message: str):
@@ -900,12 +902,47 @@ class RestServer:
             index, lambda: self._write_doc_sync(request, index, doc_id,
                                                 body, t0))
 
+    @staticmethod
+    def _inject_data(db, did, data):
+        """Inline blob attachment on writes (handler.cc:153 inject_data):
+        ``_data``: "raw" (octet-stream) | null (erase) | {_blob,
+        _content_type} | [those]. Strings travel as UTF-8 bytes (JSON has
+        no binary type; use STORE or MsgPack for raw bytes)."""
+        def one(obj):
+            if not isinstance(obj, dict):
+                raise ApiError(400, "'_data' must be a string, null, an "
+                                    "object or an array of objects")
+            blob = obj.get("_blob")
+            ct = obj.get("_content_type")
+            if not isinstance(blob, str):
+                raise ApiError(400, "objects in '_data' must contain "
+                                    "'_blob' (a string)")
+            if not isinstance(ct, str) or "/" not in ct:
+                raise ApiError(400, "objects in '_data' must contain a "
+                                    "valid '_content_type'")
+            db.store_blob(did, ct, blob.encode("utf-8"))
+
+        if isinstance(data, str):
+            db.store_blob(did, "application/octet-stream",
+                          data.encode("utf-8"))
+        elif data is None:
+            db.delete_blob(did, "application/octet-stream")
+        elif isinstance(data, list):
+            for b in data:
+                one(b)
+        else:
+            one(data)
+
     def _write_doc_sync(self, request, index, doc_id, body, t0):
         db = self.man.get(index, create=True)
         commit = "commit" in request.query
         version = self._req_version(request, body)
+        data = body.pop("_data", _MISSING) if isinstance(body, dict) \
+            else _MISSING
         did = db.index_document(body, doc_id=doc_id, commit=commit,
                                 version=version)
+        if data is not _MISSING:
+            self._inject_data(db, did, data)
         if not commit:
             self.man.touch(index)
         self._observe("index", t0)
@@ -952,10 +989,13 @@ class RestServer:
                 raise
             doc = {}
         version = self._req_version(request, body)
+        data = body.pop("_data", _MISSING)
         merged = _deep_merge(doc, body)
         commit = "commit" in request.query
         db.index_document(merged, doc_id=doc_id, commit=commit,
                           version=version)
+        if data is not _MISSING:
+            self._inject_data(db, doc_id, data)
         if not commit:
             self.man.touch(index)
         self._observe("update", t0)
