@@ -234,3 +234,32 @@ def test_geo_query_e2e(db):
                                           "_latitude": 40.7,
                                           "_radius": 50000}}}, k=10)
     assert [h.id for h in res.hits] == ["ny"]
+
+
+def test_multiple_uncommitted_replacements_survive_commit():
+    """Regression: replacing a PENDING doc left its id in _pending_deletes,
+    so commit's delete pass killed the FINAL version too (>=2 uncommitted
+    replacements lost the doc; delete-then-readd in one batch likewise)."""
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.index_document({"a": 1}, doc_id="1")
+    db.index_document({"a": 2}, doc_id="1")
+    db.index_document({"a": 3}, doc_id="1")
+    db.commit()
+    assert db.get_document("1") == {"a": 3}
+    assert db.search({"_match_all": {}}, k=5).total == 1
+
+    # delete then re-add within the same uncommitted batch
+    db.index_document({"b": 1}, doc_id="2")
+    db.delete_document("2")
+    db.index_document({"b": 2}, doc_id="2")
+    db.commit()
+    assert db.get_document("2") == {"b": 2}
+    assert db.search({"_match_all": {}}, k=5).total == 2
+
+    # ...and a delete that STAYS deleted still works
+    db.index_document({"c": 1}, doc_id="3")
+    db.delete_document("3")
+    db.commit()
+    assert db.search({"_match_all": {}}, k=5).total == 2

@@ -189,6 +189,12 @@ class Database:
                              _keep_version=True)
         self._builder.add(idoc)
         self._pending_docs[did] = idoc.data
+        # re-adding supersedes any pending delete of this id (the internal
+        # replace-delete above, or an explicit delete earlier in the same
+        # batch) - commit's last-occurrence rule handles replaced rows;
+        # leaving the key in _pending_deletes killed the FINAL version too
+        # (doc lost after >=2 uncommitted replacements of a pending doc)
+        self._pending_deletes.discard(did)
         self._versions[did] = cur + 1
         if commit:
             self.commit()
