@@ -70,3 +70,25 @@ def test_search_many_stat_hungry_schemes():
             assert all(abs(x.score - y.score) <
                        1e-4 * max(abs(x.score), 1)
                        for x, y in zip(a.hits, b.hits)), scheme
+
+
+def test_search_many_on_sharded_database():
+    """ShardedDatabase inherits search_many (per-segment coordinator
+    path); results must match its mesh-backed search() exactly."""
+    import random
+
+    from xapiand_tpu.parallel.sharded_db import ShardedDatabase
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(80)]
+    db = ShardedDatabase(n_shards=2)
+    for i in range(300):
+        db.index_document({"body": " ".join(rng.choices(words, k=20))},
+                          doc_id=str(i))
+    db.commit()
+    queries = [{"body": "w1 w2"}, {"body": "w9 w4 w6"}]
+    singles = [db.search(q, k=10) for q in queries]
+    many = db.search_many(queries, k=10)
+    for q, a, b in zip(queries, singles, many):
+        assert b.total == a.total, q
+        assert [h.id for h in b.hits] == [h.id for h in a.hits], q
