@@ -238,9 +238,10 @@ def main():
     lat_p99 = lats[min(len(lats) - 1, int(len(lats) * 0.99))]
 
     # CPU single-core baseline QPS on a subset
+    n_cpu = min(8, len(queries))
     t0 = time.time()
-    cpu_baseline(seg, queries[:sample])
-    cpu_qps = sample / (time.time() - t0)
+    cpu_baseline(seg, queries[:n_cpu])
+    cpu_qps = n_cpu / (time.time() - t0)
 
     # vs_baseline compares against the MEASURED from-source reference on
     # this same corpus/queries (BASELINE_MEASURED.json; built + driven by

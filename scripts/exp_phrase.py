@@ -78,7 +78,7 @@ def main():
     # stub the positional stage: same compiled shapes minus verification
     real_leaves = phrase_mod.phrase_leaves
 
-    def stub_leaves(seg_a, plan, cfg, ids_all, first, bits):
+    def stub_leaves(seg_a, plan, cfg, ids_all, first, bits, pcarry=None):
         return [jnp.ones(ids_all.shape[0], bool) for _ in cfg.phrases]
 
     phrase_mod.phrase_leaves = stub_leaves   # executor imports it lazily

@@ -329,6 +329,19 @@ def test_detection_flags():
     s.index({"b": "true"})
     assert s.props["schema"]["b"]["_type"] == "text"
 
+    # native JSON values gate too (reference: guess_concrete_type returns
+    # empty -> error when the flag is off), but an EXPLICIT _type always
+    # works and independent date/datetime flags act separately
+    s = Schema({"_version": 1, "schema": {"_numeric_detection": False}})
+    with pytest.raises(Exception):
+        s.index({"n2": 5})
+    s.index({"n3": {"_type": "integer", "_value": 5}})
+    assert s.props["schema"]["n3"]["_type"] == "integer"
+    s = Schema({"_version": 1, "schema": {"_date_detection": False}})
+    s.index({"d1": "2023-04-05", "d2": "2023-04-05T10:00:00"})
+    assert s.props["schema"]["d1"]["_type"] == "text"
+    assert s.props["schema"]["d2"]["_type"] == "datetime"
+
     # strict mode accepts the detection keywords (no unknown-keyword error
     # when the root spec is resolved)
     s = Schema({"_version": 1, "schema": {"_strict": True,

@@ -108,7 +108,11 @@ def _compile_subs(schema, sub_dsl: dict):
         m = {"kind": kind}
         if kind == "extended_stats" and isinstance(args, dict) \
                 and "_sigma" in args:
-            m["sigma"] = float(args["_sigma"])
+            sig = args["_sigma"]
+            if not isinstance(sig, (int, float)) or \
+                    isinstance(sig, bool) or sig < 0:
+                raise AggError("'_sigma' must be a positive number")
+            m["sigma"] = float(sig)
         metas.append(m)
     return names, tuple(specs), metas
 
@@ -311,7 +315,8 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                 if kind == "extended_stats" and isinstance(args, dict):
                     # ≙ metrics.h:752 RESERVED_AGGS_SIGMA (bounds width)
                     sig = args.get("_sigma", 2.0)
-                    if not isinstance(sig, (int, float)) or sig < 0:
+                    if not isinstance(sig, (int, float)) or \
+                            isinstance(sig, bool) or sig < 0:
                         raise AggError("'_sigma' must be a positive number")
                     m["sigma"] = float(sig)
                 meta.append(m)

@@ -186,13 +186,13 @@ class Segment:
         whole tail from that position - the executor's prefix mode reads
         that boundary value as the unseen-mass bound. Valid only for the
         (scheme key, avg_doclen) it was built with; cached per segment."""
-        g = scheme.impact_np(self.post_wdf, self.post_doclen, stats)
-        if g is None:
-            return None
         key = (scheme.key(), round(float(stats.avg_doclen), 6))
         cache = getattr(self, "_impact_cache", None)
         if cache is not None and cache[0] == key:
             return cache[1]
+        g = scheme.impact_np(self.post_wdf, self.post_doclen, stats)
+        if g is None:
+            return None
         n = len(self.post_docids)
         offs = np.fromiter((t.offset for t in self.terms.values()),
                            np.int64, len(self.terms))

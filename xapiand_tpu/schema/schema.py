@@ -436,12 +436,18 @@ class Schema:
         if isinstance(value, str):
             if on("_uuid_detection") and uuid64.is_uuid(value):
                 return FieldType.UUID
-            if on("_date_detection") and on("_datetime_detection"):
-                try:
-                    dtutils.parse_datetime(value)
-                    return FieldType.DATETIME
-                except dtutils.DatetimeError:
-                    pass
+            if on("_date_detection") or on("_datetime_detection"):
+                # pure dates ("2015-03-14") gate on _date_detection,
+                # values with a time part on _datetime_detection - the two
+                # reference flags are independent (schema.cc:5133-5147)
+                date_only = "T" not in value and ":" not in value
+                if on("_date_detection") if date_only \
+                        else on("_datetime_detection"):
+                    try:
+                        dtutils.parse_datetime(value)
+                        return FieldType.DATETIME
+                    except dtutils.DatetimeError:
+                        pass
             if on("_time_detection"):
                 try:
                     dtutils.parse_time(value)

@@ -370,6 +370,8 @@ class SearchBatcher:
             item["ev"].wait()
             if item["err"] is not None:
                 raise item["err"]
+            if item["res"] is None:   # leader died via BaseException
+                raise ApiError(503, "search batch leader aborted")
             return item["res"]
         if self.window_s > 0 and time.time() - self._last_multi < 1.0:
             time.sleep(self.window_s)
@@ -595,7 +597,7 @@ class RestServer:
             return web.Response(status=200, headers={
                 "Allow": "GET, POST, PUT, PATCH, UPDATE, UPSERT, STORE, "
                          "DELETE, HEAD, OPTIONS, SEARCH, COUNT, INFO, "
-                         "COMMIT, DUMP, RESTORE, CHECK, WAL, MERGE, OPEN, "
+                         "COMMIT, DUMP, RESTORE, CHECK, MERGE, OPEN, "
                          "CLOSE, FLUSH, QUIT"}), None
         if method == "QUIT":
             # admin-gated process shutdown, bare path only
