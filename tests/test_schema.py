@@ -359,3 +359,95 @@ def test_accuracy_prefix_alias():
                    "_accuracy_prefix": ["a1", "a2"]}})
     assert s.props["schema"]["n"].get("_acc_prefix") or \
         s.props["schema"]["n"].get("_accuracy_prefix")
+
+
+def test_cast_keywords():
+    """Value casts (cast.h HASH_OPTIONS): {"f": {"_integer": "25"}} types
+    the field AND converts the value; lists of casts work; queries accept
+    the same forms."""
+    from xapiand_tpu.database import Database
+
+    db = Database()
+    db.index_document({
+        "n": {"_integer": "25"},
+        "p": {"_positive": 7},
+        "f": {"_float": "2.5"},
+        "b": {"_boolean": "true"},
+        "k": {"_keyword": 123},
+        "t": {"_text": "hello words"},
+        "tags": [{"_keyword": "A"}, {"_keyword": "B"}],
+    }, doc_id="1")
+    db.commit()
+    sp = db.schema.props["schema"]
+    assert sp["n"]["_type"] == "integer"
+    assert sp["f"]["_type"] == "floating"
+    assert sp["b"]["_type"] == "boolean"
+    assert sp["k"]["_type"] == "keyword"
+    assert sp["tags"]["_type"] == "keyword"
+    # query-side casts
+    assert db.search({"n": {"_integer": "25"}}, k=5).total == 1
+    assert db.search({"k": {"_keyword": 123}}, k=5).total == 1
+    assert db.search({"b": {"_boolean": 1}}, k=5).total == 1
+    assert db.search({"tags": {"_keyword": "B"}}, k=5).total == 1
+    with pytest.raises(Exception):
+        db.index_document({"bad": {"_integer": "not-a-number"}},
+                          doc_id="2")
+
+
+def test_geo_extended_geometries():
+    """_convex (cap intersection), _multipolygon, _ewkt,
+    _geometrycollection/-intersection, _lat/_lon aliases, _units
+    (geospatial.cc make_* + process_units)."""
+    from xapiand_tpu.geo import geospatial, htm
+    import math
+
+    # alias + units
+    r = geospatial.to_region({"_point": {"_lat": math.radians(40.0),
+                                         "_lon": math.radians(-100.0),
+                                         "_units": "radians"}})
+    lat, lon = r.centroid_latlon()
+    assert abs(lat - 40.0) < 1e-6 and abs(lon + 100.0) < 1e-6
+
+    # convex = intersection of two caps: a point in both is inside
+    conv = geospatial.to_region({"_convex": {
+        "_latitude": [40.0, 40.5], "_longitude": [-100.0, -100.0],
+        "_radius": 100_000}})
+    assert isinstance(conv, htm.IntersectionRegion)
+    ranges, _c = geospatial.extract({"_convex": {
+        "_latitude": [40.0, 40.5], "_longitude": [-100.0, -100.0],
+        "_radius": 100_000}})
+    assert ranges
+
+    # multipolygon (was typed GEO but unparseable before)
+    mp = geospatial.to_region({"_multipolygon": {
+        "_latitude": [[40, 40, 41], [10, 10, 11]],
+        "_longitude": [[-100, -99, -100], [-50, -49, -50]]}})
+    assert isinstance(mp, htm.MultiRegion)
+
+    # ewkt object + collection + intersection
+    e = geospatial.to_region({"_ewkt": "POINT(-100 40)"})
+    assert abs(e.centroid_latlon()[0] - 40.0) < 1e-6
+    col = geospatial.to_region({"_geometrycollection": {
+        "_point": {"_latitude": 40, "_longitude": -100},
+        "_circle": {"_latitude": 41, "_longitude": -101,
+                    "_radius": 1000}}})
+    assert isinstance(col, htm.MultiRegion) and len(col.regions) == 2
+    inter = geospatial.to_region({"_geometryintersection": {
+        "_circle": {"_latitude": 40, "_longitude": -100,
+                    "_radius": 200_000}}})
+    assert isinstance(inter, htm.IntersectionRegion)
+
+    # end-to-end: index a convex, query with an overlapping circle
+    from xapiand_tpu.database import Database
+    db = Database()
+    db.index_document({"area": {"_convex": {
+        "_latitude": [40.0, 40.2], "_longitude": [-100.0, -100.0],
+        "_radius": 150_000}}}, doc_id="c")
+    db.index_document({"area": {"_point": {"_latitude": -10.0,
+                                           "_longitude": 30.0}}},
+                      doc_id="far")
+    db.commit()
+    res = db.search({"area": {"_circle": {"_latitude": 40.1,
+                                          "_longitude": -100.0,
+                                          "_radius": 50_000}}}, k=5)
+    assert [h.id for h in res.hits] == ["c"]

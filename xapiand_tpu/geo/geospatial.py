@@ -23,6 +23,65 @@ class GeoError(ValueError):
     pass
 
 
+def _norm(p):
+    """Normalize a geometry payload map: _lat/_lon aliases, _units
+    (degrees default, radians converted), _alt/_altitude/_srid accepted
+    (WGS84-only engine: srid/altitude don't shift the HTM cover; ≙
+    geospatial.cc:203 process_units + RESERVED_GEO_* aliases)."""
+    if not isinstance(p, dict):
+        return p
+    out = dict(p)
+    if "_lat" in out and "_latitude" not in out:
+        out["_latitude"] = out["_lat"]
+    if "_lon" in out and "_longitude" not in out:
+        out["_longitude"] = out["_lon"]
+    units = str(out.get("_units", "degrees")).lower()
+    if units not in ("degrees", "radians"):
+        raise GeoError("_units must be 'degrees' or 'radians'")
+    if units == "radians":
+        import math
+        for k in ("_latitude", "_longitude"):
+            v = out.get(k)
+            if isinstance(v, (list, tuple)):
+                out[k] = [math.degrees(float(x)) for x in v]
+            elif v is not None:
+                out[k] = math.degrees(float(v))
+    return out
+
+
+def _radius_list(p, n):
+    r = p.get("_radius", 0.0)
+    if isinstance(r, (list, tuple)):
+        return [C.metres_to_radians(float(x)) for x in r]
+    return [C.metres_to_radians(float(r))] * n
+
+
+def _poly(p):
+    p = _norm(p)
+    lats, lons = p["_latitude"], p["_longitude"]
+    # nested lists = multiple rings/polygons
+    if lats and isinstance(lats[0], (list, tuple)):
+        return htm.MultiRegion([
+            htm.ConvexPolygon(list(zip(la, lo)))
+            for la, lo in zip(lats, lons)])
+    return htm.ConvexPolygon(list(zip(lats, lons)))
+
+
+def _convex(p):
+    """CONVEX geometry = intersection of caps (geometry/convex.h)."""
+    p = _norm(p)
+    lats, lons = p["_latitude"], p["_longitude"]
+    radii = _radius_list(p, len(lats))
+    return htm.IntersectionRegion([
+        htm.Cap(lat, lon, r) for lat, lon, r in zip(lats, lons, radii)])
+
+
+_GEOMETRY_KEYS = ("_point", "_circle", "_polygon", "_chull", "_convex",
+                  "_multipoint", "_multicircle", "_multipolygon",
+                  "_multichull", "_multiconvex", "_ewkt",
+                  "_geometrycollection", "_geometryintersection")
+
+
 def to_region(value) -> htm.Region:
     if isinstance(value, str):
         return ewkt.parse(value)
@@ -31,27 +90,54 @@ def to_region(value) -> htm.Region:
         lon, lat = value
         return htm.Cap(lat, lon, ewkt._point_radius())
     if isinstance(value, dict):
+        if "_ewkt" in value:
+            return ewkt.parse(str(value["_ewkt"]))
         if "_point" in value:
-            p = value["_point"]
+            p = _norm(value["_point"])
             return htm.Cap(p["_latitude"], p["_longitude"], ewkt._point_radius())
         if "_circle" in value:
-            p = value["_circle"]
+            p = _norm(value["_circle"])
             return htm.Cap(p["_latitude"], p["_longitude"],
                            C.metres_to_radians(float(p["_radius"])))
         if "_polygon" in value or "_chull" in value:
-            p = value.get("_polygon") or value.get("_chull")
+            return _poly(value.get("_polygon") or value.get("_chull"))
+        if "_convex" in value:
+            return _convex(value["_convex"])
+        if "_multipolygon" in value or "_multichull" in value:
+            return _poly(value.get("_multipolygon")
+                         or value.get("_multichull"))
+        if "_multiconvex" in value:
+            p = _norm(value["_multiconvex"])
             lats, lons = p["_latitude"], p["_longitude"]
-            return htm.ConvexPolygon(list(zip(lats, lons)))
+            rr = p.get("_radius", 0.0)   # metres; _convex converts
+            rlist = rr if isinstance(rr, (list, tuple)) \
+                else [rr] * len(lats)
+            return htm.MultiRegion([
+                _convex({"_latitude": la, "_longitude": lo, "_radius": r})
+                for la, lo, r in zip(lats, lons, rlist)])
         if "_multipoint" in value:
-            p = value["_multipoint"]
+            p = _norm(value["_multipoint"])
             return htm.MultiRegion([
                 htm.Cap(lat, lon, ewkt._point_radius())
                 for lat, lon in zip(p["_latitude"], p["_longitude"])])
         if "_multicircle" in value:
-            p = value["_multicircle"]
+            p = _norm(value["_multicircle"])
+            lats = p["_latitude"]
             return htm.MultiRegion([
-                htm.Cap(lat, lon, C.metres_to_radians(float(p["_radius"])))
-                for lat, lon in zip(p["_latitude"], p["_longitude"])])
+                htm.Cap(lat, lon, r) for lat, lon, r in
+                zip(lats, p["_longitude"], _radius_list(p, len(lats)))])
+        if "_geometrycollection" in value:
+            # map of geometry-cast keys -> union (make_collection,
+            # geospatial.cc:640)
+            members = value["_geometrycollection"]
+            return htm.MultiRegion([
+                to_region({k: v}) for k, v in members.items()
+                if k in _GEOMETRY_KEYS])
+        if "_geometryintersection" in value:
+            members = value["_geometryintersection"]
+            return htm.IntersectionRegion([
+                to_region({k: v}) for k, v in members.items()
+                if k in _GEOMETRY_KEYS])
         t = str(value.get("type", "")).lower()
         coords = value.get("coordinates")
         if t == "point" and coords:

@@ -231,6 +231,32 @@ class MultiRegion(Region):
         return sum(lats) / len(lats), sum(lons) / len(lons)
 
 
+class IntersectionRegion(Region):
+    """Intersection of regions (≙ geometry/intersection.h Intersection;
+    also the CONVEX geometry = intersection of caps). classify is exactly
+    conservative: fully-inside iff inside every member, disjoint when
+    disjoint from any - cover() then subdivides partials as usual."""
+
+    def __init__(self, regions):
+        self.regions = list(regions)
+        if not self.regions:
+            raise ValueError("intersection needs >= 1 region")
+
+    def classify(self, a, b, c) -> int:
+        out = 1
+        for r in self.regions:
+            cl = r.classify(a, b, c)
+            if cl == -1:
+                return -1
+            if cl == 0:
+                out = 0
+        return out
+
+    def centroid_latlon(self):
+        lats, lons = zip(*(r.centroid_latlon() for r in self.regions))
+        return sum(lats) / len(lats), sum(lons) / len(lons)
+
+
 def _edge_min_angle(u, v, p) -> float:
     """Minimum angular distance from p to the great-circle segment (u, v)."""
     n = C.cross(u, v)

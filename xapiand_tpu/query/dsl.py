@@ -160,6 +160,9 @@ class QueryDSL:
         if isinstance(value, dict):
             from xapiand_tpu.schema.schema import Schema as _S
 
+            cast = _S.resolve_cast(value)
+            if cast is not value:   # {"_integer": "25"} etc. (cast.h)
+                value = {"_value": cast["_value"], "_type": cast["_type"]}
             if _S.guess_type(value) == FieldType.GEO:
                 return self._geo_query(spec, value)
             factor = float(value.get("_boost", value.get("_weight", factor)))

@@ -422,9 +422,11 @@ class Schema:
                 raise SchemaError("numeric value with _numeric_detection off")
             return FieldType.FLOATING
         if isinstance(value, dict):
-            if any(k in value for k in ("_point", "_circle", "_polygon",
-                                        "_multipoint", "_multicircle",
-                                        "_multipolygon", "_chull")):
+            if any(k in value for k in (
+                    "_point", "_circle", "_polygon", "_multipoint",
+                    "_multicircle", "_multipolygon", "_chull", "_convex",
+                    "_multichull", "_multiconvex", "_ewkt",
+                    "_geometrycollection", "_geometryintersection")):
                 return FieldType.GEO
             if value.get("_type") == "geo" and "_value" not in value:
                 # a bare {"_type": "geo", ...} geometry; specs carrying
@@ -568,10 +570,50 @@ class Schema:
             # (identity check = append exactly once per recursion level)
             spec.ns_levels = parent_spec.ns_levels + (field_prefix(name),)
 
+    # value cast keywords (≙ cast.h HASH_OPTIONS / Cast::get_field_type):
+    # {"field": {"_integer": "25"}} types the field AND converts the value
+    _CAST_TYPES = {
+        "_integer": "integer", "_positive": "positive",
+        "_float": "floating", "_boolean": "boolean",
+        "_keyword": "keyword", "_term": "keyword",
+        "_text": "text", "_string": "text", "_uuid": "uuid",
+        "_date": "date", "_datetime": "datetime", "_time": "time",
+        "_timedelta": "timedelta", "_script": None, "_chai": None,
+    }
+
+    @classmethod
+    def resolve_cast(cls, value):
+        """A single-cast-key dict -> ({"_type": t, "_value": casted}) or
+        the value unchanged. Conversion follows Cast::cast (cast.cc):
+        numeric strings parse, booleans accept true/false/1/0 spellings."""
+        if not isinstance(value, dict) or len(value) != 1:
+            return value
+        key = next(iter(value))
+        t = cls._CAST_TYPES.get(key)
+        if t is None:
+            return value
+        raw = value[key]
+        try:
+            if t == "integer" or t == "positive":
+                v = int(float(raw)) if isinstance(raw, str) else int(raw)
+            elif t == "floating":
+                v = float(raw)
+            elif t == "boolean":
+                v = raw if isinstance(raw, bool) else \
+                    str(raw).strip().lower() in ("true", "1", "t")
+            elif t in ("keyword", "text", "uuid"):
+                v = str(raw)
+            else:   # date/datetime/time/timedelta: serializers parse
+                v = raw
+        except (TypeError, ValueError) as exc:
+            raise SchemaError(f"cannot cast {raw!r} via {key}: {exc}")
+        return {"_type": t, "_value": v}
+
     def _index_field(self, out: IndexedDocument, parent_node: dict,
                      parent_spec: FieldSpec, name: str, value, path: str):
         if name in parent_spec.ignored:
             return
+        value = self.resolve_cast(value)
         if "." in name:
             # field expansion (api.md): {"a.b.c": v} == {"a": {"b":
             # {"c": v}}} - same schema tree, prefixes, and terms
@@ -654,6 +696,12 @@ class Schema:
 
     def _index_concrete_or_object(self, out, node, spec, name, value, path,
                                   cache_key=None):
+        cast = self.resolve_cast(value)
+        if cast is not value:   # list items may be cast objects too
+            spec2 = self._apply_reserved(copy.copy(spec), cast, path,
+                                         mutate=True)
+            self._index_concrete(out, node, spec2, cast["_value"], path)
+            return
         if isinstance(value, dict) and self.guess_type(value) == FieldType.OBJECT:
             for k, v in value.items():
                 if k.startswith("_"):
