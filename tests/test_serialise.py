@@ -69,3 +69,18 @@ def test_string_key_prefix_order():
     words = sorted(["", "a", "aa", "ab", "apple", "banana", "zebra"])
     keys = [S.serialise_string_key(w) for w in words]
     assert keys == sorted(keys)
+
+
+def test_datetime_map_form_full():
+    """Full reference map form (datetime.cc process_date_datetime):
+    _hour/_minute/_second/_fsec components and a nested _date map."""
+    from xapiand_tpu.utils import dtutils
+
+    full = dtutils.parse_datetime("2015-03-14T09:26:53.123")
+    assert dtutils.parse_datetime({
+        "_year": 2015, "_month": 3, "_day": 14,
+        "_hour": 9, "_minute": 26, "_second": 53,
+        "_fsec": 0.123}) == full
+    assert dtutils.parse_datetime({
+        "_date": {"_year": 2015, "_month": 3, "_day": 14},
+        "_time": "09:26:53.123"}) == full

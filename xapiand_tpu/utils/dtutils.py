@@ -64,13 +64,25 @@ def parse_datetime(value: Union[str, int, float, dict, _dt.datetime]) -> float:
     if isinstance(value, (int, float)):
         return float(value)
     if isinstance(value, dict):
-        year = int(value.get("_year", 1970))
-        month = int(value.get("_month", 1))
-        day = int(value.get("_day", 1))
+        # full reference map form (datetime.cc process_date_datetime):
+        # _year/_month/_day (or a nested _date map), _time OR the split
+        # _hour/_minute/_second/_fsec components
+        d = value
+        if isinstance(value.get("_date"), dict):
+            d = {**value["_date"], **{k: v for k, v in value.items()
+                                      if k != "_date"}}
+        year = int(d.get("_year", 1970))
+        month = int(d.get("_month", 1))
+        day = int(d.get("_day", 1))
         base = _ymd_to_ts(year, month, day)
-        t = value.get("_time")
+        t = d.get("_time")
         if t is not None:
             base += parse_time(t)
+        else:
+            base += int(d.get("_hour", 0)) * 3600 \
+                + int(d.get("_minute", 0)) * 60 \
+                + int(d.get("_second", d.get("_sec", 0))) \
+                + float(d.get("_fsec", 0.0))
         return base
     if isinstance(value, str):
         m = _ISO_RE.match(value)
