@@ -674,6 +674,13 @@ class Schema:
             else:
                 return
 
+        if isinstance(value, dict) and spec.type is not None and \
+                getattr(spec.type, "is_temporal", False):
+            # datetime/time/timedelta map form ({"_year": ..}) is a VALUE
+            # (datetime.cc process_date_datetime), not a subobject
+            self._index_concrete(out, node, spec, value, path)
+            return
+
         if isinstance(value, dict) and self.guess_type(value) == FieldType.OBJECT:
             if not spec.recurse:
                 return
