@@ -348,3 +348,40 @@ def test_scripted_metric_match_phase_on_mesh(pair):
     assert r2.aggregations["tot"] == r1.aggregations["tot"]
     assert r2.aggregations["mx"] == r1.aggregations["mx"]
     assert [h.id for h in r2.hits] == [h.id for h in r1.hits]
+
+
+def test_geo_filter_rides_the_mesh():
+    """Geo leaves previously crashed the SPMD step (geo_queries never
+    made it through shard_map); now the query's HTM ranges travel as
+    replicated plan arrays and sharded == unsharded exactly."""
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.parallel.sharded_db import ShardedDatabase
+
+    docs = [
+        ("1", {"area": {"_convex": {"_latitude": [40.0, 40.2],
+                                    "_longitude": [-100.0, -100.0],
+                                    "_radius": 150000}}}),
+        ("2", {"area": {"_ewkt": "POINT(30 -10)"}}),
+        ("3", {"area": {"_point": {"_latitude": 40.1,
+                                   "_longitude": -100.0}}}),
+        ("4", {"area": {"_circle": {"_latitude": 40.15,
+                                    "_longitude": -100.05,
+                                    "_radius": 20000}}}),
+    ]
+    sdb = ShardedDatabase(n_shards=2)
+    pdb = Database()
+    for did, d in docs:
+        sdb.index_document(dict(d), doc_id=did)
+        pdb.index_document(dict(d), doc_id=did)
+    sdb.commit()
+    pdb.commit()
+    for q in (
+        {"area": {"_circle": {"_lat": 40.1, "_lon": -100.0,
+                              "_radius": 50000}}},
+        {"area": {"_point": {"_latitude": -10.0, "_longitude": 30.0}}},
+    ):
+        a = pdb.search(q, k=10)
+        b = sdb.search(q, k=10)
+        assert b.total == a.total, q
+        assert sorted(h.id for h in b.hits) == \
+            sorted(h.id for h in a.hits), q

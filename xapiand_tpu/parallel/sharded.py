@@ -358,9 +358,9 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
     sort_remaps = sort_remaps or {}
 
     def step(seg, offsets, lens, tconst, scoring, group_bits, stats,
-             fparams, syn_tconst):
+             fparams, syn_tconst, geo_queries):
         def per_shard(seg_blk, off_blk, len_blk, tconst_blk, scoring_blk,
-                      bits_blk, stats_blk, fp_blk, syn_blk):
+                      bits_blk, stats_blk, fp_blk, syn_blk, geo_blk):
             seg1 = jax.tree.map(lambda a: a[0], seg_blk)
             my_shard = jax.lax.axis_index("shard")
             # per-shard local->global category remap rows (closed-over
@@ -371,11 +371,13 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
             sort_remap_sh = {si: jnp.asarray(r)[my_shard]
                              for si, r in sort_remaps.items()}
 
-            def one_query(off, ln, tc, sc, gb, fp, syn):
+            def one_query(off, ln, tc, sc, gb, fp, syn, gq):
                 plan = {"offsets": off[0], "lens": ln[0], "tconst": tc,
                         "scoring": sc, "group_bits": gb}
                 if cfg.n_filters:
                     plan["fparams"] = fp
+                if cfg.geo_specs:
+                    plan["geo_queries"] = list(gq)
                 if cfg.syn_groups:
                     plan["syn_tconst"] = syn
                 if remap_sh:
@@ -387,7 +389,8 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
                 return execute(seg1, plan, cfg, stats_blk, scheme)
 
             out = jax.vmap(one_query)(off_blk, len_blk, tconst_blk,
-                                      scoring_blk, bits_blk, fp_blk, syn_blk)
+                                      scoring_blk, bits_blk, fp_blk,
+                                      syn_blk, geo_blk)
             agg_packed = (jnp.zeros((off_blk.shape[0], 1), jnp.float32),) * 3
             if cfg.with_aggs:
                 packed, layout = pack_agg_parts(cfg.with_aggs, out["aggs"])
@@ -450,13 +453,14 @@ def make_sharded_step(cfg: ExecConfig, scheme, mesh: Mesh, n_shards: int,
             tconst_spec, P("dp", None), P("dp", None),
             jax.tree.map(lambda _: P(), stats),
             P("dp", None, None), syn_spec,
+            tuple(P("dp", None, None) for _ in geo_queries),
         )
         out_specs = (P("dp", None), P("dp", None), P("dp"),
                      (P("dp", None), P("dp", None), P("dp", None)))
         fn = shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
         return fn(seg, offsets, lens, tconst, scoring, group_bits, stats,
-                  fparams, syn_tconst)
+                  fparams, syn_tconst, geo_queries)
 
     return jax.jit(step)
 
@@ -899,10 +903,25 @@ class MeshExecutor:
                 st = per_shard[0].arrays.get("syn_tconst")
                 if st is not None:
                     syn[qi, : st.shape[0]] = st
+        # geo leaves: per-query HTM range tables, padded to the unified QR
+        # with INVALID rows (start > end), replicated over 'shard' (the
+        # query geometry is global; doc-side ranges live in the segments)
+        geo_batched = []
+        for gi, (_slot, QR, _rm) in enumerate(cfg.geo_specs):
+            rows = []
+            for qi in range(q_pad):
+                b0 = bounds[qi][0].arrays
+                q = np.asarray(b0["geo_queries"][gi])
+                if q.shape[0] < QR:
+                    padq = np.full((QR, 2), 2**31 - 1, np.int32)
+                    padq[: q.shape[0]] = q
+                    q = padq
+                rows.append(q)
+            geo_batched.append(jnp.asarray(np.stack(rows)))
         args = [stacked, jnp.asarray(offsets), jnp.asarray(lens),
                 jnp.asarray(tconst), jnp.asarray(scoring),
                 jnp.asarray(gbits), stats_d, jnp.asarray(fparams),
-                jnp.asarray(syn)]
+                jnp.asarray(syn), tuple(geo_batched)]
         top_docs, top_scores, counts, agg_packed = step(*args)
         out = {"docids": np.asarray(top_docs)[:nq],
                "scores": np.asarray(top_scores)[:nq],
