@@ -385,3 +385,41 @@ def test_geo_filter_rides_the_mesh():
         assert b.total == a.total, q
         assert sorted(h.id for h in b.hits) == \
             sorted(h.id for h in a.hits), q
+
+
+def test_operator_classes_match_unsharded():
+    """Mesh-vs-plain equality sweep across operator families (phrase,
+    near, fuzzy, synonym, elite-set, wildcard, and_maybe, max) - guards
+    against mesh-only plan-threading holes like the geo one."""
+    import random
+
+    from xapiand_tpu.database import Database
+    from xapiand_tpu.parallel.sharded_db import ShardedDatabase
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(40)]
+    docs = [(str(i), {"body": " ".join(rng.choices(words, k=15))})
+            for i in range(120)]
+    sdb = ShardedDatabase(n_shards=2)
+    pdb = Database()
+    for did, d in docs:
+        sdb.index_document(dict(d), doc_id=did)
+        pdb.index_document(dict(d), doc_id=did)
+    sdb.commit()
+    pdb.commit()
+    pair = docs[7][1]["body"].split()[:2]
+    queries = [
+        {"body": {"_phrase": f"{pair[0]} {pair[1]}"}},
+        {"body": {"_near": f"{pair[0]} {pair[1]}", "_window": 5}},
+        {"body": {"_edit_distance": "w1x", "_edits": 2}},
+        {"body": {"_synonym": "w1 w2"}},
+        {"body": {"_elite_set": "w1 w2 w3 w4 w5", "_n": 3}},
+        {"body": {"_wildcard": "w1"}},
+        {"_and_maybe": [{"body": "w1"}, {"body": "w2"}]},
+        {"_max": [{"body": "w1"}, {"body": "w2"}]},
+    ]
+    for q in queries:
+        a = pdb.search(q, k=10)
+        b = sdb.search(q, k=10)
+        assert b.total == a.total, q
+        assert [h.id for h in b.hits] == [h.id for h in a.hits], q
