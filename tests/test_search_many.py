@@ -86,9 +86,18 @@ def test_search_many_on_sharded_database():
         db.index_document({"body": " ".join(rng.choices(words, k=20))},
                           doc_id=str(i))
     db.commit()
-    queries = [{"body": "w1 w2"}, {"body": "w9 w4 w6"}]
+    # mixed signatures: two groups, each one SPMD launch per generation
+    queries = [{"body": "w1 w2"}, {"body": "w9 w4 w6"},
+               {"body": "w3 w5"}, {"_or": [{"body": "w2"},
+                                           {"body": "w7"}]}]
     singles = [db.search(q, k=10) for q in queries]
     many = db.search_many(queries, k=10)
     for q, a, b in zip(queries, singles, many):
         assert b.total == a.total, q
         assert [h.id for h in b.hits] == [h.id for h in a.hits], q
+    # offset pagination through the mesh batch path
+    singles = [db.search(q, k=4, offset=3) for q in queries[:2]]
+    many = db.search_many(queries[:2], k=4, offset=3)
+    for a, b in zip(singles, many):
+        assert [h.id for h in b.hits] == [h.id for h in a.hits]
+        assert [h.rank for h in b.hits] == [h.rank for h in a.hits]

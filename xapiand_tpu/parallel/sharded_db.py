@@ -298,6 +298,83 @@ class ShardedDatabase(Database):
             result.aggregations = {**(result.aggregations or {}), **shaped}
         return result
 
+    def search_many(self, queries: list, k: int = 10, offset: int = 0,
+                    scheme=None) -> list:
+        """Batched plain search on the mesh: queries group by plan
+        signature and each group runs as ONE SPMD launch per generation
+        (MeshExecutor.run takes the whole list), so the REST micro-batcher
+        coalesces concurrent sharded traffic the same way it does
+        unsharded. Falls back to the inherited per-segment path when no
+        mesh is reachable."""
+        from xapiand_tpu.models.weights import get_scheme
+        from xapiand_tpu.parallel.sharded import MeshExecutor
+        from xapiand_tpu.query.plan import resolve_special
+
+        if self.mesh is None or not self._generations:
+            return super().search_many(queries, k=k, offset=offset,
+                                       scheme=scheme)
+        if scheme is None:
+            scheme = self.scheme
+        elif isinstance(scheme, str):
+            scheme = get_scheme(scheme)
+        stats = self.stats()
+        irs = []
+        for q in queries:
+            ir = q if isinstance(q, Q) else \
+                QueryDSL(self.schema,
+                         term_expander=self.expand_prefix).parse(q)
+            irs.append(resolve_special(ir, scheme, stats,
+                                       self.global_termfreq,
+                                       self.global_collfreq))
+        groups: dict = {}
+        for qi, ir in enumerate(irs):
+            groups.setdefault(ir.signature(), []).append(qi)
+        want = max(k + offset, 1)
+        ex = MeshExecutor(self.mesh, self.n_shards, self.scheme,
+                          self._mesh_step_cache)
+        from xapiand_tpu.database import Hit
+
+        results: list = [None] * len(irs)
+        for idxs in groups.values():
+            sub = [irs[qi] for qi in idxs]
+            merged = [[] for _ in idxs]
+            totals = [0] * len(idxs)
+            for gen in self._generations:
+                stacked = self._ensure_stacked(gen)
+                raw = ex.run(gen["segments"], stacked, self.schema, stats,
+                             self.global_termfreq, self.global_collfreq,
+                             sub, want, scheme=scheme)
+                for li in range(len(idxs)):
+                    totals[li] += int(raw["counts"][li])
+                    for gd, sc in zip(raw["docids"][li],
+                                      raw["scores"][li]):
+                        if not np.isfinite(sc) and sc < 0:
+                            continue
+                        if gd == 2**31 - 1:
+                            continue
+                        shard = int(gd) % self.n_shards
+                        local = int(gd) // self.n_shards
+                        seg_idx = gen["searcher_idx"][shard]
+                        seg = self._searchers[seg_idx].segment
+                        if local >= len(seg.doc_keys) or \
+                                seg.deleted[local]:
+                            continue
+                        merged[li].append(
+                            (-float(sc),
+                             int(gen["orderkey"][shard][local]),
+                             seg_idx, int(local)))
+            for li, qi in enumerate(idxs):
+                merged[li].sort()
+                result = SearchResult(total=totals[li])
+                for rank, (negscore, _tb, seg_idx, did) in enumerate(
+                        merged[li][offset:offset + k]):
+                    key = self._searchers[seg_idx].segment.doc_keys[did]
+                    result.hits.append(Hit(
+                        id=key, score=-negscore, rank=offset + rank,
+                        data=self._docs_store.get(key, {})))
+                results[qi] = result
+        return results
+
     def _search_mesh(self, query, k, offset, sort, aggs, count_only,
                      scheme, collapse_slot=None,
                      collapse_max=1) -> SearchResult:

@@ -1229,10 +1229,9 @@ class RestServer:
         clu0 = body.get("_cluster")
         window = float(self.opts.get("search_batch_window") or 0)
         if window > 0 and not sort and not aggs \
-                and collapse_slot is None and not div and not clu0 \
-                and getattr(db, "n_shards", 1) == 1:
-            # (sharded indexes keep their one-SPMD-step-per-query mesh
-            # path; the inherited per-segment search_many would bypass it)
+                and collapse_slot is None and not div and not clu0:
+            # sharded indexes batch too: ShardedDatabase.search_many runs
+            # each signature group as one SPMD launch per generation
             # plain relevance top-k: coalesce concurrent requests into one
             # device batch (SearchBatcher -> Database.search_many)
             batcher = self._batchers.get(index)
