@@ -193,10 +193,16 @@ class Schema:
     # -- field spec resolution -----------------------------------------------
 
     def _root_defaults(self) -> FieldSpec:
-        spec = FieldSpec()
-        root = self.props.get("schema", {})
-        self._apply_reserved(spec, root, path="", mutate=False)
-        return spec
+        # rebuilt only after schema mutations (_spec_cache doubles as the
+        # invalidation signal); callers get a copy - get_field mutates its
+        # spec in place on namespace paths
+        cached = self._spec_cache.get("")
+        if cached is None:
+            spec = FieldSpec()
+            self._apply_reserved(spec, self.props.get("schema", {}),
+                                 path="", mutate=False)
+            self._spec_cache[""] = cached = (None, spec)
+        return copy.copy(cached[1])
 
     def get_field(self, path: str) -> FieldSpec:
         """Resolve the spec for a dotted field path (query-side view).
