@@ -186,3 +186,46 @@ def test_concurrent_search_storm(srv):
     for t in threads:
         t.join(60)
     assert not errs
+
+
+def test_search_batcher_burst_and_errors():
+    """SearchBatcher unit: bursts beyond max_batch drain through the
+    leader loop, and a failing group propagates its error to every
+    follower without wedging later rounds."""
+    import queue as _q
+
+    from xapiand_tpu.server.app import SearchBatcher
+
+    class FakeDB:
+        def search_many(self, irs, k=10, offset=0, scheme=None):
+            if any(ir == "boom" for ir in irs):
+                raise ValueError("boom")
+            return [f"r:{ir}:{k}" for ir in irs]
+
+        def search(self, ir, k=10, offset=0, scheme=None):
+            if ir == "boom":
+                raise ValueError("boom")
+            return f"r:{ir}:{k}"
+
+    b = SearchBatcher(window_s=0.02, max_batch=3)
+    db = FakeDB()
+    out = _q.Queue()
+
+    def run_one(ir):
+        try:
+            out.put((ir, b.run(lambda: db, ir, 10, 0, None)))
+        except Exception as e:
+            out.put((ir, e))
+
+    names = [f"q{i}" for i in range(8)] + ["boom"]
+    threads = [threading.Thread(target=run_one, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    got = dict(out.get() for _ in names)
+    for i in range(8):
+        assert got[f"q{i}"] == f"r:q{i}:10", got
+    assert isinstance(got["boom"], ValueError)
+    # the batcher still works after the error round
+    assert b.run(lambda: db, "later", 5, 0, None) == "r:later:5"
