@@ -70,7 +70,38 @@ def log(msg):
     print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def _probe_device_or_fallback():
+    """The axon-tunneled chip can be unreachable (known hazard: a sick
+    tunnel hangs the first device op indefinitely). Probe it from a
+    SUBPROCESS with a timeout; on failure re-exec onto CPU so the bench
+    still produces its JSON artifact (platform is recorded in detail)."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu" or \
+            os.environ.get("BENCH_NO_PROBE") == "1" or \
+            not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.block_until_ready(jnp.sort(jnp.arange(256)[::-1]));"
+             "print('ok')"],
+            capture_output=True, timeout=240, check=False)
+        ok = r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    if ok:
+        return
+    log("DEVICE PROBE FAILED - falling back to CPU so the bench artifact "
+        "still lands (tunnel down)")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_NO_PROBE="1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main():
+    _probe_device_or_fallback()
     import jax
     import jax.numpy as jnp
 
