@@ -737,3 +737,23 @@ def test_inline_data_blobs(srv):
     status, out, _ = srv.req("PUT", "/blobs/2", {
         "x": 1, "_data": {"_blob": "b"}})
     assert status == 400
+
+
+def test_per_request_response_shaping(srv):
+    """?human / ?echo / ?comments per-request overrides
+    (http_client.cc:2739-2781)."""
+    srv.req("PUT", "/shape/1?commit", {"v": 1})
+    # ?human: #took rendered as a string with units
+    _, out, _ = srv.req("GET", "/shape/1?human")
+    assert isinstance(out["#took"], str) and out["#took"].endswith("ms")
+    # ?comments=false strips # fields
+    _, out, _ = srv.req("GET", "/shape/1?comments=false")
+    assert not any(k.startswith("#") for k in out)
+    # ?echo: write response carries the stored body
+    _, out, _ = srv.req("PUT", "/shape/2?commit&echo", {"name": "zz"})
+    assert out.get("name") == "zz"
+    # ?pretty=false overrides a hypothetical server-level pretty
+    status, raw, _ = srv.req("GET", "/shape/1?pretty", raw=True)
+    assert b"\n" in raw
+    status, raw, _ = srv.req("GET", "/shape/1?pretty=false", raw=True)
+    assert b"\n  " not in raw

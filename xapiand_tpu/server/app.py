@@ -528,9 +528,20 @@ class RestServer:
             obj, status = {"#error": {"#message": f"document not found: {e}",
                                       "#code": 404}}, 404
         took = time.time() - t0
+        # per-request response-shaping overrides (http_client.cc:2739-2781:
+        # ?pretty ?human ?echo ?comments accept bare or =true/false forms)
+        def qflag(name, default):
+            if name not in request.query:
+                return default
+            v = request.query.get(name, "")
+            return v.lower() not in ("false", "0", "no")
+
+        opt_echo = qflag("echo", self.opts["echo"])
+        opt_human = qflag("human", self.opts["human"])
+        opt_comments = qflag("comments", self.opts["comments"])
         if isinstance(obj, dict):
             obj.setdefault("#took", round(took * 1000, 3))
-            if self.opts["echo"] and status < 300 and "_id" in obj \
+            if opt_echo and status < 300 and "_id" in obj \
                     and request.method in ("PUT", "PATCH", "UPDATE",
                                            "UPSERT"):
                 # --echo: document-write responses carry the stored body
@@ -542,16 +553,17 @@ class RestServer:
                     obj = {**doc, **obj}
                 except Exception:
                     pass
-            if self.opts["human"] and "#took" in obj:
+            if opt_human and "#took" in obj:
                 obj["#took"] = f'{obj["#took"]:.3f}ms'
-            if not self.opts["comments"]:
+            if not opt_comments:
                 obj = {k: v for k, v in obj.items()
                        if not k.startswith("#") or k == "#error"}
         if isinstance(obj, web.Response):
             return obj
         ct = neg.pick_accept(request.headers.get("Accept"),
                              request.headers.get("Content-Type"))
-        pretty = self.opts["pretty"] or "pretty" in request.query
+        pretty = qflag("pretty", self.opts["pretty"]) \
+            or "indent" in request.query
         body = neg.encode_body(obj, ct, pretty=pretty)
         return web.Response(body=body, status=status, content_type=ct,
                             headers={"Operation-Time": f"{took:.6f}"})
