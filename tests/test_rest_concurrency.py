@@ -229,3 +229,49 @@ def test_search_batcher_burst_and_errors():
     assert isinstance(got["boom"], ValueError)
     # the batcher still works after the error round
     assert b.run(lambda: db, "later", 5, 0, None) == "r:later:5"
+
+
+def test_prefix_cap_setting_serves_exact_ranks():
+    """_settings.prefix_cap turns on impact-prefix pruning for the
+    micro-batched plain path: ranks stay exact (certificate + fallback),
+    counts may be lower bounds."""
+    s = ServerThread(server_opts={"search_batch_window": 0.05})
+    try:
+        import random
+        rng = random.Random(4)
+        words = [f"w{i}" for i in range(50)]
+        s.req("PUT", "/pc/:settings", {"prefix_cap": 128})
+        for i in range(600):
+            s.req("PUT", f"/pc/{i}",
+                  {"body": " ".join(rng.choices(words, k=20))})
+        s.req("POST", "/pc/:commit")
+        # reference ranks from a non-prefix index with identical docs
+        rng = random.Random(4)
+        for i in range(600):
+            s.req("PUT", f"/pc0/{i}",
+                  {"body": " ".join(rng.choices(words, k=20))})
+        s.req("POST", "/pc0/:commit")
+        queries = [{"_query": {"body": f"w{i} w{(i*7)%50} w{(i*3)%50}"},
+                    "_limit": 5} for i in range(8)]
+        base = [s.req("POST", "/pc0/:search", q)[1] for q in queries]
+
+        out = [None] * len(queries)
+
+        def one(i):
+            out[i] = s.req("POST", "/pc/:search", queries[i])[1]
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        for i, (a, b) in enumerate(zip(base, out)):
+            assert b is not None, i
+            assert [h["_id"] for h in b["hits"]] == \
+                [h["_id"] for h in a["hits"]], i
+        # bad caps rejected
+        st, _, _ = s.req("PUT", "/pcbad/:settings", {"prefix_cap": 100})
+        assert st == 400
+    finally:
+        s.stop()

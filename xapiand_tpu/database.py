@@ -60,6 +60,12 @@ class VersionConflict(ValueError):
 
 
 class Database:
+    # impact-prefix pruning cap for the batched plain path (search_many /
+    # the REST micro-batcher): 0 = off; set from the index settings.
+    # Certified-exact top-k with counts as lower bounds (the reference's
+    # estimated counts under maxweight pruning, matcher.cc:415).
+    prefix_cap = 0
+
     def __init__(self, path: Optional[str] = None, scheme: str = "bm25",
                  schema: Optional[Schema] = None, device=None,
                  **scheme_params):
@@ -809,6 +815,7 @@ class Database:
         for searcher in self._searchers:
             bs = BatchSearcher(searcher, k=want, min_batch=4,
                                scheme=scheme,
+                               prefix_cap=self.prefix_cap,
                                global_tf=self.global_termfreq,
                                global_cf=self.global_collfreq)
             per_seg.append(bs.run(irs, stats=stats))

@@ -145,6 +145,13 @@ class IndexManager:
         for k in ("num_replicas",):
             if k in new:
                 s[k] = int(new[k])
+        if "prefix_cap" in new:
+            pc = new["prefix_cap"]
+            if not isinstance(pc, int) or pc < 0 or \
+                    (pc and (pc & (pc - 1) or pc < 128)):
+                raise ApiError(400, "prefix_cap must be 0 (off) or a "
+                                    "power of two >= 128")
+            s["prefix_cap"] = pc
         self.settings[name] = s
         path = self._path_for(name)
         if path is not None:
@@ -166,9 +173,14 @@ class IndexManager:
         if n_shards > 1:
             from xapiand_tpu.parallel.sharded_db import ShardedDatabase
 
-            return ShardedDatabase(path=self._path_for(name),
-                                   scheme=self.scheme, n_shards=n_shards)
-        return Database(path=self._path_for(name), scheme=self.scheme)
+            db = ShardedDatabase(path=self._path_for(name),
+                                 scheme=self.scheme, n_shards=n_shards)
+        else:
+            db = Database(path=self._path_for(name), scheme=self.scheme)
+        # impact-prefix pruning on the batched serving path (maxweight
+        # analog): certified-exact top-k, counts become lower bounds
+        db.prefix_cap = int(s.get("prefix_cap", 0))
+        return db
 
     def get(self, name: str, create: bool = False) -> Database:
         self.validate(name)
