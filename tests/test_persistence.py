@@ -262,3 +262,24 @@ def test_tiered_auto_compaction():
     db.delete_document("d7", commit=True)
     assert db.search({"body": "word7"}).total == 0
     assert db.doc_count == 19
+
+
+def test_blob_erase_survives_restart(tmp_path):
+    """STORE_BLOB with a null locator (the _data:null erase) must replay
+    from the WAL: after restart the blob stays detached."""
+    from xapiand_tpu.database import Database
+
+    p = str(tmp_path / "bx")
+    db = Database(path=p)
+    db.index_document({"a": 1}, doc_id="1", commit=True)
+    db.store_blob("1", "text/plain", b"hello")
+    assert db.get_blob("1", "text/plain") == b"hello"
+    db.delete_blob("1", "text/plain")
+    db.close()
+
+    db2 = Database(path=p)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        db2.get_blob("1", "text/plain")
+    assert db2.get_document("1") == {"a": 1}
+    db2.close()
