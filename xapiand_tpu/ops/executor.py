@@ -116,6 +116,22 @@ class ExecConfig:
     verify_k: int = 0            # prefix mode: candidates exact-rescored
                                  # via docid binary search before the
                                  # certificate (>= k; 0 = no prefix mode)
+    fullwidth: bool = False      # sort-free faceted path: skip eligible-row
+                                 # compaction and consume CARRIED channels
+                                 # at full row width - aggs become masked
+                                 # one-hot/streaming reductions and a single
+                                 # value sort key becomes a windowed top_k
+                                 # (+ exactness certificate for 64-bit value
+                                 # keys; uncertified queries re-run exact).
+                                 # Eliminates the second full-width
+                                 # lax.sort AND the per-candidate gathers
+                                 # (chip A/B: carry-into-compaction lost
+                                 # 88.2->72.9 qps, while the count-only
+                                 # path runs 262.8 - this path removes the
+                                 # compaction sort those numbers blame).
+                                 # Set by BatchSearcher.plan (fullwidth_ok)
+                                 # only - the certificate consumer lives in
+                                 # BatchSearcher.run.
 
     def term_classes(self) -> tuple:
         return self.classes if self.classes else (self.L,) * self.T
@@ -409,8 +425,43 @@ def _carried_col(carried, slot):
     return out
 
 
+FULLWIDTH_WINDOW = 64   # tie window for the sort-free value top-k
+
+
+def _fullwidth_topk(cfg: ExecConfig, keys, docids, scores, eligible, out):
+    """Sort-free value ordering: ONE windowed lax.top_k over an f32
+    monotone image of the single user sort key replaces the full-width
+    multi-key lax.sort, then the (k + window) finalists are exact-resorted
+    by the true keys. Exactness certificate (strict, fails CLOSED):
+    vals[kk-1] < vals[k-1] proves every excluded row's f32 image - and by
+    monotonicity its true key - is strictly worse than all k winners, so
+    docid tiebreaks cannot be crossed. Boundary ties (including the
+    "fewer than k matches" -inf plateau) leave the certificate False and
+    BatchSearcher.run re-runs those queries on the exact path."""
+    kk = min(cfg.k + FULLWIDTH_WINDOW, keys[0].shape[0])
+    pay_d = jnp.where(eligible, docids, SENTINEL)
+    pay_s = jnp.where(eligible, scores, -jnp.inf)
+    if len(keys) == 1:
+        # f32 user key (dist/geodist/strmetric): the key IS the image
+        nk = -keys[0]                       # masked +inf -> worst
+        vals, idx = lax.top_k(nk, kk)
+        ks, ds, ss = (-vals), pay_d[idx], pay_s[idx]
+        _, dd, vv = lax.sort((ks, ds, ss), num_keys=2)
+    else:
+        # 64-bit (hi, lo) value key: image = f32(hi), monotone non-strict
+        # (int32 -> f32 rounding); collisions certify-or-rerun
+        nk = -keys[0].astype(jnp.float32)
+        vals, idx = lax.top_k(nk, kk)
+        hh, ll = keys[0][idx], keys[1][idx]
+        _, _, dd, vv = lax.sort((hh, ll, pay_d[idx], pay_s[idx]),
+                                num_keys=3)
+    out["certified"] = vals[kk - 1] < vals[cfg.k - 1]
+    return dd[: cfg.k], vv[: cfg.k], None
+
+
 def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
-                   rows_sorted: bool = True, plan=None, carried=None):
+                   rows_sorted: bool = True, plan=None, carried=None,
+                   fast: bool = False, out=None):
     """Final ordering: relevance top-k (+ exact tie refinement) or full
     multi-key sort for value ordering / unweighted queries."""
     if cfg.collapse_slot is not None:
@@ -506,6 +557,9 @@ def _rank_and_topk(cfg: ExecConfig, seg, docids, scores, eligible,
             if desc:
                 kf = -kf
             keys.append(jnp.where(eligible, kf, jnp.inf))
+    if fast and cfg.sort and len(cfg.sort) == 1 and not cfg.unweighted \
+            and out is not None:
+        return _fullwidth_topk(cfg, keys, docids, scores, eligible, out)
     n_user_keys = len(keys)
     keys.append(jnp.where(eligible, docids, SENTINEL))  # final tiebreak
     # payloads masked too: ineligible rows must never surface as hits
@@ -826,7 +880,17 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
 
     count = jnp.sum(eligible.astype(jnp.int32))
     out = {"count": count}
-    if not precompacted and \
+    # sort-free faceted path (cfg.fullwidth): every sort/agg consumer can
+    # read its CARRIED channel row-aligned, so compaction buys nothing -
+    # skipping it removes one full-width lax.sort. Requires every declared
+    # carry channel to actually be uploaded (cold searchers / mesh stacks
+    # without pv.* fall back to the compaction path unchanged).
+    fast = (cfg.fullwidth and bool(carry_keys) and
+            len(carry_keys) == sum(len(chs) for _, chs in cfg.carry))
+    if fast and cfg.sort:
+        kk = min(cfg.k + FULLWIDTH_WINDOW, d.shape[0])
+        fast = kk > cfg.k       # degenerate widths: keep the exact sort
+    if not precompacted and not fast and \
             cfg.compact_cap and cfg.compact_cap < d.shape[0] and \
             (cfg.with_aggs or cfg.sort or cfg.collapse_slot is not None):
         # compaction: the downstream value-column gathers (sort keys, agg
@@ -859,7 +923,8 @@ def execute(seg: dict, plan: dict, cfg: ExecConfig, stats: dict,
         return out
     if not cfg.count_only:
         docids, scores, skeys = _rank_and_topk(cfg, seg, d, sums, eligible,
-                                               plan=plan, carried=carried)
+                                               plan=plan, carried=carried,
+                                               fast=fast, out=out)
         out["docids"] = docids
         out["scores"] = scores
         if cfg.emit_sort_keys and cfg.sort and skeys is not None:

@@ -358,6 +358,52 @@ def group_compact_cap(cfgs, classes) -> int:
     return best if best and 2 * best <= sum(classes) else 0
 
 
+FULLWIDTH_AGGS = frozenset(("count", "sum", "avg", "min", "max", "variance",
+                            "std_deviation", "stats", "extended_stats"))
+FULLWIDTH_TERMS_MAX_CATS = 256   # [rows, ncats] one-hot reduce at full width
+
+
+def fullwidth_ok(cfg) -> bool:
+    """Sort-free faceted eligibility (ExecConfig.fullwidth): every sort/agg
+    consumer must read a CARRIED channel row-aligned with kernels that are
+    streaming/one-hot reductions at full row width - then skipping
+    compaction removes one full-width lax.sort and the windowed top_k
+    removes the other (chip A/B facts this encodes: count-only runs 262.8
+    qps where compaction+gathers run 88.2; carry-into-compaction LOST,
+    72.9). Gated CLOSED: any spec outside the proven set keeps the
+    compaction path. Set by BatchSearcher.plan only - the exactness
+    certificate consumer (uncertified re-run) lives in BatchSearcher.run.
+    XT_FULLWIDTH=0 restores the compaction+gather path for A/B."""
+    import os
+
+    if os.environ.get("XT_FULLWIDTH", "1") == "0":
+        return False
+    if not cfg.carry or cfg.collapse_slot is not None or cfg.count_only:
+        return False
+    if cfg.phrases or cfg.n_filters or cfg.geo_specs or cfg.dense:
+        return False
+    if cfg.unweighted or cfg.emit_sort_keys or cfg.join or cfg.n_chunks > 1:
+        return False
+    if cfg.drive >= 0:           # semijoin path has its own row layout
+        return False
+    if cfg.verify_k or any(cfg.prefix):
+        return False
+    if not cfg.sort and not cfg.with_aggs:
+        return False
+    if cfg.sort and (len(cfg.sort) != 1 or cfg.sort[0][0] not in
+                     ("value", "dist", "geodist", "strmetric")):
+        return False
+    for spec in cfg.with_aggs:
+        kind = spec[0] if spec else None
+        if kind in FULLWIDTH_AGGS:
+            continue
+        if kind == "terms" and (len(spec) < 4 or not spec[3]) \
+                and spec[2] <= FULLWIDTH_TERMS_MAX_CATS:
+            continue     # no sub-aggs, bounded category table
+        return False
+    return True
+
+
 def _carry_enabled() -> bool:
     """Posting-aligned value channels (ExecConfig.carry): value sort keys
     and agg fields ride the docid sort instead of being gathered per
@@ -626,6 +672,14 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         compact_cap=compact_cap_for(classes, _required_groups(cq)),
         carry=carry,
     )
+    if cfg.carry and not fullwidth_ok(cfg):
+        # carry only pays when the fullwidth path consumes it: chip A/B
+        # measured carry-into-compaction 17% SLOWER (72.9 vs 88.2 qps,
+        # 1M faceted - the widened sorts cost more than the cap-width
+        # gathers they replace). Queries the sort-free path can't serve
+        # (multi-key sorts, collapse, filters/geo/phrases, exotic aggs)
+        # keep the compaction+gather layout with unwidened sorts.
+        cfg = replace(cfg, carry=())
     if agg_arrays:
         arrays.update(agg_arrays)
     return BoundPlan(cfg=cfg, arrays=arrays)

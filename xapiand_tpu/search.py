@@ -17,7 +17,7 @@ import numpy as np
 from xapiand_tpu.models.segment import DeviceSegment, Segment
 from xapiand_tpu.models.weights import WeightScheme, get_scheme
 from xapiand_tpu.ops.executor import ExecConfig, execute
-from xapiand_tpu.query.plan import BoundPlan
+from xapiand_tpu.query.plan import BoundPlan, fullwidth_ok
 
 
 class SegmentSearcher:
@@ -117,6 +117,14 @@ class BatchSearcher:
         # (run()). Counts on certified prefix queries are lower bounds
         # (the reference reports estimates under pruning too). 0 = off.
         self.prefix_cap = prefix_cap
+        # sort-free faceted path (ExecConfig.fullwidth): skip eligible-row
+        # compaction when every sort/agg consumer reads carried channels;
+        # a single value sort key becomes a windowed top_k with an
+        # exactness certificate (uncertified -> exact re-run below).
+        # XT_FULLWIDTH=0 restores the compaction path for A/B.
+        import os
+
+        self._fullwidth = os.environ.get("XT_FULLWIDTH", "1") != "0"
         # min rows per docid-range chunk (see _chunkify); <=0 disables.
         # Default OFF: measured 8% slower end-to-end at 1M docs on v5e
         # (10,374 vs 11,312 QPS) - the isolated sort win doesn't survive
@@ -265,6 +273,8 @@ class BatchSearcher:
                 # widths hit slow XLA paths at 1M scale
                 if cap < cfg_g.compact_cap:
                     cfg_g = replace(cfg_g, compact_cap=cap)
+            if self._fullwidth and fullwidth_ok(cfg_g):
+                cfg_g = replace(cfg_g, fullwidth=True)
             width = self.max_batch
             while width > self.min_batch and \
                     width * work > self.work_ratio * self.max_batch * wmin:
@@ -468,14 +478,15 @@ class BatchSearcher:
                             lambda a: a[row], aggs)
         if uncertified:
             # the certificate failed (tight score gaps vs the unread-tail
-            # bound): re-run those queries through the exact path
-            save = self.prefix_cap
-            self.prefix_cap = 0
+            # bound, or a value-key tie plateau crossing the fullwidth
+            # top_k window): re-run those queries through the exact path
+            save, save_fw = self.prefix_cap, self._fullwidth
+            self.prefix_cap, self._fullwidth = 0, False
             try:
                 redo = self.run([irs[qi] for qi in uncertified],
                                 stats=stats)
             finally:
-                self.prefix_cap = save
+                self.prefix_cap, self._fullwidth = save, save_fw
             for qi, res in zip(uncertified, redo):
                 results[qi] = res
         return results
