@@ -15,7 +15,7 @@ Scoring/boolean context rules mirror the Xapian operator semantics
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Callable, Optional
 
 import numpy as np
