@@ -146,7 +146,10 @@ def main():
                for q in queries]
     from xapiand_tpu.search import BatchSearcher
 
-    PREFIX_CAP = int(os.environ.get("XT_PREFIX_CAP", "0"))
+    # default ON at 8192: chip A/B (2026-08-18, /tmp/chipq) measured
+    # cap=8192 -> 16,532 QPS (66.8x ref) with 34/1024 certificate
+    # re-runs; cap=16384 -> 13,726 (17/1024); cap=0 -> 11,247.
+    PREFIX_CAP = int(os.environ.get("XT_PREFIX_CAP", "8192"))
     bsearch = BatchSearcher(
         searcher, k=K, max_batch=BATCH,
         chunk_rows=int(os.environ.get("BENCH_CHUNK_ROWS", "0")),

@@ -178,8 +178,12 @@ class IndexManager:
         else:
             db = Database(path=self._path_for(name), scheme=self.scheme)
         # impact-prefix pruning on the batched serving path (maxweight
-        # analog): certified-exact top-k, counts become lower bounds
-        db.prefix_cap = int(s.get("prefix_cap", 0))
+        # analog, matcher.cc:415): certified-exact top-k, counts become
+        # lower bounds on pruned queries. Default ON at 8192 (chip A/B
+        # 2026-08-18: 16,532 QPS vs 11,247 unpruned, 34/1024 re-runs);
+        # only terms with > cap postings are pruned, so small indexes
+        # are bit-identical. prefix_cap=0 in settings turns it off.
+        db.prefix_cap = int(s.get("prefix_cap", 8192))
         return db
 
     def get(self, name: str, create: bool = False) -> Database:
