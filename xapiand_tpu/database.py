@@ -612,6 +612,15 @@ class Database:
         ir = resolve_special(ir, scheme, stats, self.global_termfreq,
                              self.global_collfreq)
         cq = compile_ir(ir, cost_fn=self.global_termfreq)
+        # serving latency path: a lone plain-relevance query executes
+        # host-native (ops/host_scorer.py) - one tunnel readback costs
+        # ~9ms (tunnel_probe.py), more than the whole reference request;
+        # the device keeps batches and every heavier operator
+        if self._use_host_path(cq, scheme, sort, aggs or scripted,
+                               collapse_slot):
+            return self._search_host([cq], k=k, offset=offset,
+                                     stats=stats, scheme=scheme,
+                                     count_only=count_only)[0]
         stats_d = {"N": float(stats.doc_count),
                    "avg_doclen": float(stats.avg_doclen),
                    "doclen_lower": float(stats.doclen_lower),
@@ -694,6 +703,77 @@ class Database:
                                    rank=offset + rank,
                                    data=docs_store.get(key, {})))
         return result
+
+    # host-path routing: total postings per call below which the native
+    # TAAT scorer beats the device batch (device fixed cost ~12ms/launch
+    # through the tunnel; native walks ~1e9 postings/s on this host)
+    HOST_MAX_WORK = int(__import__("os").environ.get(
+        "XT_HOST_MAX_WORK", "8000000"))
+
+    def _use_host_path(self, cqs, scheme, sort=(), aggs=None,
+                       collapse_slot=None) -> bool:
+        """True when every query in the call is host-eligible and the
+        summed postings work is below the device-crossover threshold."""
+        from xapiand_tpu.ops.host_scorer import (host_eligible,
+                                                 host_path_enabled)
+
+        if not host_path_enabled() or not self._searchers:
+            return False
+        if not isinstance(cqs, list):
+            cqs = [cqs]
+        if not all(host_eligible(cq, scheme, sort, aggs, collapse_slot)
+                   for cq in cqs):
+            return False
+        work = sum(self.global_termfreq(pt.term)
+                   for cq in cqs for pt in cq.terms)
+        return work * max(len(self._searchers), 1) <= self.HOST_MAX_WORK
+
+    def _search_host(self, cqs: list, k: int, offset: int, stats, scheme,
+                     count_only: bool = False) -> list:
+        """Native latency path: per-segment xt_score_topk + the same
+        cross-segment merge contract as the device path."""
+        from xapiand_tpu.ops.host_scorer import term_constants
+
+        want = k + offset
+        tcs = [term_constants(cq, scheme, stats, self.global_termfreq,
+                              self.global_collfreq) for cq in cqs]
+        per_seg = []
+        for searcher in self._searchers:
+            hs = searcher.host_scorer()
+            plans = [hs.offsets_lens(cq) + (tcs[qi],)
+                     for qi, cq in enumerate(cqs)]
+            per_seg.append(hs.search_many(plans, scheme, stats, want))
+        docs_store = getattr(self, "_docs_store", {})
+        results = []
+        for qi in range(len(cqs)):
+            total = 0
+            merged: list = []
+            for seg_idx, outs in enumerate(per_seg):
+                out = outs[qi]
+                total += int(out["count"])
+                if count_only:
+                    continue
+                seg = self._searchers[seg_idx].segment
+                for sc, did in zip(out["scores"], out["docids"]):
+                    if sc == float("-inf"):
+                        continue
+                    did = int(did)
+                    if did >= seg.num_docs:
+                        continue
+                    merged.append((-float(sc),
+                                   self._tiebreak(seg_idx, did),
+                                   seg_idx, did))
+            result = SearchResult(total=total)
+            if not count_only:
+                merged.sort()
+                for rank, (negscore, _tb, seg_idx, did) in enumerate(
+                        merged[offset: offset + k]):
+                    key = self._searchers[seg_idx].segment.doc_keys[did]
+                    result.hits.append(Hit(id=key, score=-negscore,
+                                           rank=offset + rank,
+                                           data=docs_store.get(key, {})))
+            results.append(result)
+        return results
 
     def _collapse_key(self, seg, slot: int, did: int):
         """Cross-segment-comparable collapse key for a doc, or None when
@@ -810,6 +890,15 @@ class Database:
             irs.append(q if isinstance(q, Q) else
                        QueryDSL(self.schema,
                                 term_expander=self.expand_prefix).parse(q))
+        # host latency path for small plain batches (see search()): the
+        # native TAAT scorer beats the tunnel below HOST_MAX_WORK postings
+        cqs = [compile_ir(resolve_special(ir, scheme, stats,
+                                          self.global_termfreq,
+                                          self.global_collfreq),
+                          cost_fn=self.global_termfreq) for ir in irs]
+        if self._use_host_path(cqs, scheme):
+            return self._search_host(cqs, k=k, offset=offset, stats=stats,
+                                     scheme=scheme)
         want = k + offset
         per_seg = []
         for searcher in self._searchers:

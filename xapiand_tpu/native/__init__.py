@@ -75,6 +75,23 @@ class NativeLib:
         c.xt_htm_cap_cover.argtypes = [
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int32, i32p, ctypes.c_int64]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        c.xt_score_topk.restype = ctypes.c_int64
+        c.xt_score_topk.argtypes = [
+            i32p, f32p, f32p,                      # postings arrays
+            u8p, ctypes.c_int32,                   # deleted, has_deletes
+            i64p, i64p, f64p, ctypes.c_int32,      # per-term plan
+            ctypes.c_double, ctypes.c_double,      # k1, b
+            ctypes.c_double, ctypes.c_double,      # min_normlen, lf
+            f64p, u8p, i32p,                       # scratch acc/seen/touched
+            ctypes.c_int32, i32p, f64p]            # k, out docids/scores
+        c.xt_score_topk_many.restype = None
+        c.xt_score_topk_many.argtypes = [
+            i32p, f32p, f32p, u8p, ctypes.c_int32,
+            i64p, i64p, f64p, i32p, i32p, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, f64p, u8p, i32p,
+            ctypes.c_int32, i32p, f64p, i64p]
 
     def htm_cap_cover(self, lat: float, lon: float, radius_rad: float,
                       level: int, max_trixels: int = 4096):

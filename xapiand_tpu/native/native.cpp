@@ -1281,3 +1281,151 @@ extern "C" int64_t xt_htm_cap_cover(double lat, double lon,
     }
     return n;
 }
+
+// ---------------------------------------------------------------------------
+// Host latency-path scorer (serving plane).
+//
+// The device batch path amortizes the host<->TPU tunnel cost across wide
+// query batches (bench.py: 16k QPS at 1M docs), but a LONE interactive
+// query pays the full readback sync (~9ms measured through the tunnel,
+// scripts/tunnel_probe.py) - an order of magnitude above the reference's
+// served p50 of 15ms budget once aiohttp + planning are added. The serving
+// plane therefore routes small plain-relevance queries through this native
+// TAAT scorer over the same immutable flat segment arrays, and keeps the
+// device for batches / heavy operators where it wins. Results are
+// bit-comparable to the float64 numpy oracle (bench.py cpu_baseline):
+// float64 accumulation in term order, top-k by (score desc, docid asc).
+//
+// ~ the reference's single-threaded matcher hot loop
+// (/root/reference/src/xapian/matcher/matcher.cc:179-560) - but TAAT over
+// flat postings slabs instead of a DAAT iterator tree over B-trees.
+// ---------------------------------------------------------------------------
+
+namespace xtscore {
+
+struct TopK {
+    // fixed-k min-heap ordered worst-first: worst = lower score, then
+    // HIGHER docid (ties rank docid-ascending, Xapian docid_order ASC)
+    int32_t k = 0, n = 0;
+    double* hs;
+    int32_t* hd;
+    static bool worse(double sa, int32_t da, double sb, int32_t db) {
+        return sa < sb || (sa == sb && da > db);
+    }
+    void push(double s, int32_t d) {
+        if (n < k) {
+            int i = n++;
+            hs[i] = s; hd[i] = d;
+            while (i > 0) {
+                int p = (i - 1) / 2;
+                if (!worse(hs[i], hd[i], hs[p], hd[p])) break;
+                std::swap(hs[i], hs[p]); std::swap(hd[i], hd[p]);
+                i = p;
+            }
+        } else if (worse(hs[0], hd[0], s, d)) {
+            hs[0] = s; hd[0] = d;
+            int i = 0;
+            for (;;) {
+                int l = 2 * i + 1, r = l + 1, m = i;
+                if (l < n && worse(hs[l], hd[l], hs[m], hd[m])) m = l;
+                if (r < n && worse(hs[r], hd[r], hs[m], hd[m])) m = r;
+                if (m == i) break;
+                std::swap(hs[i], hs[m]); std::swap(hd[i], hd[m]);
+                i = m;
+            }
+        }
+    }
+};
+
+}  // namespace xtscore
+
+extern "C" int64_t xt_score_topk(
+    const int32_t* post_docids, const float* post_wdf,
+    const float* post_doclen,
+    const uint8_t* deleted, int32_t has_deletes,
+    const int64_t* offsets, const int64_t* lens, const double* tconst,
+    int32_t n_terms,
+    double k1, double b, double min_normlen, double lf,
+    double* acc, uint8_t* seen, int32_t* touched,
+    int32_t k, int32_t* out_docids, double* out_scores) {
+    // BM25 sumpart (models/weights.py BM25.sumpart = bm25weight.cc:171):
+    //   normlen = max(doclen * lf, min_normlen)
+    //   w = tconst * wdf / max(k1*(normlen*b + (1-b)) + wdf, 1e-9)
+    // acc/seen are caller-owned scratch sized [num_docs], zeroed on entry
+    // and re-zeroed here before returning (touched-list reset).
+    int64_t ntouch = 0;
+    const double one_minus_b = 1.0 - b;
+    for (int32_t t = 0; t < n_terms; t++) {
+        const int64_t off = offsets[t], ln = lens[t];
+        const double tc = tconst[t];
+        for (int64_t i = off; i < off + ln; i++) {
+            const int32_t d = post_docids[i];
+            if (has_deletes && deleted[d]) continue;
+            if (!seen[d]) { seen[d] = 1; touched[ntouch++] = d; }
+            if (tc != 0.0) {
+                const double wdf = (double)post_wdf[i];
+                double normlen = (double)post_doclen[i] * lf;
+                if (normlen < min_normlen) normlen = min_normlen;
+                double denom = k1 * (normlen * b + one_minus_b) + wdf;
+                if (denom < 1e-9) denom = 1e-9;
+                acc[d] += tc * (wdf / denom);
+            }
+        }
+    }
+    xtscore::TopK top;
+    top.k = k;
+    std::vector<double> hs(k);
+    std::vector<int32_t> hd(k);
+    top.hs = hs.data(); top.hd = hd.data();
+    for (int64_t i = 0; i < ntouch; i++) {
+        const int32_t d = touched[i];
+        top.push(acc[d], d);
+        acc[d] = 0.0;
+        seen[d] = 0;
+    }
+    // heap -> descending (score, docid asc) order by repeated pop-min
+    for (int32_t i = top.n - 1; i >= 0; i--) {
+        out_docids[i] = top.hd[0];
+        out_scores[i] = top.hs[0];
+        top.hs[0] = top.hs[--top.n < 1 ? 0 : top.n];
+        top.hd[0] = top.hd[top.n < 1 ? 0 : top.n];
+        if (top.n > 0) {   // sift down
+            int j = 0;
+            for (;;) {
+                int l = 2 * j + 1, r = l + 1, m = j;
+                if (l < top.n && xtscore::TopK::worse(top.hs[l], top.hd[l],
+                                                      top.hs[m], top.hd[m]))
+                    m = l;
+                if (r < top.n && xtscore::TopK::worse(top.hs[r], top.hd[r],
+                                                      top.hs[m], top.hd[m]))
+                    m = r;
+                if (m == j) break;
+                std::swap(top.hs[j], top.hs[m]);
+                std::swap(top.hd[j], top.hd[m]);
+                j = m;
+            }
+        }
+    }
+    return ntouch;
+}
+
+extern "C" void xt_score_topk_many(
+    const int32_t* post_docids, const float* post_wdf,
+    const float* post_doclen,
+    const uint8_t* deleted, int32_t has_deletes,
+    const int64_t* offsets, const int64_t* lens, const double* tconst,
+    const int32_t* q_start, const int32_t* q_nterms, int32_t n_queries,
+    double k1, double b, double min_normlen, double lf,
+    double* acc, uint8_t* seen, int32_t* touched,
+    int32_t k, int32_t* out_docids, double* out_scores,
+    int64_t* out_counts) {
+    // batched variant: one ctypes crossing for a whole query list; terms
+    // are flattened (query i owns offsets[q_start[i] .. +q_nterms[i]])
+    for (int32_t q = 0; q < n_queries; q++) {
+        out_counts[q] = xt_score_topk(
+            post_docids, post_wdf, post_doclen, deleted, has_deletes,
+            offsets + q_start[q], lens + q_start[q], tconst + q_start[q],
+            q_nterms[q], k1, b, min_normlen, lf, acc, seen, touched,
+            k, out_docids + (int64_t)q * k, out_scores + (int64_t)q * k);
+    }
+}

@@ -28,6 +28,16 @@ class SegmentSearcher:
         self.scheme = scheme or get_scheme("bm25")
         self._cache: dict = {}
 
+    def host_scorer(self):
+        """Lazy native latency-path scorer over this segment's flat
+        arrays (ops/host_scorer.py; serving-plane single-query path)."""
+        hs = getattr(self, "_host_scorer", None)
+        if hs is None:
+            from xapiand_tpu.ops.host_scorer import HostScorer
+
+            hs = self._host_scorer = HostScorer(self.segment)
+        return hs
+
     def refresh_deleted(self):
         """Re-upload the delete bitmap after host-side deletes (delta
         deletes on immutable segments, SURVEY.md §7 hard-parts)."""
