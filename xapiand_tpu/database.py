@@ -275,6 +275,8 @@ class Database:
             if not searcher.segment.deleted[docid]:
                 searcher.segment.deleted[docid] = True
                 searcher.refresh_deleted()
+                # host latency path caches delete-bitmap pointers
+                self._host_epoch = getattr(self, "_host_epoch", 0) + 1
                 found = True
             del self._locate[doc_id]
         if not found and not missing_ok:
@@ -719,6 +721,11 @@ class Database:
 
         if not host_path_enabled() or not self._searchers:
             return False
+        # the native global top-k hard-codes the plain (seg, docid)
+        # insertion-order tiebreak; subclasses with their own rank order
+        # (ShardedDatabase's global sequence) keep their own paths
+        if type(self)._tiebreak is not Database._tiebreak:
+            return False
         if not isinstance(cqs, list):
             cqs = [cqs]
         if not all(host_eligible(cq, scheme, sort, aggs, collapse_slot)
@@ -728,49 +735,47 @@ class Database:
                    for cq in cqs for pt in cq.terms)
         return work * max(len(self._searchers), 1) <= self.HOST_MAX_WORK
 
+    def _host_global_scorer(self):
+        """Cached whole-database native scorer; invalidated on commit
+        (revision) and on deletes (_host_epoch)."""
+        from xapiand_tpu.ops.host_scorer import GlobalHostScorer
+
+        key = (self.revision, getattr(self, "_host_epoch", 0),
+               len(self._searchers))
+        g = getattr(self, "_host_global", None)
+        if g is None or g._key != key:
+            g = GlobalHostScorer(self._searchers)
+            g._key = key
+            self._host_global = g
+        return g
+
     def _search_host(self, cqs: list, k: int, offset: int, stats, scheme,
                      count_only: bool = False) -> list:
-        """Native latency path: per-segment xt_score_topk + the same
-        cross-segment merge contract as the device path."""
+        """Native latency path: one xt_score_topk_global crossing for the
+        whole call, already globally merged (score desc, (seg, docid) asc
+        = the device path's merge contract)."""
         from xapiand_tpu.ops.host_scorer import term_constants
 
         want = k + offset
         tcs = [term_constants(cq, scheme, stats, self.global_termfreq,
                               self.global_collfreq) for cq in cqs]
-        per_seg = []
-        for searcher in self._searchers:
-            hs = searcher.host_scorer()
-            plans = [hs.offsets_lens(cq) + (tcs[qi],)
-                     for qi, cq in enumerate(cqs)]
-            per_seg.append(hs.search_many(plans, scheme, stats, want))
+        g = self._host_global_scorer()
+        outs = g.search_many(cqs, tcs, scheme, stats,
+                             1 if count_only else want)
         docs_store = getattr(self, "_docs_store", {})
         results = []
-        for qi in range(len(cqs)):
-            total = 0
-            merged: list = []
-            for seg_idx, outs in enumerate(per_seg):
-                out = outs[qi]
-                total += int(out["count"])
-                if count_only:
-                    continue
-                seg = self._searchers[seg_idx].segment
-                for sc, did in zip(out["scores"], out["docids"]):
-                    if sc == float("-inf"):
-                        continue
-                    did = int(did)
-                    if did >= seg.num_docs:
-                        continue
-                    merged.append((-float(sc),
-                                   self._tiebreak(seg_idx, did),
-                                   seg_idx, did))
-            result = SearchResult(total=total)
+        for qi, out in enumerate(outs):
+            result = SearchResult(total=int(out["count"]))
             if not count_only:
-                merged.sort()
-                for rank, (negscore, _tb, seg_idx, did) in enumerate(
-                        merged[offset: offset + k]):
-                    key = self._searchers[seg_idx].segment.doc_keys[did]
-                    result.hits.append(Hit(id=key, score=-negscore,
-                                           rank=offset + rank,
+                scores, segs_a, dids = \
+                    out["scores"], out["seg"], out["docids"]
+                for rank in range(offset, want):
+                    if rank >= len(scores) or scores[rank] == float("-inf"):
+                        break
+                    seg = g.segs[int(segs_a[rank])]
+                    key = seg.doc_keys[int(dids[rank])]
+                    result.hits.append(Hit(id=key, score=float(scores[rank]),
+                                           rank=rank,
                                            data=docs_store.get(key, {})))
             results.append(result)
         return results

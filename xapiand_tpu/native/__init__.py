@@ -85,6 +85,14 @@ class NativeLib:
             ctypes.c_double, ctypes.c_double,      # min_normlen, lf
             f64p, u8p, i32p,                       # scratch acc/seen/touched
             ctypes.c_int32, i32p, f64p]            # k, out docids/scores
+        c.xt_score_topk_global.restype = None
+        c.xt_score_topk_global.argtypes = [
+            ctypes.c_int32, i64p, i64p, i64p, i64p,
+            i64p, i64p, f64p, ctypes.c_int32,
+            i32p, i32p, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, f64p, u8p, i32p,
+            ctypes.c_int32, i32p, i32p, f64p, i64p]
         c.xt_score_topk_many.restype = None
         c.xt_score_topk_many.argtypes = [
             i32p, f32p, f32p, u8p, ctypes.c_int32,

@@ -1429,3 +1429,121 @@ extern "C" void xt_score_topk_many(
             k, out_docids + (int64_t)q * k, out_scores + (int64_t)q * k);
     }
 }
+
+extern "C" void xt_score_topk_global(
+    int32_t n_segs,
+    const int64_t* seg_docids_ptrs, const int64_t* seg_wdf_ptrs,
+    const int64_t* seg_doclen_ptrs, const int64_t* seg_deleted_ptrs,
+    const int64_t* offsets, const int64_t* lens,   // [n_segs * n_terms]
+    const double* tconst, int32_t n_terms,
+    const int32_t* q_start, const int32_t* q_nterms, int32_t n_queries,
+    double k1, double b, double min_normlen, double lf,
+    double* acc, uint8_t* seen, int32_t* touched,  // sized max seg nd
+    int32_t k,
+    int32_t* out_seg, int32_t* out_docids, double* out_scores,  // [nq*k]
+    int64_t* out_counts) {
+    // whole-database latency path: one crossing scores a query (or a
+    // small batch) across EVERY segment and returns the GLOBALLY merged
+    // top-k with the engine's exact order contract: score desc, then
+    // (segment, docid) asc - Database._tiebreak insertion order.
+    // offsets/lens are laid out [seg][flat_term] where flat_term indexes
+    // the concatenated per-query term lists (q_start/q_nterms), i.e.
+    // row s holds segment s's postings slots for all queries' terms.
+    const double one_minus_b = 1.0 - b;
+    const int64_t total_terms = q_start[n_queries - 1] +
+                                q_nterms[n_queries - 1];
+    for (int32_t q = 0; q < n_queries; q++) {
+        // worst-first heap over (score, seg, docid)
+        std::vector<double> hs(k);
+        std::vector<int64_t> hsd(k);  // (seg<<32)|docid packed, asc order
+        int32_t hn = 0;
+        auto hworse = [](double sa, int64_t pa, double sb, int64_t pb) {
+            return sa < sb || (sa == sb && pa > pb);
+        };
+        auto hpush = [&](double s, int64_t p) {
+            if (hn < k) {
+                int i = hn++;
+                hs[i] = s; hsd[i] = p;
+                while (i > 0) {
+                    int par = (i - 1) / 2;
+                    if (!hworse(hs[i], hsd[i], hs[par], hsd[par])) break;
+                    std::swap(hs[i], hs[par]); std::swap(hsd[i], hsd[par]);
+                    i = par;
+                }
+            } else if (hworse(hs[0], hsd[0], s, p)) {
+                hs[0] = s; hsd[0] = p;
+                int i = 0;
+                for (;;) {
+                    int l = 2 * i + 1, r = l + 1, m = i;
+                    if (l < hn && hworse(hs[l], hsd[l], hs[m], hsd[m])) m = l;
+                    if (r < hn && hworse(hs[r], hsd[r], hs[m], hsd[m])) m = r;
+                    if (m == i) break;
+                    std::swap(hs[i], hs[m]); std::swap(hsd[i], hsd[m]);
+                    i = m;
+                }
+            }
+        };
+        int64_t total_count = 0;
+        for (int32_t s = 0; s < n_segs; s++) {
+            const int32_t* docids = (const int32_t*)seg_docids_ptrs[s];
+            const float* wdfv = (const float*)seg_wdf_ptrs[s];
+            const float* dlv = (const float*)seg_doclen_ptrs[s];
+            const uint8_t* del = (const uint8_t*)seg_deleted_ptrs[s];
+            const int64_t* offs = offsets + (int64_t)s * total_terms +
+                                  q_start[q];
+            const int64_t* lns = lens + (int64_t)s * total_terms +
+                                 q_start[q];
+            const double* tcs = tconst + q_start[q];
+            int64_t ntouch = 0;
+            for (int32_t t = 0; t < q_nterms[q]; t++) {
+                const int64_t off = offs[t], ln = lns[t];
+                const double tc = tcs[t];
+                for (int64_t i = off; i < off + ln; i++) {
+                    const int32_t d = docids[i];
+                    if (del && del[d]) continue;
+                    if (!seen[d]) { seen[d] = 1; touched[ntouch++] = d; }
+                    if (tc != 0.0) {
+                        const double wdf = (double)wdfv[i];
+                        double normlen = (double)dlv[i] * lf;
+                        if (normlen < min_normlen) normlen = min_normlen;
+                        double denom = k1 * (normlen * b + one_minus_b)
+                                       + wdf;
+                        if (denom < 1e-9) denom = 1e-9;
+                        acc[d] += tc * (wdf / denom);
+                    }
+                }
+            }
+            total_count += ntouch;
+            for (int64_t i = 0; i < ntouch; i++) {
+                const int32_t d = touched[i];
+                hpush(acc[d], ((int64_t)s << 32) | (uint32_t)d);
+                acc[d] = 0.0;
+                seen[d] = 0;
+            }
+        }
+        out_counts[q] = total_count;
+        int32_t* od = out_docids + (int64_t)q * k;
+        int32_t* os = out_seg + (int64_t)q * k;
+        double* osc = out_scores + (int64_t)q * k;
+        for (int32_t i = hn - 1; i >= 0; i--) {
+            od[i] = (int32_t)(hsd[0] & 0xffffffff);
+            os[i] = (int32_t)(hsd[0] >> 32);
+            osc[i] = hs[0];
+            hn--;
+            if (hn > 0) {
+                hs[0] = hs[hn]; hsd[0] = hsd[hn];
+                int j = 0;
+                for (;;) {
+                    int l = 2 * j + 1, r = l + 1, m = j;
+                    if (l < hn && hworse(hs[l], hsd[l], hs[m], hsd[m]))
+                        m = l;
+                    if (r < hn && hworse(hs[r], hsd[r], hs[m], hsd[m]))
+                        m = r;
+                    if (m == j) break;
+                    std::swap(hs[j], hs[m]); std::swap(hsd[j], hsd[m]);
+                    j = m;
+                }
+            }
+        }
+    }
+}

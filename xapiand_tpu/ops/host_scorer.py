@@ -222,3 +222,123 @@ class HostScorer:
 
     def search(self, plan, scheme, stats, k: int) -> dict:
         return self.search_many([plan], scheme, stats, k)[0]
+
+
+class GlobalHostScorer:
+    """Whole-database latency path: ONE native crossing scores a query
+    (or small batch) across every segment and returns the globally merged
+    top-k with the engine's exact order contract (score desc, then
+    (segment, docid) insertion order - Database._tiebreak). Removes the
+    per-segment python/ctypes overhead that dominates multi-segment
+    single-query latency."""
+
+    def __init__(self, searchers):
+        self.searchers = list(searchers)
+        self.segs = [s.segment for s in self.searchers]
+        self._per = [s.host_scorer() for s in self.searchers]
+        S = len(self._per)
+        self._docids_ptrs = np.array(
+            [hs._docids.ctypes.data for hs in self._per], np.int64)
+        self._wdf_ptrs = np.array(
+            [hs._wdf.ctypes.data for hs in self._per], np.int64)
+        self._doclen_ptrs = np.array(
+            [hs._doclen.ctypes.data for hs in self._per], np.int64)
+        # deleted pointers resolved at build time; Database invalidates
+        # this scorer on every delete (see delete_document)
+        self._del_keep = []
+        dptr = np.zeros(S, np.int64)
+        for i, hs in enumerate(self._per):
+            darr, has = hs._deleted()
+            if has:
+                self._del_keep.append(darr)
+                dptr[i] = darr.ctypes.data
+        self._deleted_ptrs = dptr
+        nd = max(max((int(s.num_docs) for s in self.segs), default=1), 1)
+        self._acc = np.zeros(nd, np.float64)
+        self._seen = np.zeros(nd, np.uint8)
+        self._touched = np.zeros(nd, np.int32)
+
+    def search_many(self, cqs, tconsts, scheme, stats, k: int) -> list[dict]:
+        """-> per-query {"seg": i32[k], "docids": i32[k], "scores": f64[k],
+        "count": int}; rows beyond the match count carry -inf scores."""
+        from xapiand_tpu.native import lib
+
+        S = len(self.segs)
+        nq = len(cqs)
+        k = max(int(k), 1)
+        if lib is None or S == 0:
+            return self._fallback(cqs, tconsts, scheme, stats, k)
+        total_terms = sum(len(cq.terms) for cq in cqs)
+        offs = np.zeros((S, total_terms), np.int64)
+        lens = np.zeros((S, total_terms), np.int64)
+        q_start = np.zeros(nq, np.int32)
+        q_nterms = np.zeros(nq, np.int32)
+        col = 0
+        for qi, cq in enumerate(cqs):
+            q_start[qi], q_nterms[qi] = col, len(cq.terms)
+            for pt in cq.terms:
+                for si, seg in enumerate(self.segs):
+                    ti = seg.get_term(pt.term)
+                    if ti is not None:
+                        offs[si, col] = ti.offset
+                        lens[si, col] = ti.length
+                col += 1
+        tc_flat = np.concatenate(tconsts) if nq > 1 else tconsts[0]
+        tc_flat = np.ascontiguousarray(tc_flat, np.float64)
+        out_seg = np.empty((nq, k), np.int32)
+        out_d = np.empty((nq, k), np.int32)
+        out_s = np.empty((nq, k), np.float64)
+        counts = np.empty(nq, np.int64)
+        k1, b, mn, lf = HostScorer._params(scheme, stats)
+        lib._c.xt_score_topk_global(
+            S,
+            self._docids_ptrs.ctypes.data_as(_i64p),
+            self._wdf_ptrs.ctypes.data_as(_i64p),
+            self._doclen_ptrs.ctypes.data_as(_i64p),
+            self._deleted_ptrs.ctypes.data_as(_i64p),
+            offs.ctypes.data_as(_i64p), lens.ctypes.data_as(_i64p),
+            tc_flat.ctypes.data_as(_f64p), total_terms,
+            q_start.ctypes.data_as(_i32p), q_nterms.ctypes.data_as(_i32p),
+            nq, k1, b, mn, lf,
+            self._acc.ctypes.data_as(_f64p),
+            self._seen.ctypes.data_as(_u8p),
+            self._touched.ctypes.data_as(_i32p),
+            k, out_seg.ctypes.data_as(_i32p), out_d.ctypes.data_as(_i32p),
+            out_s.ctypes.data_as(_f64p),
+            counts.ctypes.data_as(_i64p))
+        results = []
+        for qi in range(nq):
+            n = min(int(counts[qi]), k)
+            s = out_s[qi]
+            s[n:] = -np.inf
+            results.append({"seg": out_seg[qi], "docids": out_d[qi],
+                            "scores": s, "count": int(counts[qi])})
+        return results
+
+    def _fallback(self, cqs, tconsts, scheme, stats, k: int) -> list[dict]:
+        """Per-segment numpy scorers + python merge (no native lib)."""
+        per_seg = []
+        for hs in self._per:
+            plans = [hs.offsets_lens(cq) + (tconsts[qi],)
+                     for qi, cq in enumerate(cqs)]
+            per_seg.append(hs.search_many(plans, scheme, stats, k))
+        results = []
+        for qi in range(len(cqs)):
+            merged = []
+            total = 0
+            for si, outs in enumerate(per_seg):
+                out = outs[qi]
+                total += out["count"]
+                for sc, did in zip(out["scores"], out["docids"]):
+                    if sc != -np.inf:
+                        merged.append((-float(sc), si, int(did)))
+            merged.sort()
+            merged = merged[:k]
+            out_seg = np.full(k, -1, np.int32)
+            out_d = np.zeros(k, np.int32)
+            out_s = np.full(k, -np.inf, np.float64)
+            for i, (negs, si, did) in enumerate(merged):
+                out_seg[i], out_d[i], out_s[i] = si, did, -negs
+            results.append({"seg": out_seg, "docids": out_d,
+                            "scores": out_s, "count": total})
+        return results

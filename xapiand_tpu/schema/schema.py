@@ -166,6 +166,9 @@ class Schema:
         # _resolve_concrete) is a pure function of the node - skip it per
         # doc. Invalidated on ANY schema mutation (_persist/_child_node).
         self._spec_cache: dict = {}
+        # monotonic mutation counter: parse/IR caches key on it (any
+        # schema change may alter field resolution of a cached query)
+        self.mutations = 0
 
     # -- persistence ---------------------------------------------------------
 
@@ -555,6 +558,7 @@ class Schema:
                 return None
             node = parent_node[name] = {}
             self.mutated = True
+            self.mutations += 1
             self._spec_cache.clear()
         return node
 
@@ -730,6 +734,7 @@ class Schema:
         if node.get(key) != value:
             node[key] = value
             self.mutated = True
+            self.mutations += 1
             self._spec_cache.clear()
 
     def _persist_inline(self, node: dict, inline: dict):

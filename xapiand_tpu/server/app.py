@@ -472,6 +472,7 @@ class RestServer:
         self._locks: dict = {}
         self._locks_guard = threading.Lock()
         self._batchers: dict = {}   # index -> SearchBatcher (plain queries)
+        self._ir_cache: dict = {}   # (index, query, schema/rev) -> parsed IR
         if CollectorRegistry is not None:
             self.registry = CollectorRegistry()
             self.op_count = Counter(
@@ -1214,12 +1215,22 @@ class RestServer:
         # utils.h:90 / matches_estimated)
         body.pop("_check_at_least", None)
         q = request.query.get("q")
-        dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
-        if q is not None:
-            ir = dsl.parse_string(q)
-        else:
-            ir = dsl.parse(body.get("_query", body.get("query",
-                                                       {"_match_all": {}})))
+        # parsed-IR cache: hot served queries skip the DSL walk; keyed on
+        # the literal query plus everything parse depends on (schema
+        # object + its mutation counter, and the index revision - wildcard
+        # / partial expansion reads the term dictionary)
+        qsrc = q if q is not None else \
+            body.get("_query", body.get("query", {"_match_all": {}}))
+        ckey = (index, repr(qsrc), id(db.schema), db.schema.mutations,
+                db.revision)
+        ir = self._ir_cache.get(ckey)
+        if ir is None:
+            dsl = QueryDSL(db.schema, term_expander=db.expand_prefix)
+            ir = dsl.parse_string(q) if q is not None else dsl.parse(qsrc)
+            if len(self._ir_cache) >= 2048:   # bounded: drop ~oldest half
+                for old in list(self._ir_cache)[:1024]:
+                    self._ir_cache.pop(old, None)   # racing prunes are ok
+            self._ir_cache[ckey] = ir
         k = int(request.query.get("limit", body.get("_limit", 10)))
         offset = int(request.query.get("offset", body.get("_offset", 0)))
         sort = parse_sort(db.schema, body.get("_sort"))
