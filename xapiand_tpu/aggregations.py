@@ -84,11 +84,15 @@ def _parse_interval(iv) -> tuple[float, str | None]:
 _NESTABLE = ("_terms", "_values", "_value", "_histogram", "_range")
 
 
-def _compile_subs(schema, sub_dsl: dict):
+def _compile_subs(schema, sub_dsl: dict, segs=None, slot_ranges=None,
+                  agg_params=None, pbase=""):
     """Metric sub-aggregations of a bucket -> (names, spec tuple, metas).
-    Nested bucket subs are split out by compile_for_segment."""
+    Nested bucket subs are split out by compile_for_segment. median/mode
+    subs (bucket.h:52 HandledSubAggregation allows any metric under any
+    bucket) get a per-bucket order-stat histogram: their spec carries an
+    agg_params key for the globally-agreed (lo, scale) bin grid."""
     names, specs, metas = [], [], []
-    for name, body in (sub_dsl or {}).items():
+    for j, (name, body) in enumerate((sub_dsl or {}).items()):
         if not isinstance(body, dict) or len(body) != 1:
             raise AggError(f"sub-aggregation {name!r} must have one type")
         key, args = next(iter(body.items()))
@@ -98,8 +102,17 @@ def _compile_subs(schema, sub_dsl: dict):
                 f"sub-aggregation {name!r}: only metric sub-aggregations "
                 f"are supported at this nesting depth (got {key!r})")
         if kind in ("median", "mode"):
-            raise AggError(f"{key} is not supported as a bucket "
-                           "sub-aggregation")
+            if agg_params is None or segs is None:
+                raise AggError(f"{key} is not supported as a bucket "
+                               "sub-aggregation here")
+            slot = _slot_of(schema, args)
+            lo, scale = _slot_range(segs, slot, slot_ranges)
+            pkey = f"{pbase}s{j}"
+            agg_params[pkey] = np.asarray([lo, scale], np.float32)
+            specs.append((kind, slot, ORDER_STAT_BINS, pkey))
+            names.append(name)
+            metas.append({"kind": kind, "lo": lo, "scale": scale})
+            continue
         if kind == "count":
             specs.append(("count", -1))
         else:
@@ -253,7 +266,8 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
             metric_dsl, nested = _split_nested(sub_dsl)
             if nested is not None:
                 sub_dsl = metric_dsl
-        sub_names, sub_specs, sub_metas = _compile_subs(schema, sub_dsl) \
+        sub_names, sub_specs, sub_metas = _compile_subs(
+            schema, sub_dsl, segs, slot_ranges, agg_params, str(i)) \
             if sub_dsl else ([], (), [])
         sort = args.get("_sort") if isinstance(args, dict) else None
 
@@ -276,7 +290,9 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
             descs, level_metas, level_subs = [], [], []
             total_nb = 1
             for lvl, (l_key, l_args, l_sub) in enumerate(chain):
-                l_names, l_specs, l_metas = _compile_subs(schema, l_sub) \
+                l_names, l_specs, l_metas = _compile_subs(
+                    schema, l_sub, segs, slot_ranges, agg_params,
+                    f"{i}:{lvl}") \
                     if l_sub else ([], (), [])
                 d = _bucket_code_desc(schema, segment, l_key, l_args,
                                       agg_params, agg_ranges, f"{i}:{lvl}")
@@ -306,7 +322,7 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                 slot = _slot_of(schema, args)
                 lo, scale = _slot_range(segs, slot, slot_ranges)
                 specs.append((kind, slot, ORDER_STAT_BINS))
-                agg_params[i] = np.asarray([lo, scale], np.float32)
+                agg_params[str(i)] = np.asarray([lo, scale], np.float32)
                 meta.append({"kind": kind, "lo": lo, "scale": scale})
             else:
                 slot = _slot_of(schema, args)
@@ -355,7 +371,7 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                 shift = float(args.get("_shift", 0.0))
                 nb = int(args.get("_buckets", 64))
             specs.append(("histogram", slot, nb, sub_specs))
-            agg_params[i] = np.asarray([interval, shift], np.float32)
+            agg_params[str(i)] = np.asarray([interval, shift], np.float32)
             meta.append({"kind": "histogram", "interval": interval,
                          "shift": shift, "nb": nb, "calendar": calendar,
                          "dates": key == "_date_histogram",
@@ -373,7 +389,7 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                     args.get("_percentiles", [1, 5, 25, 50, 75, 95, 99])]
             lo, scale = _slot_range(segs, slot, slot_ranges)
             specs.append(("percentiles", slot, ORDER_STAT_BINS))
-            agg_params[i] = np.asarray([lo, scale], np.float32)
+            agg_params[str(i)] = np.asarray([lo, scale], np.float32)
             meta.append({"kind": "percentiles", "lo": lo, "scale": scale,
                          "pcts": [p * 100 for p in pcts]})
         elif key in ("_range", "_date_range"):
@@ -397,7 +413,7 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                 bounds[j, 0], bounds[j, 1] = lo, hi
                 labels.append(r.get("_key", f"{lo}..{hi}"))
             specs.append(("range", slot, len(rs), sub_specs))
-            agg_ranges[i] = bounds
+            agg_ranges[str(i)] = bounds
             meta.append({"kind": "range", "labels": labels, "sort": sort,
                          "sub_names": sub_names, "sub_metas": sub_metas})
         elif key == "_filter":
@@ -413,7 +429,7 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                 while ln > Lf:
                     Lf *= 4
             specs.append(("filter", len(term_spans), Lf, sub_specs))
-            agg_filters[i] = np.asarray(term_spans, np.int32)
+            agg_filters[str(i)] = np.asarray(term_spans, np.int32)
             meta.append({"kind": "filter",
                          "sub_names": sub_names, "sub_metas": sub_metas})
         elif key in ("_geo_bounds", "_geo_centroid"):
@@ -441,8 +457,8 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                 bounds[j, 0], bounds[j, 1] = lo, hi
                 labels.append(r.get("_key", f"{lo}..{hi}"))
             specs.append(("geodist_range", slot, len(rs), sub_specs))
-            agg_ranges[i] = bounds
-            agg_params[i] = np.asarray([lat, lon], np.float32)
+            agg_ranges[str(i)] = bounds
+            agg_params[str(i)] = np.asarray([lat, lon], np.float32)
             meta.append({"kind": "range", "labels": labels, "sort": sort,
                          "sub_names": sub_names, "sub_metas": sub_metas})
         elif key == "_ip_range":
@@ -481,7 +497,7 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                 bounds[j, 0], bounds[j, 1] = _ser.split_key(fkey)
                 bounds[j, 2], bounds[j, 3] = _ser.split_key(tkey)
             specs.append(("key_range", slot, len(rs), sub_specs))
-            agg_ranges[i] = bounds
+            agg_ranges[str(i)] = bounds
             meta.append({"kind": "range", "labels": labels, "sort": sort,
                          "sub_names": sub_names, "sub_metas": sub_metas})
         elif key == "_geo_ip":
@@ -513,8 +529,8 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
                     rows.append((fh, fl, th, tl))
                     assign.append(j)
             specs.append(("geo_ip", slot, len(nets), len(rows), sub_specs))
-            agg_ranges[i] = np.asarray(rows, np.int32)
-            agg_params[i] = np.asarray(assign, np.int32)
+            agg_ranges[str(i)] = np.asarray(rows, np.int32)
+            agg_params[str(i)] = np.asarray(assign, np.int32)
             meta.append({"kind": "range", "labels": labels, "sort": sort,
                          "sub_names": sub_names, "sub_metas": sub_metas})
         elif key == "_geo_trixels":
@@ -545,7 +561,7 @@ def compile_for_segment(schema, segment, aggs_dsl: dict, slot_ranges=None):
             padded = np.full(nb, 2**31 - 1, np.int32)
             padded[: len(table)] = table
             specs.append(("geo_trixels", slot, nb, shift, sub_specs))
-            agg_params[i] = padded
+            agg_params[str(i)] = padded
             meta.append({"kind": "terms",
                          "cat_names": [htm.trixel_name(int(t), level)
                                        for t in table],
@@ -618,6 +634,8 @@ def _merge_sub_parts(sub_parts_per_segment):
             out["s2"] = out["s2"] + p["s2"]
             out["min"] = np.minimum(out["min"], p["min"])
             out["max"] = np.maximum(out["max"], p["max"])
+            if "hist2" in p:
+                out["hist2"] = out["hist2"] + p["hist2"]
     return out
 
 
@@ -662,8 +680,26 @@ def _shape_subs(meta, merged_subs, b):
     out = {}
     for sub_name, sub_meta, ms in zip(meta["sub_names"], meta["sub_metas"],
                                       merged_subs):
+        kind = sub_meta["kind"]
+        if kind in ("median", "mode"):
+            hist = np.asarray(ms["hist2"][b], np.float64)
+            htotal = int(round(hist.sum()))
+            vmin, vmax = float(ms["min"][b]), float(ms["max"][b])
+            lo_b, sc_b = sub_meta["lo"], sub_meta["scale"]
+            if htotal == 0:
+                out[sub_name] = {f"_{kind}": None}
+            elif kind == "median":
+                v1 = _hist_rank_value(hist, (htotal - 1) // 2, lo_b, sc_b)
+                v2 = _hist_rank_value(hist, htotal // 2, lo_b, sc_b)
+                out[sub_name] = {"_median":
+                                 min(max((v1 + v2) / 2.0, vmin), vmax)}
+            else:
+                bi = int(np.argmax(hist))
+                out[sub_name] = {"_mode":
+                                 min(max(lo_b + bi / sc_b, vmin), vmax)}
+            continue
         out[sub_name] = _shape_metric(
-            sub_meta["kind"], float(ms["n"][b]), float(ms["s"][b]),
+            kind, float(ms["n"][b]), float(ms["s"][b]),
             float(ms["s2"][b]), float(ms["min"][b]), float(ms["max"][b]),
             sigma=sub_meta.get("sigma", 2.0))
     return out

@@ -12,10 +12,10 @@ Static spec forms (cfg.with_aggs entries):
   ("stats"|"extended_stats", slot)
   ("terms", slot, ncats, sub_specs)   - facet counts over category codes
   ("histogram", slot, nb, sub_specs)  - interval/offset via
-                                        plan["agg_params"][i]
-  ("range", slot, nr, sub_specs)      - bounds via plan["agg_ranges"][i]
+                                        plan["agg_params"][str(i)]
+  ("range", slot, nr, sub_specs)      - bounds via plan["agg_ranges"][str(i)]
   ("filter", n_terms, Lf, sub_specs)  - posting-membership filter bucket;
-                                        term spans via plan["agg_filters"][i]
+                                        term spans via plan["agg_filters"][str(i)]
   ("missing", slot, sub_specs)        - docs lacking the field
 
 sub_specs: tuple of metric specs (kind, slot) computed per bucket as
@@ -104,15 +104,20 @@ def _key_ranges_membership(col, d, b, vmax):
     return inr
 
 
-def _sub_stats_bucketed(seg, sub_specs, docids, oh_bool):
+def _sub_stats_bucketed(seg, sub_specs, docids, oh_bool, plan=None):
     """Per-bucket sufficient stats for metric sub-aggregations.
 
     oh_bool: [rows, nb] bucket membership (already ANDed with the match
-    mask). Returns a list of {"n","s","s2","min","max"} arrays [nb].
+    mask). Returns a list of {"n","s","s2","min","max"} arrays [nb];
+    median/mode subs (4-tuple specs carrying an agg_params key) add
+    "hist2" [nb, BINS] - the same mergeable fixed-grid order-statistic
+    histogram as the top level, one per bucket (bucket.h:52
+    HandledSubAggregation recursion allows any metric under any bucket).
     """
     out = []
     ohf = oh_bool.astype(jnp.float32)
-    for kind, slot in sub_specs:
+    for spec in sub_specs:
+        kind, slot = spec[0], spec[1]
         if kind == "count" or slot < 0:
             n = jnp.sum(ohf, axis=0)
             z = jnp.zeros_like(n)
@@ -132,13 +137,27 @@ def _sub_stats_bucketed(seg, sub_specs, docids, oh_bool):
                         preferred_element_type=jnp.float32)
         vmin = jnp.min(jnp.where(both, v[:, None], jnp.inf), axis=0)
         vmax = jnp.max(jnp.where(both, v[:, None], -jnp.inf), axis=0)
-        out.append({"n": n, "s": s, "s2": s2, "min": vmin, "max": vmax})
+        res = {"n": n, "s": s, "s2": s2, "min": vmin, "max": vmax}
+        if len(spec) > 3:   # (median|mode, slot, nb, params_key)
+            nbins, pkey = spec[2], spec[3]
+            lo = plan["agg_params"][pkey][0]
+            scale = plan["agg_params"][pkey][1]
+            vb = jnp.clip(jnp.floor((v - lo) * scale).astype(jnp.int32),
+                          0, nbins - 1)
+            voh = (vb[:, None] == jnp.arange(nbins)[None, :]) \
+                .astype(jnp.float32)
+            # [nb, rows] @ [rows, BINS] contraction -> one order-stat
+            # histogram per bucket, as an MXU matmul (bf already masks
+            # bucket membership AND value presence)
+            res["hist2"] = jnp.einsum("rb,rk->bk", bf, voh,
+                                      preferred_element_type=jnp.float32)
+        out.append(res)
     return out
 
 
-def _sub_stats_single(seg, sub_specs, docids, m):
+def _sub_stats_single(seg, sub_specs, docids, m, plan=None):
     """Single-bucket (filter/missing) sufficient stats; arrays of size 1."""
-    return _sub_stats_bucketed(seg, sub_specs, docids, m[:, None])
+    return _sub_stats_bucketed(seg, sub_specs, docids, m[:, None], plan)
 
 
 def _bucket_codes(seg, desc, plan, docids, mask):
@@ -179,7 +198,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             continue
         if kind == "filter":
             n_terms, Lf, sub_specs = spec[1], spec[2], spec[3]
-            spans = plan["agg_filters"][i]          # [n_terms, 2]
+            spans = plan["agg_filters"][str(i)]          # [n_terms, 2]
             m = mask
             for t in range(n_terms):
                 span = lax.dynamic_slice(seg["post_docids"],
@@ -191,7 +210,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
                 m = m & found & (spans[t, 1] > 0)
             res = {"count": jnp.sum(m.astype(jnp.int32))}
             if sub_specs:
-                res["subs"] = _sub_stats_single(seg, sub_specs, docids, m)
+                res["subs"] = _sub_stats_single(seg, sub_specs, docids, m, plan)
             out.append(res)
             continue
         if kind == "nested":
@@ -212,7 +231,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
                     & valid[:, None]
                 res_counts.append(jnp.sum(oh.astype(jnp.int32), axis=0))
                 res_subs.append(
-                    _sub_stats_bucketed(seg, subs_list[lvl], docids, oh)
+                    _sub_stats_bucketed(seg, subs_list[lvl], docids, oh, plan)
                     if subs_list[lvl] else None)
             out.append({"counts": tuple(res_counts),
                         "subs": tuple(res_subs)})
@@ -224,7 +243,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             m = mask & ~col["present"][d]
             res = {"count": jnp.sum(m.astype(jnp.int32))}
             if sub_specs:
-                res["subs"] = _sub_stats_single(seg, sub_specs, docids, m)
+                res["subs"] = _sub_stats_single(seg, sub_specs, docids, m, plan)
             out.append(res)
             continue
         slot = spec[1]
@@ -248,8 +267,8 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
                 # (VERDICT: "percentiles/median/mode via gathered
                 # per-shard histograms"); power-of-two scale keeps integer
                 # grids exact
-                lo = plan["agg_params"][i][0]
-                scale = plan["agg_params"][i][1]
+                lo = plan["agg_params"][str(i)][0]
+                scale = plan["agg_params"][str(i)][1]
                 nb = spec[2]
                 res["hist"] = _value_hist(v, m, lo, scale, nb)
             out.append(res)
@@ -278,15 +297,16 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             if sub_specs:
                 out.append({"counts": counts,
                             "subs": _sub_stats_bucketed(seg, sub_specs,
-                                                        docids, in_bucket)})
+                                                        docids, in_bucket,
+                                                        plan)})
             else:
                 out.append(counts)
         elif kind == "histogram":
             nb = spec[2]
             sub_specs = spec[3] if len(spec) > 3 else ()
             v, m = _slot_vals(seg, slot, docids, mask, carried)
-            interval = plan["agg_params"][i][0]
-            shift = plan["agg_params"][i][1]
+            interval = plan["agg_params"][str(i)][0]
+            shift = plan["agg_params"][str(i)][1]
             b = jnp.floor((v - shift) / interval).astype(jnp.int32)
             inb = m & (b >= 0) & (b < nb)
             bc = jnp.clip(b, 0, nb - 1)
@@ -297,7 +317,8 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             if sub_specs:
                 out.append({"counts": counts,
                             "subs": _sub_stats_bucketed(seg, sub_specs,
-                                                        docids, in_bucket)})
+                                                        docids, in_bucket,
+                                                        plan)})
             else:
                 out.append(counts)
         elif kind == "key_range":
@@ -311,7 +332,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
             m = mask & col["present"][d]
-            b = plan["agg_ranges"][i]               # [nr, 4] int32 key pairs
+            b = plan["agg_ranges"][str(i)]               # [nr, 4] int32 key pairs
             inr = _key_ranges_membership(col, d, b, vmax) & m[:, None]
             counts = jnp.sum(inr.astype(jnp.int32), axis=0)
             if sub_specs:
@@ -331,10 +352,10 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             col = _get_value_col(seg, slot)
             d = jnp.minimum(docids, col["hi"].shape[0] - 1)
             m = mask & col["present"][d]
-            b = plan["agg_ranges"][i]               # [ncidr, 4]
+            b = plan["agg_ranges"][str(i)]               # [ncidr, 4]
             inc = _key_ranges_membership(col, d, b, vmax) \
                 .astype(jnp.float32)                # [rows, ncidr]
-            assign = plan["agg_params"][i]          # [ncidr] -> bucket idx
+            assign = plan["agg_params"][str(i)]          # [ncidr] -> bucket idx
             onehot = (assign[:, None] == jnp.arange(nb)[None, :]) \
                 .astype(jnp.float32)
             in_bucket = (jnp.dot(inc, onehot,
@@ -344,7 +365,8 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             if sub_specs:
                 out.append({"counts": counts,
                             "subs": _sub_stats_bucketed(seg, sub_specs,
-                                                        docids, in_bucket)})
+                                                        docids, in_bucket,
+                                                        plan)})
             else:
                 out.append(counts)
         elif kind == "geo_trixels":
@@ -359,7 +381,7 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
             off = jnp.minimum(g["doc_off"][d], g["flat_start"].shape[0] - 1)
             tri = g["flat_start"][off] >> shift    # ids positive: >> exact
             valid = mask & (g["doc_len"][d] > 0)
-            table = plan["agg_params"][i]           # [nb] asc, pad INT32MAX
+            table = plan["agg_params"][str(i)]           # [nb] asc, pad INT32MAX
             code = lower_bound(table, tri, nb)
             m = valid & (table[jnp.minimum(code, nb - 1)] == tri)
             in_bucket = (code[:, None] == jnp.arange(nb)[None, :]) \
@@ -384,12 +406,12 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
                 lon = col["fval2"][d] if "fval2" in col \
                     else jnp.zeros_like(col["fval"][d])
                 v = _haversine(col["fval"][d], lon,
-                               plan["agg_params"][i][0],
-                               plan["agg_params"][i][1])
+                               plan["agg_params"][str(i)][0],
+                               plan["agg_params"][str(i)][1])
                 m = mask & col["present"][d]
             else:
                 v, m = _slot_vals(seg, slot, docids, mask)
-            bounds = plan["agg_ranges"][i]          # [nr, 2]
+            bounds = plan["agg_ranges"][str(i)]          # [nr, 2]
             inr = (v[:, None] >= bounds[None, :, 0]) \
                 & (v[:, None] < bounds[None, :, 1]) & m[:, None]
             counts = jnp.sum(inr.astype(jnp.int32), axis=0)
@@ -468,8 +490,8 @@ def compute_aggs(seg, specs, docids, mask, scores, plan=None,
         elif kind == "percentiles":
             v, m = _slot_vals(seg, slot, docids, mask)
             fm = m.astype(jnp.float32)
-            lo = plan["agg_params"][i][0]
-            scale = plan["agg_params"][i][1]
+            lo = plan["agg_params"][str(i)][0]
+            scale = plan["agg_params"][str(i)][1]
             nb = spec[2]
             out.append({
                 "n": jnp.sum(fm),
