@@ -86,6 +86,15 @@ class Database:
         self._pending_deletes: set[str] = set()
         self._metadata: dict[str, object] = {}
         self._blobs: dict[str, list] = {}             # doc_id -> locators
+        # stored spelling/synonym tables (≙ glass_spelling.cc /
+        # glass_synonym.cc per-shard tables; WAL ops wal.h:114-122)
+        self._spellings: dict[str, int] = {}          # word -> freq
+        self._synonyms: dict[str, list[str]] = {}     # term -> synonyms
+        self._spell_epoch = 0
+        # spelling/synonym mutations must make the NEXT commit a real
+        # revision bump, or a checkpoint taken after them would both
+        # snapshot their effect and replay their WAL tail (double-apply)
+        self._aux_dirty = False
         self._versions: dict[str, int] = {}           # doc_id -> _version
         self.revision = 0
         self.auto_merge_segments = 16   # tiered compaction trigger
@@ -125,6 +134,14 @@ class Database:
                     self.delete_document(entry[1], missing_ok=True)
                 elif op == WalOp.SET_METADATA:
                     self._metadata[entry[1]] = entry[2]
+                elif op == WalOp.ADD_SPELLING:
+                    self.add_spelling(entry[1], entry[2])
+                elif op == WalOp.REMOVE_SPELLING:
+                    self.remove_spelling(entry[1], entry[2])
+                elif op == WalOp.ADD_SYNONYM:
+                    self.add_synonym(entry[1], entry[2])
+                elif op == WalOp.REMOVE_SYNONYM:
+                    self.remove_synonym(entry[1], entry[2])
                 elif op == WalOp.SET_SCHEMA:
                     self.schema = Schema.from_dict(entry[1])
                 elif op == WalOp.STORE_BLOB:
@@ -292,7 +309,8 @@ class Database:
 
         faults.maybe_db("commit")   # chaos hook (RANDOM_ERRORS_DB_THROW,
         # shard.cc:51-59 commit/open sites)
-        if len(self._builder) == 0 and not self._pending_deletes:
+        if len(self._builder) == 0 and not self._pending_deletes \
+                and not self._aux_dirty:
             return self.revision
         if self.schema.mutated and self._foreign_schema is not None:
             # shared schema: propagate the mutation to the owning index's
@@ -328,6 +346,7 @@ class Database:
             self._pending_docs = {}
             self._segments_committed(new_indices)
         self._pending_deletes.clear()
+        self._aux_dirty = False
         self.revision += 1
         if not self._replaying and \
                 len(self._searchers) > self.auto_merge_segments:
@@ -1078,11 +1097,112 @@ class Database:
             h.rank = rank
         return result
 
+    # -- stored spelling / synonym tables --------------------------------------
+
+    def add_spelling(self, word: str, freqinc: int = 1) -> None:
+        """≙ Database::add_spelling -> glass_spelling.cc add_word; WAL op
+        ADD_SPELLING (wal.h:114-122). Stored words join the trigram
+        suggestion index with their frequency as rank tiebreak."""
+        word = str(word).lower()
+        if self.wal is not None and not self._replaying:
+            self.wal.write_add_spelling(word, freqinc)
+        self._aux_dirty = True
+        self._spellings[word] = self._spellings.get(word, 0) + int(freqinc)
+        self._spell_epoch += 1
+
+    def remove_spelling(self, word: str, freqdec: int = 1) -> None:
+        """≙ Database::remove_spelling (glass_spelling.cc remove_word)."""
+        word = str(word).lower()
+        if self.wal is not None and not self._replaying:
+            self.wal.write_remove_spelling(word, freqdec)
+        self._aux_dirty = True
+        f = self._spellings.get(word, 0) - int(freqdec)
+        if f > 0:
+            self._spellings[word] = f
+        else:
+            self._spellings.pop(word, None)
+        self._spell_epoch += 1
+
+    def add_synonym(self, term: str, synonym: str) -> None:
+        """≙ Database::add_synonym (glass_synonym.cc); stored per term,
+        expanded at query time when the search asks for it."""
+        t, s = str(term).lower(), str(synonym).lower()
+        if self.wal is not None and not self._replaying:
+            self.wal.write_add_synonym(t, s)
+        self._aux_dirty = True
+        lst = self._synonyms.setdefault(t, [])
+        if s not in lst:
+            lst.append(s)
+
+    def remove_synonym(self, term: str, synonym=None) -> None:
+        """≙ Database::remove_synonym / clear_synonyms (synonym=None)."""
+        t = str(term).lower()
+        if self.wal is not None and not self._replaying:
+            self.wal.write_remove_synonym(t, synonym)
+        self._aux_dirty = True
+        if synonym is None:
+            self._synonyms.pop(t, None)
+            return
+        lst = self._synonyms.get(t)
+        if lst and str(synonym).lower() in lst:
+            lst.remove(str(synonym).lower())
+            if not lst:
+                self._synonyms.pop(t, None)
+
+    def synonyms_of(self, term: str) -> list:
+        return list(self._synonyms.get(str(term).lower(), ()))
+
+    def expand_stored_synonyms(self, ir):
+        """IR -> IR: each scoring term leaf whose word (or full term) has
+        stored synonyms becomes an OP_SYNONYM group of the original term
+        plus its synonyms carried under the same field prefix
+        (QueryParser FLAG_AUTO_SYNONYMS, queryparser_internal.cc)."""
+        if not self._synonyms:
+            return ir
+
+        def prefix_of(term: str) -> tuple[str, str]:
+            # "Zpfx.word" / "pfx.word" / "word" -> (leading prefix, word)
+            core = term[1:] if term.startswith("Z") else term
+            if "." in core:
+                p, w = core.rsplit(".", 1)
+                return p + ".", w
+            return "", core
+
+        def expand_term(t: str, wqf, factor):
+            syns = self._synonyms.get(t)
+            pfx, w = prefix_of(t)
+            if syns is None:
+                syns = self._synonyms.get(w)
+            if not syns:
+                return None
+            return Q.synonym([t] + [pfx + s for s in syns],
+                             wqf=wqf, factor=factor)
+
+        def walk(n):
+            if n.op == "term":
+                e = expand_term(n.terms[0], n.wqf, n.factor)
+                return e if e is not None else n
+            if n.op == "or_terms":
+                if not any(self._synonyms.get(t) is not None
+                           or self._synonyms.get(prefix_of(t)[1])
+                           is not None for t in n.terms):
+                    return n
+                return Q.or_(*[walk(Q.term(t, wqf=n.wqf, factor=n.factor))
+                               for t in n.terms])
+            if n.children:
+                return replace(n, children=tuple(walk(c)
+                                                 for c in n.children))
+            return n
+
+        from dataclasses import replace
+        return walk(ir)
+
     # -- spelling suggestions (≙ glass_spelling.* trigram tables) --------------
 
     def _spelling_index(self) -> dict:
         cache = getattr(self, "_spell_cache", None)
-        if cache is not None and cache[0] == self.revision:
+        if cache is not None and cache[0] == (self.revision,
+                                              self._spell_epoch):
             return cache[1]
         tri: dict[str, set] = {}
         nosp = tuple(self.schema.no_spelling_prefixes())
@@ -1101,11 +1221,11 @@ class Database:
                     words.add(term.split(".")[-1])
                 else:
                     fallback.add(term)
-        for word in (words or fallback):
+        for word in (words or fallback) | set(self._spellings):
             w = f"${word}$"
             for i in range(len(w) - 2):
                 tri.setdefault(w[i:i + 3], set()).add(word)
-        self._spell_cache = (self.revision, tri)
+        self._spell_cache = ((self.revision, self._spell_epoch), tri)
         return tri
 
     def suggest_spelling(self, word: str, max_edit_distance: int = 2,
@@ -1129,9 +1249,12 @@ class Database:
                 continue
             dist = levenshtein(cand, word)
             if dist <= max_edit_distance:
-                scored.append((dist, -shared, cand))
+                # stored spellings rank by frequency within a distance
+                # class (get_spelling_suggestion picks the most frequent)
+                scored.append((dist, -self._spellings.get(cand, 0),
+                               -shared, cand))
         scored.sort()
-        return [c for _, _, c in scored[:limit]]
+        return [c for _, _, _, c in scored[:limit]]
 
     def expand_prefix(self, prefix: str, limit: int = 256) -> list[str]:
         """All index terms starting with prefix (wildcard expansion,

@@ -33,6 +33,8 @@ class WalOp(enum.IntEnum):
     REMOVE_SPELLING = 5
     SET_SCHEMA = 6
     STORE_BLOB = 7   # (doc_id, content_type, locator) - bytes live in docdata
+    ADD_SYNONYM = 8      # (term, synonym)      ≙ Database::add_synonym
+    REMOVE_SYNONYM = 9   # (term, synonym|None) None clears the whole entry
 
 
 class DatabaseWAL:
@@ -128,6 +130,18 @@ class DatabaseWAL:
 
     def write_set_schema(self, schema_props: dict, **kw):
         self.append(WalOp.SET_SCHEMA, schema_props, **kw)
+
+    def write_add_spelling(self, word: str, freqinc: int = 1, **kw):
+        self.append(WalOp.ADD_SPELLING, word, int(freqinc), **kw)
+
+    def write_remove_spelling(self, word: str, freqdec: int = 1, **kw):
+        self.append(WalOp.REMOVE_SPELLING, word, int(freqdec), **kw)
+
+    def write_add_synonym(self, term: str, synonym: str, **kw):
+        self.append(WalOp.ADD_SYNONYM, term, synonym, **kw)
+
+    def write_remove_synonym(self, term: str, synonym=None, **kw):
+        self.append(WalOp.REMOVE_SYNONYM, term, synonym, **kw)
 
     def write_commit(self, fsync: bool = True):
         self.append(WalOp.COMMIT, fsync=fsync)

@@ -211,6 +211,8 @@ def write_snapshot(db, fh) -> None:
         "uuid": db.uuid,
         "schema": db.schema.to_dict(),
         "metadata": db._metadata,
+        "spellings": db._spellings,
+        "synonyms": db._synonyms,
         "versions": db._versions,
         "n_segments": len(db._searchers),
         "n_doc_chunks": (len(doc_ids) + _DOC_CHUNK - 1) // _DOC_CHUNK,
@@ -278,6 +280,9 @@ def load_snapshot(db, fh) -> int:
     db.schema = Schema.from_dict(manifest["schema"])
     db.schema.mutated = False
     db._metadata = dict(manifest["metadata"])
+    db._spellings = dict(manifest.get("spellings") or {})
+    db._synonyms = {k: list(v) for k, v in
+                    (manifest.get("synonyms") or {}).items()}
     db._versions = dict(manifest["versions"])
     db._searchers = []
     db._locate = {}
@@ -368,6 +373,8 @@ def _clear_state(db) -> None:
 
     db.schema = Schema()
     db._metadata = {}
+    db._spellings = {}
+    db._synonyms = {}
     db._versions = {}
     db._searchers = []
     db._locate = {}

@@ -812,6 +812,57 @@ class RestServer:
                 index, lambda: db.suggest_spelling(
                     word, limit=int(request.query.get("limit", 5))))
             return {"suggestions": sugg}, 200
+        if cmd == "spelling":
+            # stored spelling table (≙ glass_spelling.cc; WAL ops
+            # ADD_SPELLING/REMOVE_SPELLING): GET dumps, POST adds
+            # {"word": w[, "freq": n]} or removes with {"remove": true}
+            db = self.man.get(index)
+            if request.method == "GET":
+                return {"spellings": dict(sorted(db._spellings.items()))}, \
+                    200
+            body = await self._body(request) or {}
+            word = body.get("word")
+            if not word:
+                raise ApiError(400, ":spelling needs {\"word\": ...}")
+            freq = int(body.get("freq", 1))
+            if body.get("remove"):
+                await self._write_op(
+                    index, lambda: db.remove_spelling(word, freq))
+            else:
+                await self._write_op(
+                    index, lambda: db.add_spelling(word, freq))
+            return {"word": str(word).lower(),
+                    "freq": db._spellings.get(str(word).lower(), 0)}, 200
+        if cmd == "synonym":
+            # stored synonym table (≙ Database::add_synonym /
+            # glass_synonym.cc): GET ?term= lists, POST adds
+            # {"term": t, "synonym": s} / removes {"remove": s|true}
+            db = self.man.get(index)
+            if request.method == "GET":
+                term = request.query.get("term")
+                if term:
+                    return {"term": term.lower(),
+                            "synonyms": db.synonyms_of(term)}, 200
+                return {"synonyms": {k: list(v) for k, v in
+                                     sorted(db._synonyms.items())}}, 200
+            body = await self._body(request) or {}
+            term = body.get("term")
+            if not term:
+                raise ApiError(400, ":synonym needs {\"term\": ...}")
+            rm = body.get("remove")
+            if rm is not None:
+                await self._write_op(
+                    index, lambda: db.remove_synonym(
+                        term, None if rm is True else rm))
+            else:
+                syn = body.get("synonym")
+                if not syn:
+                    raise ApiError(400,
+                                   ":synonym needs {\"synonym\": ...}")
+                await self._write_op(
+                    index, lambda: db.add_synonym(term, syn))
+            return {"term": str(term).lower(),
+                    "synonyms": db.synonyms_of(term)}, 200
         if cmd in ("update", "upsert"):
             parts = index.split("/")
             return await self._update_doc(request, "/".join(parts[:-1]),
@@ -1231,6 +1282,17 @@ class RestServer:
                 for old in list(self._ir_cache)[:1024]:
                     self._ir_cache.pop(old, None)   # racing prunes are ok
             self._ir_cache[ckey] = ir
+        # stored-synonym expansion (FLAG_AUTO_SYNONYMS analog): ?synonyms
+        # or {"_synonyms": true} expands term leaves from the per-index
+        # synonym table into OP_SYNONYM groups (after the IR cache - the
+        # transform depends on the mutable synonym table)
+        want_syn = body.get("_synonyms")
+        if want_syn is None:
+            v = request.query.get("synonyms")
+            want_syn = v is not None and v.lower() not in ("false", "0",
+                                                           "no")
+        if want_syn:
+            ir = db.expand_stored_synonyms(ir)
         k = int(request.query.get("limit", body.get("_limit", 10)))
         offset = int(request.query.get("offset", body.get("_offset", 0)))
         sort = parse_sort(db.schema, body.get("_sort"))
