@@ -457,7 +457,8 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
          count_only: bool = False,
          global_cf: Optional[Callable[[str], int]] = None,
          collapse_max: int = 1,
-         sort_strtabs_override: Optional[dict] = None) -> BoundPlan:
+         sort_strtabs_override: Optional[dict] = None,
+         keep_carry: bool = False) -> BoundPlan:
     """Bind a compiled query to one segment, producing cfg + plan arrays.
 
     global_tf/global_cf supply cross-shard/segment termfreqs and collection
@@ -639,8 +640,13 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
     unweighted = (getattr(scheme, "name", "") == "bool"
                   or not (any(pt.scoring for pt in cq.terms)
                           or cq.synonyms))
+    # carry only pays on the fullwidth (sort-free) path: chip A/B
+    # measured carry-into-compaction 17% SLOWER (72.9 vs 88.2 qps, 1M
+    # faceted). Only BatchSearcher (the sole fullwidth driver) asks for
+    # carry; every other caller - single-query search, the mesh bind, the
+    # uncertified exact re-run - gets the unwidened compaction layout.
     carry = carry_channels(sort_static, aggs, collapse_slot) \
-        if _carry_enabled() else ()
+        if (keep_carry and _carry_enabled()) else ()
     cfg = ExecConfig(
         T=T, L=L, k=min(k, rows),
         tree=cq.tree,
@@ -672,14 +678,6 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
         compact_cap=compact_cap_for(classes, _required_groups(cq)),
         carry=carry,
     )
-    if cfg.carry and not fullwidth_ok(cfg):
-        # carry only pays when the fullwidth path consumes it: chip A/B
-        # measured carry-into-compaction 17% SLOWER (72.9 vs 88.2 qps,
-        # 1M faceted - the widened sorts cost more than the cap-width
-        # gathers they replace). Queries the sort-free path can't serve
-        # (multi-key sorts, collapse, filters/geo/phrases, exotic aggs)
-        # keep the compaction+gather layout with unwidened sorts.
-        cfg = replace(cfg, carry=())
     if agg_arrays:
         arrays.update(agg_arrays)
     return BoundPlan(cfg=cfg, arrays=arrays)

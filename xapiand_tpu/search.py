@@ -189,7 +189,8 @@ class BatchSearcher:
         bounds = [bind(compile_ir(ir, cost_fn=gtf), seg, self.scheme, stats,
                        k=self.k,
                        global_tf=gtf, global_cf=gcf, sort=self.sort,
-                       aggs=self.aggs_specs, agg_arrays=self.agg_arrays)
+                       aggs=self.aggs_specs, agg_arrays=self.agg_arrays,
+                       keep_carry=self._fullwidth)
                   for ir in irs]
 
         # signature buckets, then size-class tercile sub-groups
@@ -285,6 +286,11 @@ class BatchSearcher:
                     cfg_g = replace(cfg_g, compact_cap=cap)
             if self._fullwidth and fullwidth_ok(cfg_g):
                 cfg_g = replace(cfg_g, fullwidth=True)
+            elif cfg_g.carry:
+                # ADVICE r3: never let carried channels ride into the
+                # compaction layout (incl. the uncertified exact re-run,
+                # which runs with _fullwidth temporarily off)
+                cfg_g = replace(cfg_g, carry=())
             width = self.max_batch
             while width > self.min_batch and \
                     width * work > self.work_ratio * self.max_batch * wmin:
