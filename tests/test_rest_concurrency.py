@@ -39,6 +39,10 @@ def test_slow_search_does_not_stall_loop(srv):
             body = {"_query": {"body": "word1"}}
         return orig(self, request, index, body, t0)
 
+    # the sleepy request must take the pool path (_search_sync): a plain
+    # query would ride the zero-hop inline fast path and never park -
+    # _sort routes it through the worker pool like any device-bound query
+
     RestServer._search_sync = slow_search
     try:
         slow_result = {}
@@ -46,7 +50,8 @@ def test_slow_search_does_not_stall_loop(srv):
         def run_slow():
             t = time.time()
             status, out, _ = srv.req("POST", "/conc/:search",
-                                     {"_query": {"body": "sleepy"}})
+                                     {"_query": {"body": "sleepy"},
+                                      "_sort": ["_score"]})
             slow_result.update(status=status, took=time.time() - t,
                                out=out)
 

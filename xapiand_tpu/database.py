@@ -754,6 +754,26 @@ class Database:
                    for cq in cqs for pt in cq.terms)
         return work * max(len(self._searchers), 1) <= self.HOST_MAX_WORK
 
+    def try_search_host(self, query, k: int = 10, offset: int = 0,
+                        scheme=None):
+        """Serving fast path: run the query on the native host scorer if
+        it is host-eligible, else return None (caller takes the full
+        search() route). One resolve+compile, no device contact."""
+        if scheme is None:
+            scheme = self.scheme
+        elif isinstance(scheme, str):
+            scheme = get_scheme(scheme)
+        ir = query if isinstance(query, Q) else \
+            QueryDSL(self.schema, term_expander=self.expand_prefix).parse(query)
+        stats = self.stats()
+        ir = resolve_special(ir, scheme, stats, self.global_termfreq,
+                             self.global_collfreq)
+        cq = compile_ir(ir, cost_fn=self.global_termfreq)
+        if not self._use_host_path(cq, scheme):
+            return None
+        return self._search_host([cq], k=k, offset=offset, stats=stats,
+                                 scheme=scheme)[0]
+
     def _host_global_scorer(self):
         """Cached whole-database native scorer; invalidated on commit
         (revision) and on deletes (_host_epoch)."""

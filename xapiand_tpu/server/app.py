@@ -473,6 +473,7 @@ class RestServer:
         self._locks_guard = threading.Lock()
         self._batchers: dict = {}   # index -> SearchBatcher (plain queries)
         self._ir_cache: dict = {}   # (index, query, schema/rev) -> parsed IR
+        self._active_searches = 0   # in-flight :search handlers (loop-owned)
         if CollectorRegistry is not None:
             self.registry = CollectorRegistry()
             self.op_count = Counter(
@@ -1255,21 +1256,79 @@ class RestServer:
         if "," in index:
             return await self._multi_search(request, index, t0)
         body = await self._body(request) if request.can_read_body else None
-        return await self._read_op(
-            index, lambda: self._search_sync(request, index, body, t0))
+        # zero-hop serving path: a plain relevance query on an already-
+        # open index whose engine route is the native host scorer runs
+        # inline on the event loop - no worker-pool handoff, no batching
+        # window. Measured A/B on the chip host (2026-08-19, 50k docs,
+        # scripts/concurrent_bench.py): inline 642 qps @1 client (p50
+        # 1.48ms) / ~766 @8 (p99 14.4ms) vs pool+SearchBatcher 550 / 749
+        # (p99 17.6ms) - inline wins or ties both rows, and a hybrid
+        # (inline only when lone) fragmented the batcher and lost @8
+        # (650-676). Falls through whenever anything non-plain is
+        # requested, the index is cold/lazy, a writer holds (or waits on)
+        # the lock, or the engine declines the host route - those take
+        # the worker pool, where SearchBatcher still coalesces concurrent
+        # device-path queries. XT_INLINE=0 / XT_LONE_BATCH=1 are A/B
+        # gates.
+        self._active_searches += 1
+        try:
+            out = self._inline_search(request, index, body, t0)
+            if out is not None:
+                return out
+            return await self._read_op(
+                index, lambda: self._search_sync(request, index, body, t0,
+                                                 batch=self._active_searches
+                                                 > 1 or __import__("os")
+                                                 .environ.get("XT_LONE_BATCH")
+                                                 == "1"))
+        finally:
+            self._active_searches -= 1
 
-    def _search_sync(self, request, index, body, t0):
-        db = self.man.get(index)
+    _INLINE_BLOCKERS = ("_sort", "_aggs", "_aggregations", "_collapse",
+                        "_diversify", "_cluster", "_weight", "_synonyms",
+                        "_selector")
+
+    def _inline_search(self, request, index, body, t0):
+        import os
+        if os.environ.get("XT_INLINE", "1") == "0":   # serving A/B gate
+            return None
         body = body or {}
-        # _check_at_least accepted for API parity; counts here are always
-        # exact (the reference returns estimates below this threshold,
-        # utils.h:90 / matches_estimated)
-        body.pop("_check_at_least", None)
+        if any(body.get(b) for b in self._INLINE_BLOCKERS):
+            return None
+        if "synonyms" in request.query or "selector" in request.query:
+            return None
+        db = self.man.indexes.get(index)
+        if db is None:        # lazy (unopened) or missing: pool path
+            return None
+        lk = self._lock_for(index)
+        if not lk.try_acquire_read():
+            return None
+        try:
+            ir = self._cached_ir(request, db, index, body)
+            k = int(request.query.get("limit", body.get("_limit", 10)))
+            offset = int(request.query.get("offset",
+                                           body.get("_offset", 0)))
+            res = db.try_search_host(ir, k=k, offset=offset)
+            if res is None:
+                return None
+            out = {"total": res.total,
+                   "count": len(res.hits),
+                   "hits": self._shape_hits(request, db, body, res, None)}
+            self._observe("search", t0)
+            return out, 200
+        except ApiError:
+            raise
+        except Exception:
+            return None       # any surprise: take the full pool path
+        finally:
+            lk.release_read()
+
+    def _cached_ir(self, request, db, index, body):
+        """Parsed-IR cache: hot served queries skip the DSL walk; keyed on
+        the literal query plus everything parse depends on (schema object
+        + its mutation counter, and the index revision - wildcard/partial
+        expansion reads the term dictionary)."""
         q = request.query.get("q")
-        # parsed-IR cache: hot served queries skip the DSL walk; keyed on
-        # the literal query plus everything parse depends on (schema
-        # object + its mutation counter, and the index revision - wildcard
-        # / partial expansion reads the term dictionary)
         qsrc = q if q is not None else \
             body.get("_query", body.get("query", {"_match_all": {}}))
         ckey = (index, repr(qsrc), id(db.schema), db.schema.mutations,
@@ -1282,6 +1341,39 @@ class RestServer:
                 for old in list(self._ir_cache)[:1024]:
                     self._ir_cache.pop(old, None)   # racing prunes are ok
             self._ir_cache[ckey] = ir
+        return ir
+
+    def _shape_hits(self, request, db, body, res, labels):
+        sel = request.query.get("selector", body.get("_selector"))
+        hits = []
+        for i, h in enumerate(res.hits):
+            data = h.data
+            if sel:
+                from xapiand_tpu.server.selector import apply_selector
+                try:
+                    data = apply_selector(data, str(sel))
+                except KeyError:
+                    data = {}
+                if not isinstance(data, dict):
+                    data = {"_selected": data}
+            doc = dict(data)
+            doc["_id"] = h.id
+            doc["_version"] = db.version_of(h.id)
+            doc["_score"] = h.score
+            doc["_rank"] = h.rank
+            if labels is not None:
+                doc["_cluster"] = labels[i]
+            hits.append(doc)
+        return hits
+
+    def _search_sync(self, request, index, body, t0, batch=True):
+        db = self.man.get(index)
+        body = body or {}
+        # _check_at_least accepted for API parity; counts here are always
+        # exact (the reference returns estimates below this threshold,
+        # utils.h:90 / matches_estimated)
+        body.pop("_check_at_least", None)
+        ir = self._cached_ir(request, db, index, body)
         # stored-synonym expansion (FLAG_AUTO_SYNONYMS analog): ?synonyms
         # or {"_synonyms": true} expands term leaves from the per-index
         # synonym table into OP_SYNONYM groups (after the IR cache - the
@@ -1329,7 +1421,7 @@ class RestServer:
         div = body.get("_diversify")
         clu0 = body.get("_cluster")
         window = float(self.opts.get("search_batch_window") or 0)
-        if window > 0 and not sort and not aggs \
+        if window > 0 and batch and not sort and not aggs \
                 and collapse_slot is None and not div and not clu0:
             # sharded indexes batch too: ShardedDatabase.search_many runs
             # each signature group as one SPMD launch per generation
@@ -1355,26 +1447,7 @@ class RestServer:
         if clu and res.hits:
             ck = int(clu.get("_k", 3)) if isinstance(clu, dict) else int(clu)
             labels = db.cluster_hits([h.id for h in res.hits], k=ck)
-        sel = request.query.get("selector", body.get("_selector"))
-        hits = []
-        for i, h in enumerate(res.hits):
-            data = h.data
-            if sel:
-                from xapiand_tpu.server.selector import apply_selector
-                try:
-                    data = apply_selector(data, str(sel))
-                except KeyError:
-                    data = {}
-                if not isinstance(data, dict):
-                    data = {"_selected": data}
-            doc = dict(data)
-            doc["_id"] = h.id
-            doc["_version"] = db.version_of(h.id)
-            doc["_score"] = h.score
-            doc["_rank"] = h.rank
-            if labels is not None:
-                doc["_cluster"] = labels[i]
-            hits.append(doc)
+        hits = self._shape_hits(request, db, body, res, labels)
         out = {"total": res.total, "count": len(hits), "hits": hits}
         if res.aggregations is not None:
             out["aggregations"] = res.aggregations

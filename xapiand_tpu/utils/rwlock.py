@@ -37,6 +37,16 @@ class RWLock:
             if self._readers == 0:
                 self._cond.notify_all()
 
+    def try_acquire_read(self) -> bool:
+        """Non-blocking shared acquire - the serving fast path runs small
+        host-scored queries inline on the event loop and must never wait
+        behind a writer there (it falls back to the worker pool instead)."""
+        with self._cond:
+            if self._writer or self._writers_waiting:
+                return False
+            self._readers += 1
+            return True
+
     def acquire_write(self):
         with self._cond:
             self._writers_waiting += 1
