@@ -33,11 +33,11 @@ def test_slow_search_does_not_stall_loop(srv):
     orig = RestServer._search_sync
     release = threading.Event()
 
-    def slow_search(self, request, index, body, t0):
+    def slow_search(self, request, index, body, t0, **kw):
         if body and body.get("_query", {}).get("body") == "sleepy":
             release.wait(10)  # a long device execution / first compile
             body = {"_query": {"body": "word1"}}
-        return orig(self, request, index, body, t0)
+        return orig(self, request, index, body, t0, **kw)
 
     # the sleepy request must take the pool path (_search_sync): a plain
     # query would ride the zero-hop inline fast path and never park -
