@@ -557,8 +557,12 @@ def bind(cq: CompiledQuery, seg: Segment, scheme, stats,
             gcol = seg.geo.get(slot)
             rmax = 16
             if gcol is not None and gcol.max_doc_ranges > 0:
-                rmax = int(min(max(
-                    16, 1 << (gcol.max_doc_ranges - 1).bit_length()), 256))
+                # exact data-driven width, NO floor: a point-only column
+                # (max_doc_ranges == 1, the geo+time workload) shrinks the
+                # per-candidate overlap sort-join 16x vs the old floor-16
+                rmax = int(min(
+                    1 << max((gcol.max_doc_ranges - 1).bit_length(), 0),
+                    256))
             geo_specs.append((slot, QR, rmax))
         arrays["geo_queries"] = gq
 
