@@ -137,30 +137,16 @@ def run_ours_config2(docs, phrases, booleans):
 
 
 def _timed_qps(bs, searcher, irs, seg):
-    import jax.numpy as jnp
-    import numpy as np
-
-    from xapiand_tpu.models.weights import CollectionStats
-
-    planned = bs.plan(irs)
-    seg_arrays = searcher.device_segment.arrays_pytree()
-    stats = CollectionStats(doc_count=seg.doc_count,
-                            avg_doclen=seg.avg_doclen, doclen_lower=1.0)
-    stats_d = {"N": jnp.float32(stats.doc_count),
-               "avg_doclen": jnp.float32(stats.avg_doclen),
-               "doclen_lower": jnp.float32(1.0)}
-    # warmup pass: compiles every group shape (with the persistent cache,
-    # reruns load instead); compile time must NOT land in the timed loop
-    for _cfg, fn, batch, _chunk in planned:
-        o = fn(seg_arrays, batch, stats_d)
-    float(np.asarray(o["scores"])[0, 0])
-    reps = max(3, -(-48 // len(planned)))
+    """Time the PRODUCT batch path end-to-end: BatchSearcher.run includes
+    host-route decisions, per-call binds/plans and result assembly, so
+    host-executed conjunctive queries and device launches are measured on
+    equal footing (the old loop timed pre-planned device launches only)."""
+    bs.run(irs)              # warm: compiles / native registrations
     t0 = time.time()
-    o = None
-    for _ in range(reps):
-        for _cfg, fn, batch, _chunk in planned:
-            o = fn(seg_arrays, batch, stats_d)
-    float(np.asarray(o["scores"])[0, 0])
+    reps = 0
+    while reps < 3 or time.time() - t0 < 5.0:
+        bs.run(irs)
+        reps += 1
     return len(irs) * reps / (time.time() - t0)
 
 

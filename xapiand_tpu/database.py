@@ -637,6 +637,9 @@ class Database:
         # host-native (ops/host_scorer.py) - one tunnel readback costs
         # ~9ms (tunnel_probe.py), more than the whole reference request;
         # the device keeps batches and every heavier operator
+        from xapiand_tpu.ops.host_scorer import \
+            host_path_enabled as host_path_enabled_fn
+
         if self._use_host_path(cq, scheme, sort, aggs or scripted,
                                collapse_slot):
             return self._search_host([cq], k=k, offset=offset,
@@ -648,6 +651,34 @@ class Database:
                    "doclen_upper": float(stats.doclen_upper),
                    "total_len": float(stats.total_len)}
         want = k + offset
+        # conjunctive host route (ops/host_query.py): AND trees with
+        # predicate leaves + flat aggs/value sort are gather-bound on the
+        # device; the native executor walks the smallest conjunct and
+        # verifies by binary search. Decided per segment (falls back when
+        # a column is missing or the driver conjunct is too big).
+        conj_parts = conj_tc = None
+        if host_path_enabled_fn():
+            from xapiand_tpu.ops.host_query import conj_eligible
+
+            first_specs = ()
+            if aggs and self._searchers:
+                from xapiand_tpu import aggregations as aggs_mod2
+
+                try:
+                    _, first_specs, _, _ = aggs_mod2.compile_for_segment(
+                        self.schema, self._searchers[0].segment, aggs,
+                        slot_ranges=slot_ranges)
+                except Exception:
+                    first_specs = None
+            if first_specs is not None:
+                conj_parts = conj_eligible(cq, scheme, sort, first_specs,
+                                           collapse_slot)
+            if conj_parts is not None:
+                from xapiand_tpu.ops.host_scorer import term_constants
+
+                conj_tc = term_constants(cq, scheme, stats,
+                                         self.global_termfreq,
+                                         self.global_collfreq)
         total = 0
         merged: list[tuple[float, int, int]] = []  # (-score, seg, docid)
         agg_parts, agg_cats, agg_names, agg_meta = [], [], None, None
@@ -673,14 +704,23 @@ class Database:
                                 cats_j[(j, lvl)] = \
                                     vals[d[1]].cat_names or []
                 agg_cats.append(cats_j)
-            bound = bind(cq, searcher.segment, scheme, stats,
-                         global_tf=self.global_termfreq, k=want,
-                         sort=sort, collapse_slot=collapse_slot,
-                         aggs=specs, agg_arrays=arrays,
-                         count_only=count_only,
-                         global_cf=self.global_collfreq,
-                         collapse_max=collapse_max)
-            out = searcher.execute(bound, stats_d, scheme=scheme)
+            out = None
+            if conj_parts is not None:
+                hq = searcher.host_query()
+                if hq is not None and hq.driver_work(cq, conj_parts) \
+                        <= self.HOST_MAX_WORK:
+                    out = hq.run(cq, conj_parts, scheme, stats, conj_tc,
+                                 want, sort=sort, aggs=specs,
+                                 count_only=count_only)
+            if out is None:
+                bound = bind(cq, searcher.segment, scheme, stats,
+                             global_tf=self.global_termfreq, k=want,
+                             sort=sort, collapse_slot=collapse_slot,
+                             aggs=specs, agg_arrays=arrays,
+                             count_only=count_only,
+                             global_cf=self.global_collfreq,
+                             collapse_max=collapse_max)
+                out = searcher.execute(bound, stats_d, scheme=scheme)
             total += int(out["count"])
             if aggs:
                 agg_parts.append(out["aggs"])

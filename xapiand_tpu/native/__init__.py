@@ -93,6 +93,33 @@ class NativeLib:
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, f64p, u8p, i32p,
             ctypes.c_int32, i32p, i32p, f64p, i64p]
+        c.xt_qseg_new.restype = ctypes.c_void_p
+        c.xt_qseg_new.argtypes = [i32p, f32p, f32p, u8p, ctypes.c_int32,
+                                  ctypes.c_int32]
+        c.xt_qseg_free.argtypes = [ctypes.c_void_p]
+        c.xt_qseg_add_valcol.restype = None
+        c.xt_qseg_add_valcol.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, u8p,
+            i32p, i32p, i32p, i32p, f32p, i32p, ctypes.c_int32,
+            i32p, i32p, i32p, i32p]
+        c.xt_qseg_add_geocol.restype = None
+        c.xt_qseg_add_geocol.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p, i32p]
+        c.xt_query_exec.restype = ctypes.c_int64
+        c.xt_query_exec.argtypes = [
+            ctypes.c_void_p,
+            i64p, i64p, f64p,                       # term plan
+            i32p, i32p, u8p,                        # groups
+            ctypes.c_int32, ctypes.c_int32,         # n_groups, driver
+            ctypes.c_double, ctypes.c_double,       # k1, b
+            ctypes.c_double, ctypes.c_double,       # min_normlen, lf
+            i32p, i32p, ctypes.c_int32,             # filters
+            i32p, i32p, i32p, i32p, ctypes.c_int32,  # geo
+            ctypes.c_int32, ctypes.c_int32,         # sort mode/slot
+            i32p, i32p, ctypes.c_int32,             # aggs
+            ctypes.c_int32, ctypes.c_int32,         # k, count_only
+            i32p, f64p,                             # out docids/scores
+            f64p, i64p]                             # agg out
         c.xt_score_topk_many.restype = None
         c.xt_score_topk_many.argtypes = [
             i32p, f32p, f32p, u8p, ctypes.c_int32,

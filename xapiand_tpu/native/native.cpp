@@ -1547,3 +1547,366 @@ extern "C" void xt_score_topk_global(
         }
     }
 }
+
+// ---------------------------------------------------------------------------
+// Conjunctive host query executor (serving + faceted/geo latency path).
+//
+// AND-trees of term groups with value-range / HTM-geo predicate leaves,
+// single-key value sorts and flat aggregations are GATHER-bound: the device
+// pipeline pays ~30 serialized cycles per random element touched (chip
+// measurements in CLAUDE.md), while candidate sets after an AND are small
+// and the value columns fit in cache here. This executor walks the smallest
+// conjunct's postings and verifies the rest with binary searches - the
+// reference's DAAT matcher shape (xapian/matcher/matcher.cc:179-560,
+// queryoptimiser AND ordering) on our flat immutable arrays. Exact same
+// results as the device executor: BM25 float64 in term order, match =
+// tree semantics, ties (score desc, docid asc), value-sort key identical
+// ((~)hi/lo with absent-last), counts exact, agg partials in the same
+// sufficient-statistic shapes.
+// ---------------------------------------------------------------------------
+
+#include <map>
+
+namespace xtq {
+
+struct ValCol {
+    const uint8_t* present;
+    const int32_t *hi, *lo, *max_hi, *max_lo;
+    const float* fval;
+    const int32_t* cats;
+    int32_t ncats;
+    const int32_t *mv_off, *mv_len, *mv_hi, *mv_lo;
+};
+
+struct GeoCol {
+    const int32_t* doc_off;
+    const int32_t* doc_len;
+    const int32_t *flat_start, *flat_end;
+};
+
+struct QSeg {
+    const int32_t* docids;
+    const float* wdf;
+    const float* dl;
+    const uint8_t* deleted;
+    int32_t has_del;
+    int32_t nd;
+    std::map<int32_t, ValCol> vals;
+    std::map<int32_t, GeoCol> geos;
+    std::vector<double> acc;
+    std::vector<uint8_t> seen;
+    std::vector<int32_t> touched;
+};
+
+static inline bool lex_ge(int32_t ah, int32_t al, int32_t bh, int32_t bl) {
+    return ah > bh || (ah == bh && al >= bl);
+}
+static inline bool lex_le(int32_t ah, int32_t al, int32_t bh, int32_t bl) {
+    return ah < bh || (ah == bh && al <= bl);
+}
+
+}  // namespace xtq
+
+extern "C" void* xt_qseg_new(const int32_t* docids, const float* wdf,
+                             const float* dl, const uint8_t* deleted,
+                             int32_t has_del, int32_t nd) {
+    auto* s = new xtq::QSeg();
+    s->docids = docids; s->wdf = wdf; s->dl = dl;
+    s->deleted = deleted; s->has_del = has_del; s->nd = nd;
+    s->acc.assign(nd > 0 ? nd : 1, 0.0);
+    s->seen.assign(nd > 0 ? nd : 1, 0);
+    s->touched.resize(nd > 0 ? nd : 1);
+    return s;
+}
+
+extern "C" void xt_qseg_free(void* h) { delete (xtq::QSeg*)h; }
+
+extern "C" void xt_qseg_add_valcol(
+    void* h, int32_t slot, const uint8_t* present,
+    const int32_t* hi, const int32_t* lo,
+    const int32_t* max_hi, const int32_t* max_lo,
+    const float* fval, const int32_t* cats, int32_t ncats,
+    const int32_t* mv_off, const int32_t* mv_len,
+    const int32_t* mv_hi, const int32_t* mv_lo) {
+    auto* s = (xtq::QSeg*)h;
+    s->vals[slot] = {present, hi, lo, max_hi, max_lo, fval, cats, ncats,
+                     mv_off, mv_len, mv_hi, mv_lo};
+}
+
+extern "C" void xt_qseg_add_geocol(void* h, int32_t slot,
+                                   const int32_t* doc_off,
+                                   const int32_t* doc_len,
+                                   const int32_t* flat_start,
+                                   const int32_t* flat_end) {
+    auto* s = (xtq::QSeg*)h;
+    s->geos[slot] = {doc_off, doc_len, flat_start, flat_end};
+}
+
+// agg kinds
+#define XTQ_AGG_COUNT 0
+#define XTQ_AGG_TERMS 1
+#define XTQ_AGG_STATS 2   // emits n, s, s2, min, max
+
+extern "C" int64_t xt_query_exec(
+    void* hseg,
+    const int64_t* t_off, const int64_t* t_len, const double* t_const,
+    const int32_t* g_start, const int32_t* g_nterms, const uint8_t* g_neg,
+    int32_t n_groups, int32_t driver_g,
+    double k1, double b, double min_normlen, double lf,
+    const int32_t* f_slot, const int32_t* f_keys, int32_t nf,
+    const int32_t* geo_slot, const int32_t* geo_qstart,
+    const int32_t* geo_qn, const int32_t* geo_ranges, int32_t ngeo,
+    int32_t sort_mode, int32_t sort_slot,
+    const int32_t* agg_kind, const int32_t* agg_slot, int32_t n_aggs,
+    int32_t k, int32_t count_only,
+    int32_t* out_docids, double* out_scores,
+    double* agg_out, const int64_t* agg_out_off) {
+    auto* S = (xtq::QSeg*)hseg;
+    const double one_minus_b = 1.0 - b;
+
+    auto sumpart = [&](int64_t i, double tc) -> double {
+        const double wdf = (double)S->wdf[i];
+        double normlen = (double)S->dl[i] * lf;
+        if (normlen < min_normlen) normlen = min_normlen;
+        double denom = k1 * (normlen * b + one_minus_b) + wdf;
+        if (denom < 1e-9) denom = 1e-9;
+        return tc * (wdf / denom);
+    };
+
+    // 1. walk the driver group's postings -> candidate set only. Scores
+    //    are NOT accumulated here: the verify pass below adds every
+    //    scoring term's contribution in QUERY TERM ORDER, so float64
+    //    summation order (and thus exact cross-segment score ties) does
+    //    not depend on which conjunct happens to be smallest per segment
+    int64_t ntouch = 0;
+    bool driver_single = g_nterms[driver_g] == 1;
+    for (int32_t t = g_start[driver_g];
+         t < g_start[driver_g] + g_nterms[driver_g]; t++) {
+        const int64_t off = t_off[t], ln = t_len[t];
+        for (int64_t i = off; i < off + ln; i++) {
+            const int32_t d = S->docids[i];
+            if (S->has_del && S->deleted[d]) continue;
+            if (!S->seen[d]) { S->seen[d] = 1; S->touched[ntouch++] = d; }
+        }
+    }
+    if (!driver_single)
+        std::sort(S->touched.begin(), S->touched.begin() + ntouch);
+
+    // top-k heap, worst-first; key depends on sort_mode
+    struct HK { double a; int64_t bcd; int32_t d; double score; };
+    std::vector<HK> heap;
+    heap.reserve(k > 0 ? k : 1);
+    // worse(x, y): is x worse (further from rank 0) than y?
+    auto worse = [&](const HK& x, const HK& y) {
+        if (x.a != y.a) return sort_mode == 0 ? x.a < y.a : x.a > y.a;
+        if (x.bcd != y.bcd) return x.bcd > y.bcd;
+        return x.d > y.d;
+    };
+    auto hpush = [&](const HK& e) {
+        if ((int32_t)heap.size() < k) {
+            heap.push_back(e);
+            size_t i = heap.size() - 1;
+            while (i > 0) {
+                size_t p = (i - 1) / 2;
+                if (!worse(heap[i], heap[p])) break;
+                std::swap(heap[i], heap[p]);
+                i = p;
+            }
+        } else if (k > 0 && worse(heap[0], e)) {
+            heap[0] = e;
+            size_t i = 0, n = heap.size();
+            for (;;) {
+                size_t l = 2 * i + 1, r = l + 1, m = i;
+                if (l < n && worse(heap[l], heap[m])) m = l;
+                if (r < n && worse(heap[r], heap[m])) m = r;
+                if (m == i) break;
+                std::swap(heap[i], heap[m]);
+                i = m;
+            }
+        }
+    };
+
+    const xtq::ValCol* sort_col = nullptr;
+    if (sort_mode == 1 || sort_mode == 2) {
+        auto it = S->vals.find(sort_slot);
+        if (it != S->vals.end()) sort_col = &it->second;
+    }
+
+    // agg accumulators (written to agg_out at the end)
+    struct StatAcc { double n = 0, s = 0, s2 = 0,
+                     mn = 1e300, mx = -1e300; };
+    std::vector<StatAcc> stat_accs(n_aggs);
+    std::vector<std::vector<double>> term_accs(n_aggs);
+    for (int32_t a = 0; a < n_aggs; a++)
+        if (agg_kind[a] == XTQ_AGG_TERMS) {
+            auto it = S->vals.find(agg_slot[a]);
+            term_accs[a].assign(
+                it != S->vals.end() ? it->second.ncats : 0, 0.0);
+        }
+
+    int64_t matched = 0;
+    for (int64_t ci = 0; ci < ntouch; ci++) {
+        const int32_t d = S->touched[ci];
+        double score = 0.0;
+        bool ok = true;
+        // 2. verify every group in declaration order: binary search each
+        //    term's postings (ALL terms checked - every matching scoring
+        //    term contributes, in query term order). The driver group is
+        //    matched by construction, so only its scoring terms are
+        //    probed.
+        for (int32_t g = 0; g < n_groups && ok; g++) {
+            const bool is_driver = g == driver_g;
+            bool hit = is_driver;
+            for (int32_t t = g_start[g]; t < g_start[g] + g_nterms[g];
+                 t++) {
+                if (is_driver && t_const[t] == 0.0) continue;
+                const int64_t off = t_off[t], ln = t_len[t];
+                const int32_t* base = S->docids + off;
+                const int32_t* p = std::lower_bound(base, base + ln, d);
+                if (p != base + ln && *p == d) {
+                    hit = true;
+                    if (t_const[t] != 0.0)
+                        score += sumpart(off + (p - base), t_const[t]);
+                }
+            }
+            if (g_neg[g]) { if (hit && !is_driver) ok = false; }
+            else if (!hit) ok = false;
+        }
+        // 3. value-range filters (MultipleValueRange semantics)
+        for (int32_t f = 0; f < nf && ok; f++) {
+            auto it = S->vals.find(f_slot[f]);
+            if (it == S->vals.end()) { ok = false; break; }
+            const xtq::ValCol& c = it->second;
+            const int32_t lo_h = f_keys[4 * f], lo_l = f_keys[4 * f + 1];
+            const int32_t hi_h = f_keys[4 * f + 2],
+                          hi_l = f_keys[4 * f + 3];
+            if (!c.present[d]
+                || !xtq::lex_ge(c.max_hi[d], c.max_lo[d], lo_h, lo_l)
+                || !xtq::lex_le(c.hi[d], c.lo[d], hi_h, hi_l)) {
+                ok = false;
+                break;
+            }
+            if (c.mv_len && c.mv_len[d] > 0) {
+                bool real = false;
+                const int32_t o = c.mv_off[d], n = c.mv_len[d];
+                for (int32_t v = 0; v < n && !real; v++)
+                    real = xtq::lex_ge(c.mv_hi[o + v], c.mv_lo[o + v],
+                                       lo_h, lo_l)
+                        && xtq::lex_le(c.mv_hi[o + v], c.mv_lo[o + v],
+                                       hi_h, hi_l);
+                if (!real) ok = false;
+            }
+        }
+        // 4. exact HTM geo range intersection (GeoSpatialRange analog):
+        //    query ranges are sorted disjoint; a doc range [rs,re]
+        //    overlaps iff the first query range with qe >= rs has
+        //    qs <= re
+        for (int32_t gi = 0; gi < ngeo && ok; gi++) {
+            auto it = S->geos.find(geo_slot[gi]);
+            if (it == S->geos.end()) { ok = false; break; }
+            const xtq::GeoCol& gc = it->second;
+            const int32_t* qr = geo_ranges + 2 * geo_qstart[gi];
+            const int32_t nq = geo_qn[gi];
+            bool any = false;
+            const int32_t roff = gc.doc_off[d], rn = gc.doc_len[d];
+            for (int32_t r = 0; r < rn && !any; r++) {
+                const int32_t rs = gc.flat_start[roff + r];
+                const int32_t re = gc.flat_end[roff + r];
+                int32_t a = 0, z = nq;       // first q with q.end >= rs
+                while (a < z) {
+                    int32_t m = (a + z) / 2;
+                    if (qr[2 * m + 1] < rs) a = m + 1; else z = m;
+                }
+                any = a < nq && qr[2 * a] <= re;
+            }
+            if (!any) ok = false;
+        }
+        if (!ok) continue;
+        matched++;
+        // 5. aggregations on the match
+        for (int32_t a = 0; a < n_aggs; a++) {
+            if (agg_kind[a] == XTQ_AGG_TERMS) {
+                auto it = S->vals.find(agg_slot[a]);
+                if (it == S->vals.end() || !it->second.cats) continue;
+                const int32_t code = it->second.cats[d];
+                if (code >= 0 && code < (int32_t)term_accs[a].size())
+                    term_accs[a][code] += 1.0;
+            } else if (agg_kind[a] == XTQ_AGG_STATS) {
+                auto it = S->vals.find(agg_slot[a]);
+                if (it == S->vals.end() || !it->second.present[d])
+                    continue;
+                const double v = (double)it->second.fval[d];
+                StatAcc& sa = stat_accs[a];
+                sa.n += 1; sa.s += v; sa.s2 += v * v;
+                if (v < sa.mn) sa.mn = v;
+                if (v > sa.mx) sa.mx = v;
+            }
+        }
+        // 6. rank key
+        if (!count_only && k > 0) {
+            HK e;
+            e.d = d; e.score = score;
+            if (sort_mode == 0) {            // score desc, docid asc
+                e.a = score; e.bcd = 0;
+            } else if (sort_mode == 3) {     // unweighted: docid asc
+                e.a = 0.0; e.bcd = d;
+            } else {                          // single value key + docid
+                int32_t hk = 2147483647, lk = 0;
+                if (sort_col) {
+                    hk = sort_col->hi[d];
+                    lk = sort_col->lo[d];
+                    if (sort_mode == 2) { hk = ~hk; lk = ~lk; }
+                    if (!sort_col->present[d]) hk = 2147483647;
+                }
+                // ascending lexicographic on (hk, lk): pack into one
+                // monotone unsigned key (sign-flip both words)
+                e.a = 0.0;
+                e.bcd = ((int64_t)((uint32_t)hk ^ 0x80000000u) << 32)
+                        | (uint32_t)(lk ^ (int32_t)0x80000000);
+            }
+            hpush(e);
+        }
+    }
+
+    // reset scratch
+    for (int64_t i = 0; i < ntouch; i++)
+        S->seen[S->touched[i]] = 0;
+
+    // drain heap worst-first into out[n-1..0]
+    if (!count_only && k > 0) {
+        int32_t n = (int32_t)heap.size();
+        for (int32_t i = n - 1; i >= 0; i--) {
+            out_docids[i] = heap[0].d;
+            out_scores[i] = heap[0].score;
+            int32_t hn = (int32_t)heap.size() - 1;
+            heap[0] = heap[hn];
+            heap.pop_back();
+            size_t j = 0;
+            for (;;) {
+                size_t l = 2 * j + 1, r = l + 1, m = j;
+                if (l < (size_t)hn && worse(heap[l], heap[m])) m = l;
+                if (r < (size_t)hn && worse(heap[r], heap[m])) m = r;
+                if (m == j) break;
+                std::swap(heap[j], heap[m]);
+                j = m;
+            }
+        }
+    }
+
+    // agg outputs
+    for (int32_t a = 0; a < n_aggs; a++) {
+        double* o = agg_out + agg_out_off[a];
+        if (agg_kind[a] == XTQ_AGG_COUNT) {
+            o[0] = (double)matched;
+        } else if (agg_kind[a] == XTQ_AGG_TERMS) {
+            for (size_t c = 0; c < term_accs[a].size(); c++)
+                o[c] = term_accs[a][c];
+        } else if (agg_kind[a] == XTQ_AGG_STATS) {
+            const StatAcc& sa = stat_accs[a];
+            o[0] = sa.n; o[1] = sa.s; o[2] = sa.s2;
+            o[3] = sa.n > 0 ? sa.mn : 1e300;
+            o[4] = sa.n > 0 ? sa.mx : -1e300;
+        }
+    }
+    return matched;
+}

@@ -1,0 +1,395 @@
+"""Conjunctive host query executor: native AND-tree matching with
+predicate leaves, single-key sorts and flat aggregations.
+
+Gather-bound faceted / geo+time queries are where the device pipeline
+pays ~30 serialized cycles per randomly-touched element (value sort keys,
+agg fields, HTM doc ranges - CLAUDE.md chip measurements), while the
+candidate set after an AND is small and the columns are cache-resident on
+the host. This module routes such queries to native.cpp xt_query_exec:
+walk the smallest conjunct's postings, verify the rest by binary search,
+apply MultipleValueRange / HTM-overlap predicates exactly, accumulate agg
+sufficient statistics, and rank with the engine's exact tie contract.
+
+~ the reference's DAAT matcher + AND ordering
+(/root/reference/src/xapian/matcher/matcher.cc:179-560,
+queryoptimiser.cc) re-shaped for flat immutable arrays; results are
+indistinguishable from the device executor's (same counts, ranks, agg
+partial structures), so Database.search's merge/shaping layers need no
+changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from xapiand_tpu.models.weights import BM25
+from xapiand_tpu.utils import serialise as ser
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f32p = ctypes.POINTER(ctypes.c_float)
+_f64p = ctypes.POINTER(ctypes.c_double)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_NULL_I32 = ctypes.cast(None, _i32p)
+
+_STAT_KINDS = ("sum", "avg", "min", "max", "variance", "std_deviation",
+               "stats", "extended_stats")
+
+
+def conjunctive_parts(tree):
+    """Flatten a conjunctive tree -> (pos_groups, neg_groups, f_leaves,
+    geo_leaves) or None when the tree is not a pure conjunction the
+    native executor implements."""
+    pos, neg, fs, geos = [], [], [], []
+
+    def walk(t, negate=False):
+        op = t[0]
+        if op == "ALL" and not negate:
+            return True
+        if op == "G":
+            (neg if negate else pos).append(t[1])
+            return True
+        if op == "F" and not negate:
+            fs.append(t[1])
+            return True
+        if op == "GEO" and not negate:
+            geos.append(t[1])
+            return True
+        if op == "AND" and not negate:
+            return all(walk(c) for c in t[1:])
+        if op == "AND_NOT" and not negate:
+            return walk(t[1]) and walk(t[2], negate=True)
+        if op == "OR" and negate:
+            # NOT(OR(a, b)) == NOT a AND NOT b
+            return all(walk(c, True) for c in t[1:])
+        return False
+
+    if not walk(tree) or not pos:
+        return None
+    return pos, neg, fs, geos
+
+
+def conj_eligible(cq, scheme, sort=(), aggs=(), collapse_slot=None):
+    """-> flattened parts when the native executor serves this compiled
+    query exactly, else None."""
+    if collapse_slot is not None or cq.phrases or cq.synonyms \
+            or cq.max_specs or cq.dense:
+        return None
+    scoring = any(pt.scoring for pt in cq.terms)
+    if scoring and not (type(scheme) is BM25 and scheme.k2 == 0):
+        return None
+    if sort:
+        if len(sort) != 1 or sort[0][0] != "value":
+            return None
+    for spec in aggs or ():
+        kind = spec[0]
+        if kind == "count":
+            continue
+        if kind == "terms" and (len(spec) < 4 or not spec[3]):
+            continue
+        if kind in _STAT_KINDS:
+            continue
+        return None
+    parts = conjunctive_parts(cq.tree)
+    if parts is None:
+        return None
+    pos = parts[0]
+    if len(pos) < 2 and not (parts[2] or parts[3] or parts[1]):
+        return None   # plain ORs belong to the flat scorer path
+    return parts
+
+
+class HostQueryExecutor:
+    """One per Segment: registers the flat arrays with the native side
+    once, then executes conjunctive queries with single ctypes crossings."""
+
+    def __init__(self, segment):
+        from xapiand_tpu.native import lib
+
+        assert lib is not None
+        self._c = lib._c
+        self.seg = segment
+        self._keep = []   # keep numpy arrays alive for registered pointers
+
+        def hold(a, dt):
+            a = np.ascontiguousarray(a, dt)
+            self._keep.append(a)
+            return a
+
+        self._docids = hold(segment.post_docids, np.int32)
+        self._wdf = hold(segment.post_wdf, np.float32)
+        self._doclen = hold(segment.post_doclen, np.float32)
+        self._deleted = hold(
+            segment.deleted.view(np.uint8)
+            if segment.deleted.dtype == np.bool_ else
+            segment.deleted.astype(np.uint8), np.uint8)
+        self.has_deletes = bool(segment.deleted[: segment.num_docs].any())
+        self._h = self._c.xt_qseg_new(
+            self._docids.ctypes.data_as(_i32p),
+            self._wdf.ctypes.data_as(_f32p),
+            self._doclen.ctypes.data_as(_f32p),
+            self._deleted.ctypes.data_as(_u8p),
+            1 if self.has_deletes else 0,
+            max(int(segment.num_docs), 1))
+        self._registered_slots: set = set()
+        self._registered_geo: set = set()
+
+    def __del__(self):
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._c.xt_qseg_free(h)
+
+    def refresh_deleted(self):
+        """Deletes flip entries in the registered bitmap in place (numpy
+        view shares memory with segment.deleted) - only the has_deletes
+        flag needs recomputation, which happens per run() below."""
+
+    def _ensure_valcol(self, slot: int) -> bool:
+        if slot in self._registered_slots:
+            return True
+        col = self.seg.values.get(slot)
+        if col is None:
+            return False
+
+        def hold(a, dt):
+            a = np.ascontiguousarray(a, dt)
+            self._keep.append(a)
+            return a
+
+        present = hold(col.present.view(np.uint8)
+                       if col.present.dtype == np.bool_
+                       else col.present.astype(np.uint8), np.uint8)
+        hi = hold(col.hi, np.int32)
+        lo = hold(col.lo, np.int32)
+        max_hi = hold(col.max_hi, np.int32)
+        max_lo = hold(col.max_lo, np.int32)
+        fval = hold(col.fval, np.float32)
+        cats = hold(col.cats, np.int32) if col.cats is not None else None
+        ncats = len(col.cat_names or []) if col.cats is not None else 0
+        if col.mv_hi is not None:
+            mv_off = hold(col.mv_off, np.int32)
+            mv_len = hold(col.mv_len, np.int32)
+            mv_hi = hold(col.mv_hi, np.int32)
+            mv_lo = hold(col.mv_lo, np.int32)
+        else:
+            mv_off = mv_len = mv_hi = mv_lo = None
+        self._c.xt_qseg_add_valcol(
+            self._h, slot, present.ctypes.data_as(_u8p),
+            hi.ctypes.data_as(_i32p), lo.ctypes.data_as(_i32p),
+            max_hi.ctypes.data_as(_i32p), max_lo.ctypes.data_as(_i32p),
+            fval.ctypes.data_as(_f32p),
+            cats.ctypes.data_as(_i32p) if cats is not None else _NULL_I32,
+            ncats,
+            mv_off.ctypes.data_as(_i32p) if mv_off is not None
+            else _NULL_I32,
+            mv_len.ctypes.data_as(_i32p) if mv_len is not None
+            else _NULL_I32,
+            mv_hi.ctypes.data_as(_i32p) if mv_hi is not None
+            else _NULL_I32,
+            mv_lo.ctypes.data_as(_i32p) if mv_lo is not None
+            else _NULL_I32)
+        self._registered_slots.add(slot)
+        return True
+
+    def _ensure_geocol(self, slot: int) -> bool:
+        if slot in self._registered_geo:
+            return True
+        gcol = self.seg.geo.get(slot)
+        if gcol is None:
+            return False
+
+        def hold(a, dt):
+            a = np.ascontiguousarray(a, dt)
+            self._keep.append(a)
+            return a
+
+        self._c.xt_qseg_add_geocol(
+            self._h, slot,
+            hold(gcol.doc_off, np.int32).ctypes.data_as(_i32p),
+            hold(gcol.doc_len, np.int32).ctypes.data_as(_i32p),
+            hold(gcol.flat_start, np.int32).ctypes.data_as(_i32p),
+            hold(gcol.flat_end, np.int32).ctypes.data_as(_i32p))
+        self._registered_geo.add(slot)
+        return True
+
+    def driver_work(self, cq, parts) -> int:
+        """Postings walked by the cheapest positive conjunct here."""
+        pos = parts[0]
+        best = None
+        for g in pos:
+            w = 0
+            for pt in cq.terms:
+                if pt.group == g:
+                    ti = self.seg.get_term(pt.term)
+                    w += ti.length if ti else 0
+            best = w if best is None else min(best, w)
+        return best or 0
+
+    def run(self, cq, parts, scheme, stats, tconst, k: int,
+            sort=(), aggs=(), count_only: bool = False) -> Optional[dict]:
+        """Execute one conjunctive query -> device-shaped out dict, or
+        None when a referenced column is missing on this segment (caller
+        falls back to the device path)."""
+        pos, neg, f_leaves, geo_leaves = parts
+        seg = self.seg
+
+        # group layout: positives then negatives, dedup of NON-scoring
+        # duplicate terms within a group (geo accuracy covers repeat
+        # terms; scoring dupes must stay - the device double-adds them)
+        t_off, t_len, t_tc = [], [], []
+        g_start, g_nterms, g_neg = [], [], []
+        driver_g, driver_w = 0, None
+        for gi, (g, is_neg) in enumerate(
+                [(g, 0) for g in pos] + [(g, 1) for g in neg]):
+            g_start.append(len(t_off))
+            seen_terms: set = set()
+            gw = 0
+            for ti_idx, pt in enumerate(cq.terms):
+                if pt.group != g:
+                    continue
+                if not pt.scoring and pt.term in seen_terms:
+                    continue
+                seen_terms.add(pt.term)
+                ti = seg.get_term(pt.term)
+                off, ln = (ti.offset, ti.length) if ti is not None \
+                    else (0, 0)
+                t_off.append(off)
+                t_len.append(ln)
+                t_tc.append(float(tconst[ti_idx]))
+                gw += ln
+            g_nterms.append(len(t_off) - g_start[-1])
+            g_neg.append(is_neg)
+            if not is_neg and (driver_w is None or gw < driver_w):
+                driver_w, driver_g = gw, gi
+
+        fp = np.zeros((max(len(f_leaves), 1), 4), np.int32)
+        f_slots = np.zeros(max(len(f_leaves), 1), np.int32)
+        for j, fi in enumerate(f_leaves):
+            slot, lo, hi = cq.filters[fi]
+            lo = 0 if lo is None else lo
+            hi = (1 << 64) - 1 if hi is None else hi
+            fp[j, 0], fp[j, 1] = ser.split_key(lo)
+            fp[j, 2], fp[j, 3] = ser.split_key(hi)
+            f_slots[j] = slot
+            if not self._ensure_valcol(slot):
+                return None
+
+        geo_slots = np.zeros(max(len(geo_leaves), 1), np.int32)
+        geo_qstart = np.zeros(max(len(geo_leaves), 1), np.int32)
+        geo_qn = np.zeros(max(len(geo_leaves), 1), np.int32)
+        granges = []
+        at = 0
+        for j, gi in enumerate(geo_leaves):
+            slot, ranges = cq.geo[gi]
+            geo_slots[j] = slot
+            geo_qstart[j] = at
+            geo_qn[j] = len(ranges)
+            at += len(ranges)
+            granges.extend(ranges)
+            if not self._ensure_geocol(slot):
+                return None
+        granges_a = np.asarray(granges or [(0, 0)], np.int32)
+
+        unweighted = not any(pt.scoring for pt in cq.terms)
+        if sort:
+            kind, slot_s, desc = sort[0][0], sort[0][1], sort[0][2]
+            if not self._ensure_valcol(slot_s):
+                return None
+            sort_mode, sort_slot = (2 if desc else 1), slot_s
+        elif unweighted:
+            sort_mode, sort_slot = 3, -1
+        else:
+            sort_mode, sort_slot = 0, -1
+
+        AGG_MAP = {"count": 0, "terms": 1}
+        agg_kind = np.zeros(max(len(aggs), 1), np.int32)
+        agg_slot = np.zeros(max(len(aggs), 1), np.int32)
+        agg_off = np.zeros(max(len(aggs), 1), np.int64)
+        sizes = []
+        for j, spec in enumerate(aggs or ()):
+            kind = spec[0]
+            if kind == "count":
+                agg_kind[j], agg_slot[j] = 0, -1
+                sizes.append(1)
+            elif kind == "terms":
+                agg_kind[j], agg_slot[j] = 1, spec[1]
+                if not self._ensure_valcol(spec[1]):
+                    return None
+                # device counts arrays are sized to the spec's pow2
+                # category bucket (spec[2]); pad so partials merge 1:1
+                sizes.append(int(spec[2]))
+            else:                     # stats family
+                agg_kind[j], agg_slot[j] = 2, spec[1]
+                if not self._ensure_valcol(spec[1]):
+                    return None
+                sizes.append(5)
+            agg_off[j] = sum(sizes[:-1])
+        agg_out = np.zeros(max(int(sum(sizes)), 1), np.float64)
+
+        k1, b, mn, lf = _bm25_params(scheme, stats)
+        kk = max(int(k), 1)
+        out_d = np.full(kk, np.int32(2**31 - 1), np.int32)
+        out_s = np.full(kk, -np.inf, np.float64)
+
+        t_off_a = np.asarray(t_off, np.int64)
+        t_len_a = np.asarray(t_len, np.int64)
+        t_tc_a = np.asarray(t_tc, np.float64)
+        g_start_a = np.asarray(g_start, np.int32)
+        g_nterms_a = np.asarray(g_nterms, np.int32)
+        g_neg_a = np.asarray(g_neg, np.uint8)
+
+        matched = self._c.xt_query_exec(
+            self._h,
+            t_off_a.ctypes.data_as(_i64p), t_len_a.ctypes.data_as(_i64p),
+            t_tc_a.ctypes.data_as(_f64p),
+            g_start_a.ctypes.data_as(_i32p),
+            g_nterms_a.ctypes.data_as(_i32p),
+            g_neg_a.ctypes.data_as(_u8p),
+            len(g_start), driver_g, k1, b, mn, lf,
+            f_slots.ctypes.data_as(_i32p), fp.ctypes.data_as(_i32p),
+            len(f_leaves),
+            geo_slots.ctypes.data_as(_i32p),
+            geo_qstart.ctypes.data_as(_i32p),
+            geo_qn.ctypes.data_as(_i32p),
+            granges_a.ctypes.data_as(_i32p), len(geo_leaves),
+            sort_mode, sort_slot,
+            agg_kind.ctypes.data_as(_i32p), agg_slot.ctypes.data_as(_i32p),
+            len(aggs or ()),
+            0 if count_only else kk, 1 if count_only else 0,
+            out_d.ctypes.data_as(_i32p), out_s.ctypes.data_as(_f64p),
+            agg_out.ctypes.data_as(_f64p), agg_off.ctypes.data_as(_i64p))
+
+        n = min(int(matched), kk)
+        out_s[n:] = -np.inf
+        out = {"count": int(matched), "docids": out_d, "scores": out_s}
+        if aggs:
+            shaped = []
+            for j, spec in enumerate(aggs):
+                o = int(agg_off[j])
+                if spec[0] == "count":
+                    shaped.append(int(matched))
+                elif spec[0] == "terms":
+                    shaped.append(agg_out[o: o + sizes[j]])
+                else:
+                    nn = agg_out[o]
+                    shaped.append({
+                        "n": nn, "s": agg_out[o + 1], "s2": agg_out[o + 2],
+                        "min": agg_out[o + 3] if nn > 0 else np.inf,
+                        "max": agg_out[o + 4] if nn > 0 else -np.inf})
+            out["aggs"] = shaped
+        return out
+
+
+def _bm25_params(scheme, stats):
+    if type(scheme) is not BM25:
+        return 1.0, 0.5, 0.5, 0.0    # unweighted query: params unused
+    avg = float(stats.avg_doclen)
+    lf = 0.0
+    if avg > 0 and not (scheme.k2 == 0
+                        and (scheme.b == 0 or scheme.k1 == 0)):
+        lf = 1.0 / max(avg, 1e-9)
+    return scheme.k1, scheme.b, scheme.min_normlen, lf

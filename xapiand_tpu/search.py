@@ -38,11 +38,27 @@ class SegmentSearcher:
             hs = self._host_scorer = HostScorer(self.segment)
         return hs
 
+    def host_query(self):
+        """Lazy native conjunctive executor (ops/host_query.py); None when
+        the native lib is unavailable."""
+        hq = getattr(self, "_host_query", None)
+        if hq is None:
+            from xapiand_tpu.native import lib
+
+            if lib is None:
+                return None
+            from xapiand_tpu.ops.host_query import HostQueryExecutor
+
+            hq = self._host_query = HostQueryExecutor(self.segment)
+        return hq
+
     def refresh_deleted(self):
         """Re-upload the delete bitmap after host-side deletes (delta
         deletes on immutable segments, SURVEY.md §7 hard-parts)."""
         self.device_segment.deleted = jax.device_put(
             jnp.asarray(self.segment.deleted, jnp.bool_))
+        # native executors registered a has-deletes flag at build time
+        self.__dict__.pop("_host_query", None)
 
     def _compiled(self, cfg: ExecConfig, scheme: WeightScheme):
         key = (cfg, scheme.key())
@@ -361,6 +377,61 @@ class BatchSearcher:
                 out.append((cfg_g, fn, batch, chunk))
         return out
 
+    HOST_CONJ_MAX_WORK = 8_000_000
+
+    def _route_host(self, irs: list, stats=None):
+        """-> ({qi: out}, [remaining qi]): conjunctive queries served by
+        the native executor, the rest left for the device batch."""
+        import os
+
+        from xapiand_tpu.models.weights import CollectionStats
+
+        results: dict = {}
+        rem = list(range(len(irs)))
+        if os.environ.get("XT_HOST_PATH", "1") == "0":
+            return results, rem
+        hq = self.searcher.host_query()
+        if hq is None:
+            return results, rem
+        from xapiand_tpu.ops.host_query import conj_eligible
+        from xapiand_tpu.ops.host_scorer import term_constants
+        from xapiand_tpu.query.plan import compile_ir, resolve_special
+
+        seg = self.searcher.segment
+        st = stats or CollectionStats(
+            doc_count=seg.doc_count, avg_doclen=seg.avg_doclen,
+            doclen_lower=1.0, total_len=float(seg.total_doclen))
+
+        def gtf(t):
+            ti = seg.get_term(t)
+            return ti.length if ti else 0
+
+        def gcf(t):
+            ti = seg.get_term(t)
+            return ti.collfreq if ti else 0
+
+        if self.global_tf is not None:
+            gtf = self.global_tf
+        if self.global_cf is not None:
+            gcf = self.global_cf
+        rem = []
+        for qi, ir in enumerate(irs):
+            cq = compile_ir(resolve_special(ir, self.scheme, st, gtf, gcf),
+                            cost_fn=gtf)
+            parts = conj_eligible(cq, self.scheme, self.sort or (),
+                                  self.aggs_specs, None)
+            out = None
+            if parts is not None and \
+                    hq.driver_work(cq, parts) <= self.HOST_CONJ_MAX_WORK:
+                tc = term_constants(cq, self.scheme, st, gtf, gcf)
+                out = hq.run(cq, parts, self.scheme, st, tc, self.k,
+                             sort=self.sort or (), aggs=self.aggs_specs)
+            if out is None:
+                rem.append(qi)
+            else:
+                results[qi] = out
+        return results, rem
+
     def _prefixify(self, cfg_g, stats):
         """Impact-prefix pruning for the pure relevance OR-of-terms shape:
         terms wider than prefix_cap read only their top-impact prefix
@@ -445,8 +516,20 @@ class BatchSearcher:
 
     def run(self, irs: list, stats=None) -> list[dict]:
         """Execute a mixed batch; returns per-query dicts in input order:
-        {"docids": np[k], "scores": np[k], "count": int}. All launches are
-        enqueued before any readback (double-buffered over the tunnel)."""
+        {"docids": np[k], "scores": np[k], "count": int}. Conjunctive
+        queries (AND trees + predicate leaves + flat aggs/value sort)
+        route to the native host executor first - they are gather-bound
+        on the device (ops/host_query.py); everything else is enqueued
+        to the device before any readback (double-buffered over the
+        tunnel)."""
+        host_results, rem_idx = self._route_host(irs, stats)
+        if not rem_idx:
+            return [host_results[qi] for qi in range(len(irs))]
+        if len(rem_idx) < len(irs):
+            sub = self.run([irs[qi] for qi in rem_idx], stats=stats)
+            for j, qi in enumerate(rem_idx):
+                host_results[qi] = sub[j]
+            return [host_results[qi] for qi in range(len(irs))]
         planned = self.plan(irs, stats=stats)
         seg_arrays = self.searcher.device_segment.arrays_pytree()
         from xapiand_tpu.models.weights import CollectionStats
