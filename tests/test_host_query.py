@@ -177,3 +177,29 @@ def test_deletes_respected(monkeypatch):
     h, dd = _ab(d, q, monkeypatch)
     assert h.total == dd.total
     assert [x.id for x in h.hits] == [x.id for x in dd.hits]
+
+
+def test_phrase_near_parity(monkeypatch):
+    """Positional leaves route host too: PHRASE adjacency + NEAR anchor
+    windows verified from the flat position spans, exactly (no pmax /
+    cand caps on the host)."""
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(25)]
+    d = Database()
+    for i in range(600):
+        d.index_document({"body": " ".join(rng.choices(words, k=15))},
+                         doc_id=str(i))
+        if i == 300:
+            d.commit()
+    d.commit()
+    qs = []
+    for _ in range(8):
+        a, b = rng.sample(words, 2)
+        qs.append({"body": {"_phrase": f"{a} {b}"}})
+        qs.append({"body": {"_near": f"{a} {b}"}})
+        qs.append({"_and": [{"body": rng.choice(words)},
+                            {"body": {"_phrase": f"{a} {b}"}}]})
+    for i, q in enumerate(qs):
+        h, dd = _ab(d, q, monkeypatch)
+        assert h.total == dd.total, (i, q)
+        assert [x.id for x in h.hits] == [x.id for x in dd.hits], (i, q)

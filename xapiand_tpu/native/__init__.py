@@ -102,6 +102,9 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_int32, u8p,
             i32p, i32p, i32p, i32p, f32p, i32p, ctypes.c_int32,
             i32p, i32p, i32p, i32p]
+        c.xt_qseg_set_positions.restype = None
+        c.xt_qseg_set_positions.argtypes = [ctypes.c_void_p, i32p, i32p,
+                                            i32p]
         c.xt_qseg_add_geocol.restype = None
         c.xt_qseg_add_geocol.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p, i32p]
@@ -116,6 +119,8 @@ class NativeLib:
             i32p, i32p, ctypes.c_int32,             # filters
             i32p, i32p, i32p, i32p, ctypes.c_int32,  # geo
             ctypes.c_int32, ctypes.c_int32,         # sort mode/slot
+            i32p, i32p, i32p, i32p, u8p,            # phrases
+            ctypes.c_int32,
             i32p, i32p, ctypes.c_int32,             # aggs
             ctypes.c_int32, ctypes.c_int32,         # k, count_only
             i32p, f64p,                             # out docids/scores

@@ -1591,6 +1591,9 @@ struct QSeg {
     const uint8_t* deleted;
     int32_t has_del;
     int32_t nd;
+    const int32_t* posoff = nullptr;   // per-posting span into positions
+    const int32_t* poslen = nullptr;
+    const int32_t* positions = nullptr;
     std::map<int32_t, ValCol> vals;
     std::map<int32_t, GeoCol> geos;
     std::vector<double> acc;
@@ -1633,6 +1636,13 @@ extern "C" void xt_qseg_add_valcol(
                      mv_off, mv_len, mv_hi, mv_lo};
 }
 
+extern "C" void xt_qseg_set_positions(void* h, const int32_t* posoff,
+                                      const int32_t* poslen,
+                                      const int32_t* positions) {
+    auto* s = (xtq::QSeg*)h;
+    s->posoff = posoff; s->poslen = poslen; s->positions = positions;
+}
+
 extern "C" void xt_qseg_add_geocol(void* h, int32_t slot,
                                    const int32_t* doc_off,
                                    const int32_t* doc_len,
@@ -1657,6 +1667,11 @@ extern "C" int64_t xt_query_exec(
     const int32_t* geo_slot, const int32_t* geo_qstart,
     const int32_t* geo_qn, const int32_t* geo_ranges, int32_t ngeo,
     int32_t sort_mode, int32_t sort_slot,
+    // phrases [np]: flat term indices (into t_off/t_len), window,
+    // is_phrase; positional arrays must be registered
+    const int32_t* ph_start, const int32_t* ph_nterms,
+    const int32_t* ph_tidx, const int32_t* ph_window,
+    const uint8_t* ph_exact, int32_t n_phrases,
     const int32_t* agg_kind, const int32_t* agg_slot, int32_t n_aggs,
     int32_t k, int32_t count_only,
     int32_t* out_docids, double* out_scores,
@@ -1771,6 +1786,52 @@ extern "C" int64_t xt_query_exec(
             }
             if (g_neg[g]) { if (hit && !is_driver) ok = false; }
             else if (!hit) ok = false;
+        }
+        // 2b. positional verification (phrasepostlist.cc /
+        //     nearpostlist.cc semantics, EXACT - no pmax/cand caps):
+        //     PHRASE: exists p0 in pos[t0] with p0+i in pos[ti] for all
+        //     i; NEAR: exists p0 with, per term, some q, |q - p0| <
+        //     window (the device's anchor rule)
+        for (int32_t ph = 0; ph < n_phrases && ok; ph++) {
+            const int32_t nt = ph_nterms[ph];
+            const int32_t w = ph_window[ph];
+            // locate each term's position span for doc d
+            int32_t po[16], pl[16];
+            bool all = nt <= 16;
+            for (int32_t j = 0; all && j < nt; j++) {
+                const int32_t t = ph_tidx[ph_start[ph] + j];
+                const int64_t off = t_off[t], ln = t_len[t];
+                const int32_t* base = S->docids + off;
+                const int32_t* p = std::lower_bound(base, base + ln, d);
+                if (p == base + ln || *p != d) { all = false; break; }
+                const int64_t slot = off + (p - base);
+                po[j] = S->posoff[slot];
+                pl[j] = S->poslen[slot];
+            }
+            if (!all) { ok = false; break; }
+            bool verdict = false;
+            const int32_t* P0 = S->positions + po[0];
+            for (int32_t a = 0; a < pl[0] && !verdict; a++) {
+                const int32_t p0 = P0[a];
+                bool good = true;
+                for (int32_t j = 1; j < nt && good; j++) {
+                    const int32_t* Pj = S->positions + po[j];
+                    bool found = false;
+                    if (ph_exact[ph]) {
+                        const int32_t want = p0 + j;
+                        const int32_t* q = std::lower_bound(
+                            Pj, Pj + pl[j], want);
+                        found = q != Pj + pl[j] && *q == want;
+                    } else {
+                        for (int32_t b2 = 0; b2 < pl[j] && !found; b2++)
+                            found = (Pj[b2] > p0 ? Pj[b2] - p0
+                                                 : p0 - Pj[b2]) < w;
+                    }
+                    good = found;
+                }
+                verdict = good;
+            }
+            if (!verdict) ok = false;
         }
         // 3. value-range filters (MultipleValueRange semantics)
         for (int32_t f = 0; f < nf && ok; f++) {

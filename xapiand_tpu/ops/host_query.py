@@ -44,7 +44,7 @@ def conjunctive_parts(tree):
     """Flatten a conjunctive tree -> (pos_groups, neg_groups, f_leaves,
     geo_leaves) or None when the tree is not a pure conjunction the
     native executor implements."""
-    pos, neg, fs, geos = [], [], [], []
+    pos, neg, fs, geos, phs = [], [], [], [], []
 
     def walk(t, negate=False):
         op = t[0]
@@ -59,6 +59,9 @@ def conjunctive_parts(tree):
         if op == "GEO" and not negate:
             geos.append(t[1])
             return True
+        if op == "PH" and not negate:
+            phs.append(t[1])
+            return True
         if op == "AND" and not negate:
             return all(walk(c) for c in t[1:])
         if op == "AND_NOT" and not negate:
@@ -68,15 +71,17 @@ def conjunctive_parts(tree):
             return all(walk(c, True) for c in t[1:])
         return False
 
-    if not walk(tree) or not pos:
+    if not walk(tree):
         return None
-    return pos, neg, fs, geos
+    return pos, neg, fs, geos, phs
 
 
 def conj_eligible(cq, scheme, sort=(), aggs=(), collapse_slot=None):
     """-> flattened parts when the native executor serves this compiled
-    query exactly, else None."""
-    if collapse_slot is not None or cq.phrases or cq.synonyms \
+    query exactly, else None. Phrase/NEAR leaves are conjunctive too:
+    their term groups join the positive conjuncts and the positional
+    check runs exactly (no pmax/cand caps on the host)."""
+    if collapse_slot is not None or cq.synonyms \
             or cq.max_specs or cq.dense:
         return None
     scoring = any(pt.scoring for pt in cq.terms)
@@ -97,10 +102,29 @@ def conj_eligible(cq, scheme, sort=(), aggs=(), collapse_slot=None):
     parts = conjunctive_parts(cq.tree)
     if parts is None:
         return None
-    pos = parts[0]
-    if len(pos) < 2 and not (parts[2] or parts[3] or parts[1]):
+    pos, neg, fs, geos, phs = parts
+    for pi in phs:
+        # a phrase's term groups are implicit positive conjuncts
+        pos.extend(cq.phrases[pi][1])
+    pos = list(dict.fromkeys(pos))    # dedupe: a group scores once
+    if not pos:
+        return None
+    if len(pos) < 2 and not (fs or geos or neg or phs):
         return None   # plain ORs belong to the flat scorer path
-    return parts
+    return pos, neg, fs, geos, phs
+
+
+def ph_leaves_gate(parts, driver_w) -> bool:
+    """True = decline: positional queries with a WIDE driver conjunct are
+    the one conjunctive shape where the vectorized device batch still
+    wins (cfg2 A/B: common-word phrases with ~94k-posting drivers at
+    100k docs dominated the host mean, 152 qps vs the device's wide
+    vmapped position kernels); light phrases stay host."""
+    phs = parts[4] if len(parts) > 4 else ()
+    if not phs:
+        return False
+    cap = int(os.environ.get("XT_HOST_PHRASE_MAX", "4096"))
+    return (driver_w or 0) > cap
 
 
 class HostQueryExecutor:
@@ -147,6 +171,22 @@ class HostQueryExecutor:
         """Deletes flip entries in the registered bitmap in place (numpy
         view shares memory with segment.deleted) - only the has_deletes
         flag needs recomputation, which happens per run() below."""
+
+    def _ensure_positions(self):
+        if getattr(self, "_pos_registered", False):
+            return
+
+        def hold(a, dt):
+            a = np.ascontiguousarray(a, dt)
+            self._keep.append(a)
+            return a
+
+        self._c.xt_qseg_set_positions(
+            self._h,
+            hold(self.seg.post_posoff, np.int32).ctypes.data_as(_i32p),
+            hold(self.seg.post_poslen, np.int32).ctypes.data_as(_i32p),
+            hold(self.seg.positions, np.int32).ctypes.data_as(_i32p))
+        self._pos_registered = True
 
     def _ensure_valcol(self, slot: int) -> bool:
         if slot in self._registered_slots:
@@ -234,26 +274,30 @@ class HostQueryExecutor:
         """Execute one conjunctive query -> device-shaped out dict, or
         None when a referenced column is missing on this segment (caller
         falls back to the device path)."""
-        pos, neg, f_leaves, geo_leaves = parts
+        pos, neg, f_leaves, geo_leaves, ph_leaves = parts
         seg = self.seg
 
         # group layout: positives then negatives, dedup of NON-scoring
         # duplicate terms within a group (geo accuracy covers repeat
-        # terms; scoring dupes must stay - the device double-adds them)
+        # terms; scoring dupes must stay - the device double-adds them).
+        # flat_of maps cq term indices -> flat slots (phrase marshalling)
         t_off, t_len, t_tc = [], [], []
         g_start, g_nterms, g_neg = [], [], []
         driver_g, driver_w = 0, None
+        flat_of: dict = {}
         for gi, (g, is_neg) in enumerate(
                 [(g, 0) for g in pos] + [(g, 1) for g in neg]):
             g_start.append(len(t_off))
-            seen_terms: set = set()
+            seen_terms: dict = {}
             gw = 0
             for ti_idx, pt in enumerate(cq.terms):
                 if pt.group != g:
                     continue
                 if not pt.scoring and pt.term in seen_terms:
+                    flat_of[ti_idx] = seen_terms[pt.term]
                     continue
-                seen_terms.add(pt.term)
+                seen_terms[pt.term] = len(t_off)
+                flat_of[ti_idx] = len(t_off)
                 ti = seg.get_term(pt.term)
                 off, ln = (ti.offset, ti.length) if ti is not None \
                     else (0, 0)
@@ -265,6 +309,30 @@ class HostQueryExecutor:
             g_neg.append(is_neg)
             if not is_neg and (driver_w is None or gw < driver_w):
                 driver_w, driver_g = gw, gi
+        if ph_leaves_gate(parts, driver_w):
+            return None   # wide-driver phrase: the device batch wins
+
+        # phrase / NEAR leaves: flat term-slot lists + positional arrays
+        ph_start = np.zeros(max(len(ph_leaves), 1), np.int32)
+        ph_nterms = np.zeros(max(len(ph_leaves), 1), np.int32)
+        ph_window = np.zeros(max(len(ph_leaves), 1), np.int32)
+        ph_exact = np.zeros(max(len(ph_leaves), 1), np.uint8)
+        ph_tidx = []
+        for j, pi in enumerate(ph_leaves):
+            term_idxs, _gids, window, is_phrase = cq.phrases[pi]
+            if len(term_idxs) > 16:      # native per-phrase term cap
+                return None
+            ph_start[j] = len(ph_tidx)
+            ph_nterms[j] = len(term_idxs)
+            ph_window[j] = int(window)
+            ph_exact[j] = 1 if is_phrase else 0
+            for t in term_idxs:
+                if t not in flat_of:
+                    return None
+                ph_tidx.append(flat_of[t])
+        ph_tidx_a = np.asarray(ph_tidx or [0], np.int32)
+        if ph_leaves:
+            self._ensure_positions()
 
         fp = np.zeros((max(len(f_leaves), 1), 4), np.int32)
         f_slots = np.zeros(max(len(f_leaves), 1), np.int32)
@@ -357,6 +425,10 @@ class HostQueryExecutor:
             geo_qn.ctypes.data_as(_i32p),
             granges_a.ctypes.data_as(_i32p), len(geo_leaves),
             sort_mode, sort_slot,
+            ph_start.ctypes.data_as(_i32p), ph_nterms.ctypes.data_as(_i32p),
+            ph_tidx_a.ctypes.data_as(_i32p),
+            ph_window.ctypes.data_as(_i32p), ph_exact.ctypes.data_as(_u8p),
+            len(ph_leaves),
             agg_kind.ctypes.data_as(_i32p), agg_slot.ctypes.data_as(_i32p),
             len(aggs or ()),
             0 if count_only else kk, 1 if count_only else 0,
