@@ -1567,6 +1567,13 @@ extern "C" void xt_score_topk_global(
 
 #include <map>
 
+static inline int64_t q_nterms_total(const int32_t* g_start,
+                                     const int32_t* g_nterms,
+                                     int32_t n_groups) {
+    return n_groups > 0
+        ? (int64_t)g_start[n_groups - 1] + g_nterms[n_groups - 1] : 0;
+}
+
 namespace xtq {
 
 struct ValCol {
@@ -1707,6 +1714,31 @@ extern "C" int64_t xt_query_exec(
     if (!driver_single)
         std::sort(S->touched.begin(), S->touched.begin() + ntouch);
 
+    // monotone galloping cursors: candidates are processed docid-
+    // ascending, so each term's postings pointer only ever advances -
+    // verification of comparable-size conjuncts is a linear co-walk
+    // (O(sum lens)) instead of a fresh O(log n) binary search per
+    // candidate (the probe pattern behind cfg2's heavy common-word
+    // phrases: 94k-candidate drivers against 90k-posting partners)
+    const int64_t total_flat = q_nterms_total(g_start, g_nterms, n_groups);
+    std::vector<int64_t> cur(total_flat, 0);
+    auto probe = [&](int32_t t, int32_t d) -> int64_t {
+        const int64_t off = t_off[t], ln = t_len[t];
+        const int32_t* base = S->docids + off;
+        int64_t c = cur[t];
+        if (c < ln && base[c] < d) {
+            int64_t step = 1;
+            while (c + step < ln && base[c + step] < d) {
+                c += step;
+                step <<= 1;
+            }
+            const int64_t hi = std::min(c + step + 1, ln);
+            c = std::lower_bound(base + c, base + hi, d) - base;
+        }
+        cur[t] = c;
+        return (c < ln && base[c] == d) ? off + c : -1;
+    };
+
     // top-k heap, worst-first; key depends on sort_mode
     struct HK { double a; int64_t bcd; int32_t d; double score; };
     std::vector<HK> heap;
@@ -1775,13 +1807,11 @@ extern "C" int64_t xt_query_exec(
             for (int32_t t = g_start[g]; t < g_start[g] + g_nterms[g];
                  t++) {
                 if (is_driver && t_const[t] == 0.0) continue;
-                const int64_t off = t_off[t], ln = t_len[t];
-                const int32_t* base = S->docids + off;
-                const int32_t* p = std::lower_bound(base, base + ln, d);
-                if (p != base + ln && *p == d) {
+                const int64_t slot = probe(t, d);
+                if (slot >= 0) {
                     hit = true;
                     if (t_const[t] != 0.0)
-                        score += sumpart(off + (p - base), t_const[t]);
+                        score += sumpart(slot, t_const[t]);
                 }
             }
             if (g_neg[g]) { if (hit && !is_driver) ok = false; }
@@ -1800,11 +1830,8 @@ extern "C" int64_t xt_query_exec(
             bool all = nt <= 16;
             for (int32_t j = 0; all && j < nt; j++) {
                 const int32_t t = ph_tidx[ph_start[ph] + j];
-                const int64_t off = t_off[t], ln = t_len[t];
-                const int32_t* base = S->docids + off;
-                const int32_t* p = std::lower_bound(base, base + ln, d);
-                if (p == base + ln || *p != d) { all = false; break; }
-                const int64_t slot = off + (p - base);
+                const int64_t slot = probe(t, d);
+                if (slot < 0) { all = false; break; }
                 po[j] = S->posoff[slot];
                 pl[j] = S->poslen[slot];
             }
