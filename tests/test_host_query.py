@@ -74,6 +74,32 @@ def test_conjunctive_parity(db, queries, monkeypatch):
             assert abs(hh.score - dd.score) < 1e-3
 
 
+def test_disjunctive_conjunct_parity(db, monkeypatch):
+    """OR leaves inside the AND tree marshal as one native group (hit =
+    any term present, every matching scoring term adds) - the device
+    tree's OR semantics. Covers the cfg2 'not' shape AND_NOT(OR(a,b),c)
+    and nested ORs."""
+    qs = [
+        {"_and_not": [{"_or": [{"body": "w1"}, {"body": "w2"}]},
+                      {"body": "w3"}]},
+        {"_and": [{"_or": [{"body": "w1"}, {"body": "w4"}]},
+                  {"body": "w2"}]},
+        {"_and": [{"_or": [{"body": "w0"},
+                           {"_or": [{"body": "w5"}, {"body": "w6"}]}]},
+                  {"cat": "c2"}]},
+        {"_and": [{"_or": [{"body": "w1"}, {"body": "w2"}]},
+                  {"_or": [{"body": "w3"}, {"body": "w4"}]}]},
+        {"_and_not": [{"_or": [{"body": "w1"}, {"body": "w1"}]},
+                      {"_or": [{"body": "w2"}, {"body": "w5"}]}]},
+    ]
+    for i, q in enumerate(qs):
+        h, d = _ab(db, q, monkeypatch)
+        assert h.total == d.total, (i, h.total, d.total)
+        assert [x.id for x in h.hits] == [x.id for x in d.hits], i
+        for hh, dd in zip(h.hits, d.hits):
+            assert abs(hh.score - dd.score) < 1e-3
+
+
 def test_conjunctive_aggs_parity(db, queries, monkeypatch):
     aggs = {"cats": {"_terms": {"_field": "cat"}},
             "ps": {"_stats": {"_field": "price"}},

@@ -102,6 +102,9 @@ class NativeLib:
             ctypes.c_void_p, ctypes.c_int32, u8p,
             i32p, i32p, i32p, i32p, f32p, i32p, ctypes.c_int32,
             i32p, i32p, i32p, i32p]
+        c.xt_qseg_build_bigrams.restype = ctypes.c_int64
+        c.xt_qseg_build_bigrams.argtypes = [ctypes.c_void_p, i64p, i64p,
+                                            ctypes.c_int64, ctypes.c_int64]
         c.xt_qseg_set_positions.restype = None
         c.xt_qseg_set_positions.argtypes = [ctypes.c_void_p, i32p, i32p,
                                             i32p]

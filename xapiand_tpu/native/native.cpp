@@ -1601,6 +1601,16 @@ struct QSeg {
     const int32_t* posoff = nullptr;   // per-posting span into positions
     const int32_t* poslen = nullptr;
     const int32_t* positions = nullptr;
+    // derived bigram (nextword) index: 2-term exact phrases resolve to a
+    // plain docid list, no positional verification (built once from the
+    // SAME position arrays the positional checker reads, so adjacency
+    // semantics match by construction). Keyed by (off_a<<32)|off_b where
+    // off_* are the terms' posting offsets (unique per term).
+    int32_t bigram_built = 0;
+    int64_t bigram_minlen = 0;         // both terms need len >= minlen
+    std::vector<uint64_t> bg_keys;     // sorted unique pair keys
+    std::vector<int64_t> bg_off;       // CSR, size bg_keys.size()+1
+    std::vector<int32_t> bg_docids;    // sorted unique docids per pair
     std::map<int32_t, ValCol> vals;
     std::map<int32_t, GeoCol> geos;
     std::vector<double> acc;
@@ -1650,6 +1660,87 @@ extern "C" void xt_qseg_set_positions(void* h, const int32_t* posoff,
     s->posoff = posoff; s->poslen = poslen; s->positions = positions;
 }
 
+// Build the derived bigram (nextword) index from the registered position
+// arrays: every adjacent pair of token occurrences (same doc, pos+1) over
+// terms with posting length >= minlen becomes an entry in a sorted
+// (pair_key -> unique docid list) table. ~ nextword indexes (Williams &
+// Zobel); the reference has no analog - it pays positional verification
+// per candidate (xapian/matcher/phrasepostlist.cc), which is the measured
+// cfg2 bottleneck (31,889 true adjacency matches for one common-word
+// phrase at 100k docs). Returns #pairs, -1 if positions unregistered,
+// -2 if an offset exceeds 32 bits (caller disables bigrams).
+extern "C" int64_t xt_qseg_build_bigrams(void* h, const int64_t* t_off,
+                                         const int64_t* t_len,
+                                         int64_t nterms, int64_t minlen) {
+    auto* S = (xtq::QSeg*)h;
+    if (!S->posoff || !S->positions) return -1;
+    struct Occ { uint64_t dp; uint32_t tid; };
+    std::vector<Occ> occ;
+    int64_t cap = 0;
+    for (int64_t t = 0; t < nterms; t++) {
+        if (t_len[t] < minlen) continue;
+        if ((uint64_t)t_off[t] >> 32) return -2;
+        for (int64_t i = t_off[t]; i < t_off[t] + t_len[t]; i++)
+            cap += S->poslen[i];
+    }
+    occ.reserve((size_t)cap);
+    for (int64_t t = 0; t < nterms; t++) {
+        if (t_len[t] < minlen) continue;
+        const uint32_t tid = (uint32_t)t_off[t];
+        for (int64_t i = t_off[t]; i < t_off[t] + t_len[t]; i++) {
+            const uint32_t d = (uint32_t)S->docids[i];
+            const int32_t po = S->posoff[i], pl = S->poslen[i];
+            for (int32_t j = 0; j < pl; j++)
+                occ.push_back({((uint64_t)d << 32) |
+                               (uint32_t)S->positions[po + j], tid});
+        }
+    }
+    std::sort(occ.begin(), occ.end(),
+              [](const Occ& a, const Occ& b) { return a.dp < b.dp; });
+    struct Pair { uint64_t key; int32_t d; };
+    std::vector<Pair> pairs;
+    const size_t n = occ.size();
+    size_t i = 0;
+    while (i < n) {
+        size_t j = i;
+        while (j < n && occ[j].dp == occ[i].dp) j++;
+        // run [i,j) at (doc,pos); successors are the run at (doc,pos+1)
+        if ((occ[i].dp & 0xffffffffu) != 0xffffffffu) {
+            const uint64_t next_dp = occ[i].dp + 1;
+            size_t m = j;
+            while (m < n && occ[m].dp == next_dp) m++;
+            if (m > j) {
+                const int32_t d = (int32_t)(occ[i].dp >> 32);
+                for (size_t a = i; a < j; a++)
+                    for (size_t b = j; b < m; b++)
+                        pairs.push_back(
+                            {((uint64_t)occ[a].tid << 32) | occ[b].tid, d});
+            }
+        }
+        i = j;
+    }
+    occ.clear();
+    occ.shrink_to_fit();
+    std::sort(pairs.begin(), pairs.end(),
+              [](const Pair& a, const Pair& b) {
+                  return a.key != b.key ? a.key < b.key : a.d < b.d;
+              });
+    S->bg_keys.clear(); S->bg_off.clear(); S->bg_docids.clear();
+    for (size_t p = 0; p < pairs.size(); p++) {
+        if (p && pairs[p].key == pairs[p - 1].key
+              && pairs[p].d == pairs[p - 1].d) continue;
+        if (S->bg_keys.empty() || S->bg_keys.back() != pairs[p].key) {
+            S->bg_keys.push_back(pairs[p].key);
+            S->bg_off.push_back((int64_t)S->bg_docids.size());
+        }
+        S->bg_docids.push_back(pairs[p].d);
+    }
+    S->bg_off.push_back((int64_t)S->bg_docids.size());
+    S->bigram_built = 1;
+    S->bigram_minlen = minlen;
+    return (int64_t)S->bg_keys.size();
+}
+
 extern "C" void xt_qseg_add_geocol(void* h, int32_t slot,
                                    const int32_t* doc_off,
                                    const int32_t* doc_len,
@@ -1695,12 +1786,69 @@ extern "C" int64_t xt_query_exec(
         return tc * (wdf / denom);
     };
 
-    // 1. walk the driver group's postings -> candidate set only. Scores
-    //    are NOT accumulated here: the verify pass below adds every
-    //    scoring term's contribution in QUERY TERM ORDER, so float64
-    //    summation order (and thus exact cross-segment score ties) does
-    //    not depend on which conjunct happens to be smallest per segment
+    // 0. bigram resolution: a 2-term exact phrase whose terms are both
+    //    in the indexed domain (len >= bigram_minlen) is answered from
+    //    the derived nextword list - membership by galloping docid
+    //    probe, zero positional work. An absent key PROVES zero matches
+    //    (the whole indexed domain was enumerated at build time).
+    std::vector<int64_t> bgslot(n_phrases > 0 ? n_phrases : 1, -1);
+    int32_t bg_driver_ph = -1;
+    bool impossible = false;
+    if (S->bigram_built) {
+        int64_t best_len = INT64_MAX;
+        for (int32_t ph = 0; ph < n_phrases; ph++) {
+            if (ph_nterms[ph] != 2 || !ph_exact[ph]) continue;
+            const int32_t ta = ph_tidx[ph_start[ph]];
+            const int32_t tb = ph_tidx[ph_start[ph] + 1];
+            if (t_len[ta] <= 0 || t_len[tb] <= 0) {
+                impossible = true;   // a missing term: no phrase match
+                break;
+            }
+            if (t_len[ta] < S->bigram_minlen
+                || t_len[tb] < S->bigram_minlen) continue;
+            if (((uint64_t)t_off[ta] >> 32)
+                || ((uint64_t)t_off[tb] >> 32)) continue;
+            const uint64_t key = ((uint64_t)(uint32_t)t_off[ta] << 32)
+                                 | (uint32_t)t_off[tb];
+            auto it = std::lower_bound(S->bg_keys.begin(),
+                                       S->bg_keys.end(), key);
+            if (it == S->bg_keys.end() || *it != key) {
+                impossible = true;
+                break;
+            }
+            const int64_t s = it - S->bg_keys.begin();
+            bgslot[ph] = s;
+            const int64_t ln = S->bg_off[s + 1] - S->bg_off[s];
+            if (ln < best_len) { best_len = ln; bg_driver_ph = ph; }
+        }
+        // drive from the smallest bigram list when it beats the group
+        if (bg_driver_ph >= 0) {
+            int64_t drv_len = 0;
+            for (int32_t t = g_start[driver_g];
+                 t < g_start[driver_g] + g_nterms[driver_g]; t++)
+                drv_len += t_len[t];
+            if (best_len >= drv_len) bg_driver_ph = -1;
+        }
+    }
+
+    // 1. walk the candidate source's postings -> candidate set only.
+    //    Scores are NOT accumulated here: the verify pass below adds
+    //    every scoring term's contribution in QUERY TERM ORDER, so
+    //    float64 summation order (and thus exact cross-segment score
+    //    ties) does not depend on which conjunct is smallest per segment
     int64_t ntouch = 0;
+    if (impossible) {
+        // a required phrase provably has zero matches
+    } else if (bg_driver_ph >= 0) {
+        const int64_t s = bgslot[bg_driver_ph];
+        const int32_t* bd = S->bg_docids.data() + S->bg_off[s];
+        const int64_t bn = S->bg_off[s + 1] - S->bg_off[s];
+        for (int64_t i = 0; i < bn; i++) {   // sorted unique already
+            const int32_t d = bd[i];
+            if (S->has_del && S->deleted[d]) continue;
+            S->touched[ntouch++] = d;
+        }
+    } else {
     bool driver_single = g_nterms[driver_g] == 1;
     for (int32_t t = g_start[driver_g];
          t < g_start[driver_g] + g_nterms[driver_g]; t++) {
@@ -1713,6 +1861,10 @@ extern "C" int64_t xt_query_exec(
     }
     if (!driver_single)
         std::sort(S->touched.begin(), S->touched.begin() + ntouch);
+    }
+    // with a bigram driver no group is matched by construction
+    const int32_t eff_driver = bg_driver_ph >= 0 ? -1 : driver_g;
+    std::vector<int64_t> bgcur(n_phrases > 0 ? n_phrases : 1, 0);
 
     // monotone galloping cursors: candidates are processed docid-
     // ascending, so each term's postings pointer only ever advances -
@@ -1802,7 +1954,7 @@ extern "C" int64_t xt_query_exec(
         //    matched by construction, so only its scoring terms are
         //    probed.
         for (int32_t g = 0; g < n_groups && ok; g++) {
-            const bool is_driver = g == driver_g;
+            const bool is_driver = g == eff_driver;
             bool hit = is_driver;
             for (int32_t t = g_start[g]; t < g_start[g] + g_nterms[g];
                  t++) {
@@ -1823,6 +1975,27 @@ extern "C" int64_t xt_query_exec(
         //     i; NEAR: exists p0 with, per term, some q, |q - p0| <
         //     window (the device's anchor rule)
         for (int32_t ph = 0; ph < n_phrases && ok; ph++) {
+            if (bgslot[ph] >= 0) {
+                // bigram-resolved: monotone galloping probe into the
+                // pair's sorted docid list (mirrors probe() above)
+                if (ph == bg_driver_ph) continue;   // true by sourcing
+                const int64_t s = bgslot[ph];
+                const int32_t* base = S->bg_docids.data() + S->bg_off[s];
+                const int64_t ln = S->bg_off[s + 1] - S->bg_off[s];
+                int64_t c = bgcur[ph];
+                if (c < ln && base[c] < d) {
+                    int64_t step = 1;
+                    while (c + step < ln && base[c + step] < d) {
+                        c += step;
+                        step <<= 1;
+                    }
+                    const int64_t hi = std::min(c + step + 1, ln);
+                    c = std::lower_bound(base + c, base + hi, d) - base;
+                }
+                bgcur[ph] = c;
+                if (!(c < ln && base[c] == d)) ok = false;
+                continue;
+            }
             const int32_t nt = ph_nterms[ph];
             const int32_t w = ph_window[ph];
             // locate each term's position span for doc d

@@ -41,17 +41,37 @@ _STAT_KINDS = ("sum", "avg", "min", "max", "variance", "std_deviation",
 
 
 def conjunctive_parts(tree):
-    """Flatten a conjunctive tree -> (pos_groups, neg_groups, f_leaves,
-    geo_leaves) or None when the tree is not a pure conjunction the
-    native executor implements."""
+    """Flatten a conjunctive tree -> (pos_entries, neg_entries, f_leaves,
+    geo_leaves, ph_leaves) or None when the tree is not a pure
+    conjunction the native executor implements. Each pos/neg entry is a
+    TUPLE of group ids: a 1-tuple is a plain term-group conjunct, a
+    wider tuple is a disjunction of groups (an OR leaf inside the AND) -
+    marshalled as one native group, whose hit rule (any term present)
+    and scoring (every matching scoring term adds) are exactly the
+    device tree's OR semantics."""
     pos, neg, fs, geos, phs = [], [], [], [], []
+
+    def disjunct_groups(t):
+        """-> tuple of group ids for an OR-of-groups subtree, or None."""
+        gids = []
+        for c in t[1:]:
+            if c[0] == "G":
+                gids.append(c[1])
+            elif c[0] == "OR":
+                sub = disjunct_groups(c)
+                if sub is None:
+                    return None
+                gids.extend(sub)
+            else:
+                return None
+        return tuple(gids)
 
     def walk(t, negate=False):
         op = t[0]
         if op == "ALL" and not negate:
             return True
         if op == "G":
-            (neg if negate else pos).append(t[1])
+            (neg if negate else pos).append((t[1],))
             return True
         if op == "F" and not negate:
             fs.append(t[1])
@@ -69,6 +89,12 @@ def conjunctive_parts(tree):
         if op == "OR" and negate:
             # NOT(OR(a, b)) == NOT a AND NOT b
             return all(walk(c, True) for c in t[1:])
+        if op == "OR" and not negate:
+            gids = disjunct_groups(t)
+            if gids is None:
+                return False
+            pos.append(gids)
+            return True
         return False
 
     if not walk(tree):
@@ -105,7 +131,7 @@ def conj_eligible(cq, scheme, sort=(), aggs=(), collapse_slot=None):
     pos, neg, fs, geos, phs = parts
     for pi in phs:
         # a phrase's term groups are implicit positive conjuncts
-        pos.extend(cq.phrases[pi][1])
+        pos.extend((g,) for g in cq.phrases[pi][1])
     pos = list(dict.fromkeys(pos))    # dedupe: a group scores once
     if not pos:
         return None
@@ -171,6 +197,53 @@ class HostQueryExecutor:
         """Deletes flip entries in the registered bitmap in place (numpy
         view shares memory with segment.deleted) - only the has_deletes
         flag needs recomputation, which happens per run() below."""
+
+    def _ensure_bigrams(self):
+        """Build (once) the derived bigram/nextword table from the
+        position arrays; -> the table's minlen (0 = every pair indexed)
+        or None when bigrams are unavailable. A 2-term exact phrase whose
+        terms both have posting length >= minlen is then answered from a
+        plain docid list - no per-candidate positional verification (the
+        measured cfg2 bottleneck; ~ nextword indexes, no reference
+        analog: phrasepostlist.cc re-verifies positions per candidate)."""
+        if hasattr(self, "_bigram_minlen"):
+            return self._bigram_minlen
+        self._bigram_minlen = None
+        if os.environ.get("XT_BIGRAM", "1") == "0":
+            return None
+        seg = self.seg
+        total = int(seg.positions.size)
+        if not total:
+            return None
+        self._ensure_positions()
+        terms = list(seg.terms.values())
+        if not terms:
+            return None
+        offs = np.fromiter((t.offset for t in terms), np.int64, len(terms))
+        lens = np.fromiter((t.length for t in terms), np.int64, len(terms))
+        cap = int(os.environ.get("XT_BIGRAM_MAX_OCC", "48000000"))
+        minlen = 0
+        if total > cap:
+            # index only heavy terms: smallest posting-length cutoff
+            # whose occurrence mass fits the cap (light phrases verify
+            # positionally at trivial cost anyway)
+            occ = np.fromiter((t.collfreq for t in terms),
+                              np.int64, len(terms))
+            order = np.argsort(-lens, kind="stable")
+            mass = np.cumsum(occ[order])
+            hi = int(np.searchsorted(mass, cap, side="right"))
+            if hi == 0:
+                return None
+            minlen = int(lens[order[hi - 1]])
+            if minlen <= 1:
+                return None
+        npairs = self._c.xt_qseg_build_bigrams(
+            self._h, offs.ctypes.data_as(_i64p),
+            lens.ctypes.data_as(_i64p), len(terms), minlen)
+        if npairs < 0:
+            return None
+        self._bigram_minlen = minlen
+        return minlen
 
     def _ensure_positions(self):
         if getattr(self, "_pos_registered", False):
@@ -257,13 +330,14 @@ class HostQueryExecutor:
         return True
 
     def driver_work(self, cq, parts) -> int:
-        """Postings walked by the cheapest positive conjunct here."""
+        """Postings walked by the cheapest positive conjunct here (a
+        disjunctive entry walks the union of its groups' postings)."""
         pos = parts[0]
         best = None
-        for g in pos:
+        for entry in pos:
             w = 0
             for pt in cq.terms:
-                if pt.group == g:
+                if pt.group in entry:
                     ti = self.seg.get_term(pt.term)
                     w += ti.length if ti else 0
             best = w if best is None else min(best, w)
@@ -285,13 +359,13 @@ class HostQueryExecutor:
         g_start, g_nterms, g_neg = [], [], []
         driver_g, driver_w = 0, None
         flat_of: dict = {}
-        for gi, (g, is_neg) in enumerate(
-                [(g, 0) for g in pos] + [(g, 1) for g in neg]):
+        for gi, (entry, is_neg) in enumerate(
+                [(e, 0) for e in pos] + [(e, 1) for e in neg]):
             g_start.append(len(t_off))
             seen_terms: dict = {}
             gw = 0
             for ti_idx, pt in enumerate(cq.terms):
-                if pt.group != g:
+                if pt.group not in entry:
                     continue
                 if not pt.scoring and pt.term in seen_terms:
                     flat_of[ti_idx] = seen_terms[pt.term]
@@ -309,8 +383,26 @@ class HostQueryExecutor:
             g_neg.append(is_neg)
             if not is_neg and (driver_w is None or gw < driver_w):
                 driver_w, driver_g = gw, gi
-        if ph_leaves_gate(parts, driver_w):
-            return None   # wide-driver phrase: the device batch wins
+        # phrases the bigram table resolves need no positional work, so
+        # only "hard" (positionally-verified) phrase leaves can force the
+        # wide-driver query back to the device batch
+        bg_minlen = self._ensure_bigrams() if ph_leaves else None
+        hard_phrases = False
+        for pi in ph_leaves:
+            term_idxs, _gids, _window, is_phrase = cq.phrases[pi]
+            ok_bg = (bg_minlen is not None and is_phrase
+                     and len(term_idxs) == 2)
+            if ok_bg and bg_minlen > 0:
+                for t in term_idxs:
+                    ti = seg.get_term(cq.terms[t].term)
+                    if ti is None or ti.length < bg_minlen:
+                        ok_bg = False
+                        break
+            if not ok_bg:
+                hard_phrases = True
+                break
+        if hard_phrases and ph_leaves_gate(parts, driver_w):
+            return None   # wide-driver positional phrase: device wins
 
         # phrase / NEAR leaves: flat term-slot lists + positional arrays
         ph_start = np.zeros(max(len(ph_leaves), 1), np.int32)
