@@ -1786,48 +1786,70 @@ extern "C" int64_t xt_query_exec(
         return tc * (wdf / denom);
     };
 
-    // 0. bigram resolution: a 2-term exact phrase whose terms are both
-    //    in the indexed domain (len >= bigram_minlen) is answered from
-    //    the derived nextword list - membership by galloping docid
-    //    probe, zero positional work. An absent key PROVES zero matches
-    //    (the whole indexed domain was enumerated at build time).
-    std::vector<int64_t> bgslot(n_phrases > 0 ? n_phrases : 1, -1);
+    // 0. bigram resolution: every consecutive term pair of an exact
+    //    phrase whose terms are in the indexed domain (len >= minlen)
+    //    is checked against the derived nextword table. An absent key
+    //    PROVES zero matches (the whole indexed domain was enumerated
+    //    at build time). Present pairs become galloping docid probes:
+    //    for 2-term phrases that IS the phrase (zero positional work);
+    //    for longer phrases the pairs are exact prefilters and only
+    //    pair-surviving candidates pay positional verification.
+    std::vector<int32_t> ph_pair_start(n_phrases > 0 ? n_phrases : 1, 0);
+    std::vector<int32_t> ph_pair_n(n_phrases > 0 ? n_phrases : 1, 0);
+    std::vector<uint8_t> ph_complete(n_phrases > 0 ? n_phrases : 1, 0);
+    std::vector<int64_t> pair_slots;   // flat, into bg_keys/bg_off
+    int64_t bg_driver_flat = -1;       // flat pair entry driving candidates
     int32_t bg_driver_ph = -1;
     bool impossible = false;
     if (S->bigram_built) {
         int64_t best_len = INT64_MAX;
-        for (int32_t ph = 0; ph < n_phrases; ph++) {
-            if (ph_nterms[ph] != 2 || !ph_exact[ph]) continue;
-            const int32_t ta = ph_tidx[ph_start[ph]];
-            const int32_t tb = ph_tidx[ph_start[ph] + 1];
-            if (t_len[ta] <= 0 || t_len[tb] <= 0) {
-                impossible = true;   // a missing term: no phrase match
-                break;
+        for (int32_t ph = 0; ph < n_phrases && !impossible; ph++) {
+            ph_pair_start[ph] = (int32_t)pair_slots.size();
+            if (!ph_exact[ph]) continue;      // NEAR: positional only
+            const int32_t nt = ph_nterms[ph];
+            int32_t found_pairs = 0;
+            for (int32_t j = 0; j + 1 < nt; j++) {
+                const int32_t ta = ph_tidx[ph_start[ph] + j];
+                const int32_t tb = ph_tidx[ph_start[ph] + j + 1];
+                if (t_len[ta] <= 0 || t_len[tb] <= 0) {
+                    impossible = true;   // missing term: no phrase match
+                    break;
+                }
+                if (t_len[ta] < S->bigram_minlen
+                    || t_len[tb] < S->bigram_minlen) continue;
+                if (((uint64_t)t_off[ta] >> 32)
+                    || ((uint64_t)t_off[tb] >> 32)) continue;
+                const uint64_t key = ((uint64_t)(uint32_t)t_off[ta] << 32)
+                                     | (uint32_t)t_off[tb];
+                auto it = std::lower_bound(S->bg_keys.begin(),
+                                           S->bg_keys.end(), key);
+                if (it == S->bg_keys.end() || *it != key) {
+                    impossible = true;   // provably adjacency-free pair
+                    break;
+                }
+                const int64_t s = it - S->bg_keys.begin();
+                pair_slots.push_back(s);
+                found_pairs++;
+                const int64_t ln = S->bg_off[s + 1] - S->bg_off[s];
+                if (ln < best_len) {
+                    best_len = ln;
+                    bg_driver_flat = (int64_t)pair_slots.size() - 1;
+                    bg_driver_ph = ph;
+                }
             }
-            if (t_len[ta] < S->bigram_minlen
-                || t_len[tb] < S->bigram_minlen) continue;
-            if (((uint64_t)t_off[ta] >> 32)
-                || ((uint64_t)t_off[tb] >> 32)) continue;
-            const uint64_t key = ((uint64_t)(uint32_t)t_off[ta] << 32)
-                                 | (uint32_t)t_off[tb];
-            auto it = std::lower_bound(S->bg_keys.begin(),
-                                       S->bg_keys.end(), key);
-            if (it == S->bg_keys.end() || *it != key) {
-                impossible = true;
-                break;
-            }
-            const int64_t s = it - S->bg_keys.begin();
-            bgslot[ph] = s;
-            const int64_t ln = S->bg_off[s + 1] - S->bg_off[s];
-            if (ln < best_len) { best_len = ln; bg_driver_ph = ph; }
+            ph_pair_n[ph] = (int32_t)pair_slots.size() - ph_pair_start[ph];
+            // a 2-term exact phrase with its pair present needs no
+            // positional pass at all
+            if (nt == 2 && found_pairs == 1) ph_complete[ph] = 1;
         }
-        // drive from the smallest bigram list when it beats the group
-        if (bg_driver_ph >= 0) {
+        // drive from the smallest pair list when it beats the group
+        if (bg_driver_flat >= 0 && !impossible) {
             int64_t drv_len = 0;
             for (int32_t t = g_start[driver_g];
                  t < g_start[driver_g] + g_nterms[driver_g]; t++)
                 drv_len += t_len[t];
-            if (best_len >= drv_len) bg_driver_ph = -1;
+            if (best_len >= drv_len) { bg_driver_flat = -1;
+                                       bg_driver_ph = -1; }
         }
     }
 
@@ -1839,8 +1861,8 @@ extern "C" int64_t xt_query_exec(
     int64_t ntouch = 0;
     if (impossible) {
         // a required phrase provably has zero matches
-    } else if (bg_driver_ph >= 0) {
-        const int64_t s = bgslot[bg_driver_ph];
+    } else if (bg_driver_flat >= 0) {
+        const int64_t s = pair_slots[bg_driver_flat];
         const int32_t* bd = S->bg_docids.data() + S->bg_off[s];
         const int64_t bn = S->bg_off[s + 1] - S->bg_off[s];
         for (int64_t i = 0; i < bn; i++) {   // sorted unique already
@@ -1863,8 +1885,9 @@ extern "C" int64_t xt_query_exec(
         std::sort(S->touched.begin(), S->touched.begin() + ntouch);
     }
     // with a bigram driver no group is matched by construction
-    const int32_t eff_driver = bg_driver_ph >= 0 ? -1 : driver_g;
-    std::vector<int64_t> bgcur(n_phrases > 0 ? n_phrases : 1, 0);
+    const int32_t eff_driver = bg_driver_flat >= 0 ? -1 : driver_g;
+    std::vector<int64_t> bgcur(pair_slots.empty() ? 1 : pair_slots.size(),
+                               0);
 
     // monotone galloping cursors: candidates are processed docid-
     // ascending, so each term's postings pointer only ever advances -
@@ -1975,14 +1998,18 @@ extern "C" int64_t xt_query_exec(
         //     i; NEAR: exists p0 with, per term, some q, |q - p0| <
         //     window (the device's anchor rule)
         for (int32_t ph = 0; ph < n_phrases && ok; ph++) {
-            if (bgslot[ph] >= 0) {
-                // bigram-resolved: monotone galloping probe into the
-                // pair's sorted docid list (mirrors probe() above)
-                if (ph == bg_driver_ph) continue;   // true by sourcing
-                const int64_t s = bgslot[ph];
+            // pair prefilters first: monotone galloping probes into the
+            // pairs' sorted docid lists (mirror probe() above). For a
+            // complete phrase (2-term exact, pair present) this IS the
+            // phrase; longer phrases fall through to positional
+            // verification only when every pair contains the doc.
+            for (int32_t p = 0; p < ph_pair_n[ph] && ok; p++) {
+                const int64_t flat = ph_pair_start[ph] + p;
+                if (flat == bg_driver_flat) continue;  // true by sourcing
+                const int64_t s = pair_slots[flat];
                 const int32_t* base = S->bg_docids.data() + S->bg_off[s];
                 const int64_t ln = S->bg_off[s + 1] - S->bg_off[s];
-                int64_t c = bgcur[ph];
+                int64_t c = bgcur[flat];
                 if (c < ln && base[c] < d) {
                     int64_t step = 1;
                     while (c + step < ln && base[c + step] < d) {
@@ -1992,10 +2019,10 @@ extern "C" int64_t xt_query_exec(
                     const int64_t hi = std::min(c + step + 1, ln);
                     c = std::lower_bound(base + c, base + hi, d) - base;
                 }
-                bgcur[ph] = c;
+                bgcur[flat] = c;
                 if (!(c < ln && base[c] == d)) ok = false;
-                continue;
             }
+            if (!ok || ph_complete[ph]) continue;
             const int32_t nt = ph_nterms[ph];
             const int32_t w = ph_window[ph];
             // locate each term's position span for doc d
