@@ -594,12 +594,38 @@ class Database:
             self.wal.close()
         self.datastore.close()
 
+    def _search_with_cutoff(self, percent_cutoff: float,
+                            weight_cutoff: float, query, k: int,
+                            offset: int, **kw) -> SearchResult:
+        """Enquire::set_cutoff analog (≙ handler.cc:1264,1443 — the
+        reference threads percent/weight thresholds into every shard
+        matcher and the mset merger; its REST plane hard-codes both to 0,
+        so exposing them is a strict superset). Engine-agnostic: scores
+        are final when a SearchResult is assembled, so a post-filter on
+        the ranked hits is exactly equivalent to the in-matcher filter
+        for relevance-ordered results. percent_cutoff is relative to the
+        top attained score (Xapian scales vs max attained weight in the
+        mset); totals stay exact pre-cutoff counts (documented superset:
+        the reference degrades them to estimates under cutoff)."""
+        res = self.search(query, k=k + offset, offset=0, **kw)
+        thr = float(weight_cutoff)
+        if percent_cutoff and res.hits:
+            top = max(h.score for h in res.hits)
+            thr = max(thr, top * float(percent_cutoff) / 100.0)
+        kept = [h for h in res.hits if h.score >= thr]
+        res.hits = [Hit(id=h.id, score=h.score, rank=offset + i,
+                        data=h.data)
+                    for i, h in enumerate(kept[offset:])]
+        return res
+
     def search(self, query: Any, k: int = 10, offset: int = 0,
                sort: tuple = (), collapse_slot: Optional[int] = None,
                aggs: Optional[dict] = None,
                count_only: bool = False,
                scheme: Optional[Any] = None,
-               collapse_max: int = 1) -> SearchResult:
+               collapse_max: int = 1,
+               percent_cutoff: float = 0.0,
+               weight_cutoff: float = 0.0) -> SearchResult:
         """query: a Q IR node, or a JSON query-DSL dict/string.
 
         ≙ DatabaseHandler::get_mset (handler.cc:1067,1415): global stats are
@@ -608,6 +634,12 @@ class Database:
         scheme overrides the database's default weight scheme per query
         (Enquire::set_weighting_scheme); a string names a registered scheme.
         """
+        if percent_cutoff or weight_cutoff:
+            return self._search_with_cutoff(
+                percent_cutoff, weight_cutoff, query, k, offset,
+                sort=sort, collapse_slot=collapse_slot, aggs=aggs,
+                count_only=count_only, scheme=scheme,
+                collapse_max=collapse_max)
         from xapiand_tpu import aggregations as aggs_mod
 
         if scheme is None:

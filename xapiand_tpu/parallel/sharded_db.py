@@ -257,7 +257,19 @@ class ShardedDatabase(Database):
     def search(self, query, k: int = 10, offset: int = 0, sort: tuple = (),
                collapse_slot: Optional[int] = None,
                aggs: Optional[dict] = None, count_only: bool = False,
-               scheme=None, collapse_max: int = 1) -> SearchResult:
+               scheme=None, collapse_max: int = 1,
+               percent_cutoff: float = 0.0,
+               weight_cutoff: float = 0.0) -> SearchResult:
+        if percent_cutoff or weight_cutoff:
+            # set_cutoff analog on the mesh path (handler.cc:1443 — the
+            # reference's MSet merger carries the same thresholds); the
+            # inherited post-filter recurses through THIS method so the
+            # match phase still rides shard_map
+            return self._search_with_cutoff(
+                percent_cutoff, weight_cutoff, query, k, offset,
+                sort=sort, collapse_slot=collapse_slot, aggs=aggs,
+                count_only=count_only, scheme=scheme,
+                collapse_max=collapse_max)
         # _scripted_metric folds a sandboxed script per matched doc on the
         # coordinator (aggregations.cc:118-207 analog); its candidate
         # gathering recurses through THIS method, so the match phase still

@@ -1286,7 +1286,8 @@ class RestServer:
 
     _INLINE_BLOCKERS = ("_sort", "_aggs", "_aggregations", "_collapse",
                         "_diversify", "_cluster", "_weight", "_synonyms",
-                        "_selector")
+                        "_selector", "_cutoff", "_cutoff_weight",
+                        "_check_at_least")
 
     def _inline_search(self, request, index, body, t0):
         import os
@@ -1369,10 +1370,18 @@ class RestServer:
     def _search_sync(self, request, index, body, t0, batch=True):
         db = self.man.get(index)
         body = body or {}
-        # _check_at_least accepted for API parity; counts here are always
-        # exact (the reference returns estimates below this threshold,
-        # utils.h:90 / matches_estimated)
-        body.pop("_check_at_least", None)
+        # _check_at_least (RESERVED_QUERYDSL_CHECK_AT_LEAST,
+        # handler.cc:1113-1120): the reference checks at least this many
+        # candidates so matches_estimated is exact up to the threshold.
+        # Our counts are ALWAYS exact (a strict superset of any
+        # threshold), so the knob is validated like the reference
+        # ("must be a unsigned int" → ClientError) and then satisfied by
+        # construction. docs/guide/searching.md documents the superset.
+        cal = body.pop("_check_at_least", None)
+        if cal is not None and (not isinstance(cal, int)
+                                or isinstance(cal, bool) or cal < 0):
+            raise ApiError(400, "The _check_at_least must be a "
+                                "unsigned int")
         ir = self._cached_ir(request, db, index, body)
         # stored-synonym expansion (FLAG_AUTO_SYNONYMS analog): ?synonyms
         # or {"_synonyms": true} expands term leaves from the per-index
@@ -1418,11 +1427,24 @@ class RestServer:
                     scheme = get_scheme(str(wspec))
             except (ValueError, TypeError) as exc:
                 raise ApiError(400, f"bad _weight: {exc}")
+        # Enquire::set_cutoff analog (handler.cc:1264): _cutoff is a
+        # percent 0-100 of the top attained score, _cutoff_weight an
+        # absolute score floor; hits below either are dropped. The
+        # reference's own REST plane hard-codes both to 0, so accepting
+        # them is a strict superset of its surface.
+        try:
+            pct_cut = float(body.get("_cutoff", 0) or 0)
+            wt_cut = float(body.get("_cutoff_weight", 0) or 0)
+        except (TypeError, ValueError):
+            raise ApiError(400, "_cutoff/_cutoff_weight must be numbers")
+        if not (0 <= pct_cut <= 100):
+            raise ApiError(400, "_cutoff must be a percent in [0,100]")
         div = body.get("_diversify")
         clu0 = body.get("_cluster")
         window = float(self.opts.get("search_batch_window") or 0)
         if window > 0 and batch and not sort and not aggs \
-                and collapse_slot is None and not div and not clu0:
+                and collapse_slot is None and not div and not clu0 \
+                and not pct_cut and not wt_cut:
             # sharded indexes batch too: ShardedDatabase.search_many runs
             # each signature group as one SPMD launch per generation
             # plain relevance top-k: coalesce concurrent requests into one
@@ -1437,7 +1459,8 @@ class RestServer:
         else:
             res = db.search(ir, k=k, offset=offset, sort=sort,
                             collapse_slot=collapse_slot, aggs=aggs,
-                            scheme=scheme, collapse_max=collapse_max)
+                            scheme=scheme, collapse_max=collapse_max,
+                            percent_cutoff=pct_cut, weight_cutoff=wt_cut)
         if div and res.hits:
             lam = float(div.get("_lambda", 0.5)) if isinstance(div, dict) \
                 else 0.5
