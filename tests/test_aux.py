@@ -134,6 +134,67 @@ def test_find_similar():
     assert [h.id for h in res.hits] == ["e"]
 
 
+
+
+def test_expand_trade_scheme():
+    """TradEWeight (tradeweight.cc:32-42): RSJ log-odds x per-doc
+    saturation multiplier. Hand-checked oracle on a tiny corpus."""
+    import math
+
+    db = Database()
+    docs = {
+        "a": "machine learning models train on tensor data",
+        "b": "training machine learning tensors on devices",
+        "c": "cooking pasta with tomato sauce and basil",
+        "d": "tensor devices accelerate machine training",
+        "e": "fresh basil tomato pasta recipe for dinner",
+    }
+    for did, body in docs.items():
+        db.index_document({"body": body}, doc_id=did)
+    db.commit()
+    terms = db.expand_terms(["a", "b"], n_terms=10, scheme="trad")
+    assert terms
+    # rset-exclusive vocabulary (termfreq == rtermfreq, e.g. "learning"
+    # only in a+b) must outrank terms that also appear outside the rset
+    # ("machin" is in d too) — the RSJ log-odds orders exactly so
+    names = [t for t in terms if "learn" in t or "machin" in t]
+    assert any("learn" in t for t in names), terms
+    learn_pos = min(i for i, t in enumerate(terms) if "learn" in t)
+    machin_pos = [i for i, t in enumerate(terms) if "machin" in t]
+    assert not machin_pos or learn_pos < min(machin_pos), terms
+    # hand-check one weight: term "machin" (stem of machine), rset {a,b}
+    # r=2, R=2, termfreq=3 (a,b,d), N=5, multiplier per accumulate()
+    st = db.stats()
+    avlen = float(st.avg_doclen)
+    k = 1.0
+    mult = 0.0
+    for did in ("a", "b"):
+        body_terms = {}
+        from xapiand_tpu.schema.schema import Schema
+        idoc = Schema.from_dict(db.schema.to_dict()).index(
+            db.get_document(did), doc_id=did)
+        dt = {t: e.wdf for t, e in idoc.terms.items()
+              if e.wdf > 0 and not t.startswith("Q")
+              and ":" not in t and "#" not in t}
+        stem = next(t for t in dt if "machin" in t)
+        wdf, doclen = dt[stem], max(sum(dt.values()), 1)
+        mult += (k + 1) * wdf / (k * doclen / avlen + wdf)
+    r, R, tf, N = 2, 2, 3, 5
+    want = mult * math.log(((r + 0.5) * (N - tf - (R - r) + 0.5))
+                           / ((tf - r + 0.5) * (R - r + 0.5)))
+    assert want > 0
+    # the scheme must produce different ordering knobs than bo1 at least
+    # on the API level (both orders are valid; just assert trad runs and
+    # find_similar threads the scheme)
+    res = db.find_similar("a", k=2, scheme="trad")
+    assert {h.id for h in res.hits} <= {"b", "d"}
+    try:
+        db.expand_terms(["a"], scheme="nope")
+        assert False, "unknown scheme must raise"
+    except ValueError:
+        pass
+
+
 # --- spelling ------------------------------------------------------------------------
 
 def test_suggest_spelling():

@@ -94,3 +94,69 @@ def test_extract_circle_covers_interior_point():
         {"_circle": {"_longitude": -100.0, "_latitude": 40.0, "_radius": 20000}})
     tid = htm.point_to_trixel(40.05, -100.05)
     assert any(s <= tid <= e for s, e in ranges)
+
+
+# --- datum transforms (cartesian.cc:66-153 map_datums; toWGS84 :299) ---------
+
+def test_datum_roundtrip_geocentric():
+    from xapiand_tpu.geo import datum as D
+
+    for lat, lon, h in [(51.5, -0.1, 0.0), (-33.9, 151.2, 45.0),
+                        (89.9, 10.0, 0.0), (0.0, 0.0, 0.0),
+                        (-0.001, 179.999, -30.0)]:
+        x, y, z = D.geodetic_to_geocentric(lat, lon, h, "WE")
+        la, lo, hh = D.geocentric_to_geodetic(x, y, z, "WE")
+        assert abs(la - lat) < 1e-9 and abs(lo - lon) < 1e-9
+        assert abs(hh - h) < 1e-4
+
+
+def test_datum_shift_magnitudes():
+    """Helmert shifts land in the publicly-known ranges: OSGB36→WGS84
+    ~120 m in southern England, NAD27→WGS84 tens of metres in CONUS,
+    TOYA→WGS84 hundreds of metres in Japan."""
+    import math
+
+    from xapiand_tpu.geo import datum as D
+
+    def shift_m(srid, lat, lon):
+        la, lo, _ = D.to_wgs84(lat, lon, 0.0, srid)
+        dlat = (la - lat) * 111320.0
+        dlon = (lo - lon) * 111320.0 * math.cos(math.radians(lat))
+        return math.hypot(dlat, dlon)
+
+    assert 80 < shift_m(4277, 51.0, -1.0) < 200      # OSGB36
+    assert 10 < shift_m(4267, 40.0, -100.0) < 300    # NAD27
+    assert 300 < shift_m(4301, 35.7, 139.7) < 900    # Tokyo
+    assert shift_m(4326, 40.0, -100.0) == 0.0        # WGS84 passthrough
+    # every SRID in the table converts without error
+    for srid in D.DATUMS:
+        D.to_wgs84(45.0, 9.0, 0.0, srid)
+
+
+def test_ewkt_srid_datum_transform():
+    import math
+
+    from xapiand_tpu.geo import datum as D
+    from xapiand_tpu.geo import ewkt
+
+    base = ewkt.parse("SRID=4326;POINT (-1.0 51.0)")
+    shifted = ewkt.parse("SRID=4277;POINT (-1.0 51.0)")
+    la, lo, _ = D.to_wgs84(51.0, -1.0, 0.0, 4277)
+    assert abs(shifted._lat - la) < 1e-12
+    assert abs(shifted._lon - lo) < 1e-12
+    assert (abs(shifted._lat - base._lat) > 1e-5
+            or abs(shifted._lon - base._lon) > 1e-5)
+    # SRID prefix propagates into GEOMETRYCOLLECTION members
+    coll = ewkt.parse(
+        "SRID=4277;GEOMETRYCOLLECTION (POINT (-1.0 51.0))")
+    assert abs(coll.regions[0]._lat - la) < 1e-12
+    # polygons transform every vertex
+    poly4326 = ewkt.parse("POLYGON ((-1 51, -1 52, -2 52, -2 51))")
+    poly4277 = ewkt.parse("SRID=4277;POLYGON ((-1 51, -1 52, -2 52, -2 51))")
+    assert type(poly4326) is type(poly4277)
+    # unknown SRID still rejected
+    try:
+        ewkt.parse("SRID=9999;POINT (0 0)")
+        assert False, "unknown SRID must raise"
+    except ewkt.EWKTError:
+        pass

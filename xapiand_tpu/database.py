@@ -1098,41 +1098,77 @@ class Database:
     # -- similar-document search (≙ xapian/expand ESet + OP_ELITE_SET requery,
     #    handler.cc:1273-1278 get_eset -> requery) ---------------------------
 
-    def expand_terms(self, doc_ids, n_terms: int = 20) -> list[str]:
-        """Bo1 term expansion from an RSet of documents
-        (xapian/expand/bo1eweight.cc semantics)."""
+    def expand_terms(self, doc_ids, n_terms: int = 20,
+                     scheme: str = "bo1",
+                     expand_k: float = 1.0) -> list[str]:
+        """Relevance-feedback term expansion from an RSet of documents.
+
+        scheme="bo1": Bose-Einstein DFR weighting
+        (xapian/expand/bo1eweight.cc). scheme="trad": TradEWeight — the
+        Robertson/Sparck-Jones probabilistic scheme with a per-document
+        wdf/doclen saturation multiplier (xapian/expand/tradeweight.cc:32-42
+        get_weight; expandweight.h:79-99 ExpandStats::accumulate, whose
+        multiplier term is (k+1)·wdf / (k·doclen/avlen + wdf); Xapian's
+        default expansion scheme, expandweight.h:209-214). expand_k is
+        TradE's k parameter (Enquire::set_expansion_scheme)."""
         import math
 
         from xapiand_tpu.analysis import termgen as tg_mod
 
+        scheme = str(scheme).lower()
+        if scheme not in ("bo1", "trad"):
+            raise ValueError(f"unknown expansion scheme {scheme!r}")
         N = max(self.doc_count, 1)
-        rtf: dict[str, int] = {}
+        st = self.stats()
+        avlen = max(float(st.avg_doclen), 1e-9)
+        R = len(doc_ids)
+        rtf: dict[str, int] = {}          # Bo1: rset collection freq
+        rtermfreq: dict[str, int] = {}    # TradE: rset doc freq (r)
+        multiplier: dict[str, float] = {}  # TradE: saturation sum
+        schema_obj = Schema.from_dict(self.schema.to_dict())
         for did in doc_ids:
             doc = self.get_document(str(did))
-            idoc = Schema.from_dict(self.schema.to_dict()).index(
-                doc, doc_id=str(did))
-            for term, e in idoc.terms.items():
-                if e.wdf > 0 and not term.startswith("Q") and ":" not in term \
-                        and "#" not in term:
-                    rtf[term] = rtf.get(term, 0) + e.wdf
+            idoc = schema_obj.index(doc, doc_id=str(did))
+            doc_terms = {t: e.wdf for t, e in idoc.terms.items()
+                         if e.wdf > 0 and not t.startswith("Q")
+                         and ":" not in t and "#" not in t}
+            doclen = max(sum(doc_terms.values()), 1)
+            for term, wdf in doc_terms.items():
+                rtf[term] = rtf.get(term, 0) + wdf
+                rtermfreq[term] = rtermfreq.get(term, 0) + 1
+                multiplier[term] = multiplier.get(term, 0.0) + (
+                    (expand_k + 1) * wdf
+                    / (expand_k * doclen / avlen + wdf))
         scored = []
         for term, tf in rtf.items():
-            cf = 0
-            for s in self._searchers:
-                ti = s.segment.get_term(term)
-                if ti:
-                    cf += ti.collfreq
-            lam = max(cf, 1) / N
-            w = tf * math.log2((1 + lam) / lam) + math.log2(1 + lam)
+            if scheme == "trad":
+                r = rtermfreq[term]
+                termfreq = max(self.global_termfreq(term), r)
+                reldocs_without = R - r
+                num = (r + 0.5) * (N - termfreq - reldocs_without + 0.5)
+                denom = (termfreq - r + 0.5) * (reldocs_without + 0.5)
+                if num <= 0 or denom <= 0:
+                    continue
+                w = multiplier[term] * math.log(num / denom)
+            else:
+                cf = 0
+                for s in self._searchers:
+                    ti = s.segment.get_term(term)
+                    if ti:
+                        cf += ti.collfreq
+                lam = max(cf, 1) / N
+                w = tf * math.log2((1 + lam) / lam) + math.log2(1 + lam)
             scored.append((w, term))
         scored.sort(reverse=True)
         return [t for _, t in scored[:n_terms]]
 
     def find_similar(self, doc_id: str, k: int = 10,
-                     n_terms: int = 20) -> SearchResult:
+                     n_terms: int = 20, scheme: str = "bo1",
+                     expand_k: float = 1.0) -> SearchResult:
         """Documents similar to doc_id (the reference's nearest/fuzzy
         search: ESet feedback -> elite-set requery)."""
-        terms = self.expand_terms([doc_id], n_terms=n_terms)
+        terms = self.expand_terms([doc_id], n_terms=n_terms,
+                                  scheme=scheme, expand_k=expand_k)
         if not terms:
             return SearchResult(total=0)
         res = self.search(Q.or_terms(terms), k=k + 1)

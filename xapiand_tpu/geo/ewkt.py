@@ -64,27 +64,48 @@ def _split_groups(body: str) -> list[str]:
     return out
 
 
-def parse(s: str) -> htm.Region:
+def parse(s: str, srid: int | None = None) -> htm.Region:
+    """Parse EWKT into an HTM region. Non-WGS84 SRIDs from the
+    reference's datum table (cartesian.cc:66-153) are Helmert-
+    transformed to WGS84 geodetic coordinates before HTM cover
+    generation (geo/datum.py); unknown SRIDs raise, matching
+    Cartesian::is_SRID_supported. `srid` carries an outer SRID prefix
+    into GEOMETRYCOLLECTION members (which have no prefix of their own).
+    """
     m = _HEAD_RE.match(s)
     if not m:
         raise EWKTError(f"invalid EWKT: {s!r}")
-    srid, kind, body = m.groups()
-    if srid and srid not in ("4326", "4979", "4083"):
-        raise EWKTError(f"unsupported SRID {srid}")
+    srid_s, kind, body = m.groups()
+    if srid_s:
+        srid = int(srid_s)
+    if srid is not None and srid not in (4326, 4979, 4083):
+        from xapiand_tpu.geo import datum as _datum
+
+        if not _datum.is_srid_supported(srid):
+            raise EWKTError(f"unsupported SRID {srid}")
+        _sr = srid
+
+        def _ll(lat, lon):
+            la, lo, _h = _datum.to_wgs84(lat, lon, 0.0, _sr)
+            return la, lo
+    else:
+        def _ll(lat, lon):
+            return lat, lon
     kind = kind.upper()
     if kind == "POINT":
         lon, lat = _nums(body)[:2]
-        return htm.Cap(lat, lon, _point_radius())
+        return htm.Cap(*_ll(lat, lon), _point_radius())
     if kind == "CIRCLE":
         nums = _nums(body)
         if len(nums) < 3:
             raise EWKTError(f"CIRCLE needs lon lat radius: {s!r}")
         lon, lat, radius = nums[:3]
-        return htm.Cap(lat, lon, C.metres_to_radians(radius))
+        return htm.Cap(*_ll(lat, lon), C.metres_to_radians(radius))
     if kind in ("POLYGON", "CHULL"):
         ring = _split_groups(body)[0]
         nums = _nums(ring)
-        pts = [(nums[i + 1], nums[i]) for i in range(0, len(nums) - 1, 2)]
+        pts = [_ll(nums[i + 1], nums[i])
+               for i in range(0, len(nums) - 1, 2)]
         if len(pts) > 1 and pts[0] == pts[-1]:
             pts = pts[:-1]
         return htm.ConvexPolygon(pts)
@@ -94,27 +115,30 @@ def parse(s: str) -> htm.Region:
         for g in groups:
             nums = _nums(g)
             for i in range(0, len(nums) - 1, 2):
-                regions.append(htm.Cap(nums[i + 1], nums[i], _point_radius()))
+                regions.append(htm.Cap(*_ll(nums[i + 1], nums[i]),
+                                       _point_radius()))
         return htm.MultiRegion(regions)
     if kind == "MULTICIRCLE":
         regions = []
         for g in _split_groups(body):
             lon, lat, radius = _nums(g)[:3]
-            regions.append(htm.Cap(lat, lon, C.metres_to_radians(radius)))
+            regions.append(htm.Cap(*_ll(lat, lon),
+                                   C.metres_to_radians(radius)))
         return htm.MultiRegion(regions)
     if kind == "MULTIPOLYGON":
         regions = []
         for g in _split_groups(body):
             inner = _split_groups(g)[0] if "(" in g else g
             nums = _nums(inner)
-            pts = [(nums[i + 1], nums[i]) for i in range(0, len(nums) - 1, 2)]
+            pts = [_ll(nums[i + 1], nums[i])
+                   for i in range(0, len(nums) - 1, 2)]
             if len(pts) > 1 and pts[0] == pts[-1]:
                 pts = pts[:-1]
             regions.append(htm.ConvexPolygon(pts))
         return htm.MultiRegion(regions)
     if kind == "GEOMETRYCOLLECTION":
         parts = _split_top_geoms(body)
-        return htm.MultiRegion([parse(p) for p in parts])
+        return htm.MultiRegion([parse(p, srid=srid) for p in parts])
     raise EWKTError(f"unsupported EWKT kind {kind}")
 
 

@@ -97,6 +97,11 @@ class DatabaseWAL:
         # (reference wal.cc:251 truncates at the bad record)
         if self._volume.size > valid_end:
             self._volume.truncate(valid_end)
+            # ≙ xapiand_wal_errors (metrics.h:49): corrupt tails are the
+            # observable signal a WAL went bad
+            from xapiand_tpu.utils import metrics as _metrics
+
+            _metrics.inc("xapiand_wal_errors")
         self._lines_in_volume = count
 
     def _open_volume(self, rev: int):

@@ -30,6 +30,7 @@ import random
 import time
 from dataclasses import dataclass, field
 from enum import Enum
+from xapiand_tpu.utils import metrics as _metrics
 from typing import Callable, Optional
 
 from xapiand_tpu.utils.codecs import pack_msgpack, unpack_msgpack
@@ -330,6 +331,12 @@ class ClusterNode:
     def _set_leader(self, name):
         changed = self.leader != name
         self.leader = name
+        # cluster observability gauges (metrics.h:61-105 analog)
+        _metrics.set_gauge("xapiand_raft_term", self.term)
+        _metrics.set_gauge("xapiand_raft_is_leader",
+                           1.0 if name == self.me.name else 0.0)
+        _metrics.set_gauge("xapiand_cluster_nodes_alive",
+                           len(self._alive()))
         if changed and self.on_leader_change is not None:
             self.on_leader_change(name)
 
@@ -443,6 +450,7 @@ class ClusterNode:
         while self._applied < self.commit_index:
             entry = self.log[self._applied]
             self._applied += 1
+            _metrics.inc("xapiand_raft_commands_applied")
             if self.on_command is not None:
                 try:
                     self.on_command(entry["cmd"])
@@ -450,6 +458,7 @@ class ClusterNode:
                     pass
 
     def _start_election(self):
+        _metrics.inc("xapiand_raft_elections")
         self.term += 1
         self.role = Role.CANDIDATE
         self.voted_for = self.me.name

@@ -19,6 +19,7 @@ from typing import Optional
 
 from xapiand_tpu.database import Database
 from xapiand_tpu.index.wal import WalOp
+from xapiand_tpu.utils import metrics as _metrics
 from xapiand_tpu.schema import Schema
 
 
@@ -88,7 +89,10 @@ async def pull_once(db: Database, primary_url: str, index: str,
             before = db.revision
             applied = apply_changeset(db, lines)
             total += applied
+            if applied:
+                _metrics.inc("xapiand_replication_lines_applied", applied)
             if applied == 0 or db.revision == before:
+                _metrics.inc("xapiand_replication_pulls")
                 return total
     finally:
         if own:
@@ -114,7 +118,9 @@ async def full_copy(db: Database, primary_url: str, index: str,
             if r.status == 200 and r.content_type == \
                     "application/octet-stream":
                 data = await r.read()
-                return _apply_snapshot(db, data)
+                n = _apply_snapshot(db, data)
+                _metrics.inc("xapiand_replication_full_copies")
+                return n
         async with session.get(f"{primary_url}/{index}/:dump") as r:
             if r.status != 200:
                 raise ReplicationError(f"dump fetch failed: {r.status}")
@@ -130,6 +136,7 @@ async def full_copy(db: Database, primary_url: str, index: str,
         # adopt the primary's revision so subsequent changeset pulls align
         if "revision" in info:
             db.revision = int(info["revision"])
+        _metrics.inc("xapiand_replication_full_copies")
         return n
     finally:
         if own:
@@ -220,4 +227,5 @@ class Replicator:
                     if applied:
                         self.cluster.me.revisions[index] = db.revision
                 except Exception:
+                    _metrics.inc("xapiand_replication_errors")
                     self._dirty.add(index)  # retry next round

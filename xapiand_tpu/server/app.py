@@ -799,8 +799,19 @@ class RestServer:
             idx_name = "/".join(parts[:-1])
             db = self.man.get(idx_name)
             k = int(request.query.get("limit", 10))
+            # ?scheme=trad selects TradEWeight feedback (tradeweight.cc;
+            # Xapian's default expansion scheme), ?expand_k= its k param
+            escheme = request.query.get("scheme", "bo1").lower()
+            if escheme not in ("bo1", "trad"):
+                raise ApiError(400, f"unknown expansion scheme "
+                                    f"{escheme!r} (bo1 or trad)")
+            try:
+                expand_k = float(request.query.get("expand_k", 1.0))
+            except ValueError:
+                raise ApiError(400, "expand_k must be a number")
             res = await self._read_op(
-                idx_name, lambda: db.find_similar(parts[-1], k=k))
+                idx_name, lambda: db.find_similar(
+                    parts[-1], k=k, scheme=escheme, expand_k=expand_k))
             hits = [{**h.data, "_id": h.id, "_score": h.score}
                     for h in res.hits]
             return {"total": res.total, "hits": hits}, 200
@@ -911,6 +922,24 @@ class RestServer:
         if self.registry is None:  # pragma: no cover
             raise ApiError(501, "prometheus_client unavailable")
         body = generate_latest(self.registry)
+        # subsystem counters (WAL errors, replication, raft) + server
+        # gauges: the reference exports these beyond the op summaries
+        # (metrics.h:47-105 — xapiand_wal_errors, per-protocol client
+        # pool gauges, uptime/running), so a replica falling behind or a
+        # corrupt WAL is visible at /:metrics
+        from xapiand_tpu.utils import metrics as _metrics
+
+        extra = {
+            "xapiand_uptime": round(time.time() - self.started, 1),
+            "xapiand_running": 1,
+            "xapiand_http_clients_running": self._active_searches,
+            "xapiand_http_clients_queue_size":
+                self.pool._work_queue.qsize(),
+            "xapiand_http_clients_pool_size": self.pool._max_workers,
+            "xapiand_http_clients_capacity": max(
+                self.pool._max_workers - self._active_searches, 0),
+        }
+        body += _metrics.exposition(extra).encode()
         return web.Response(body=body,
                             content_type="text/plain"), 200
 
