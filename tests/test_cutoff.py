@@ -134,6 +134,7 @@ def test_metrics_subsystem_counters(tmp_path):
     from xapiand_tpu.utils import metrics as M
     from tests.test_rest import ServerThread
 
+    M.reset()  # counters are process-global; earlier tests may have bumped them
     M.inc("xapiand_wal_errors")
     M.inc("xapiand_replication_lines_applied", 7)
     M.set_gauge("xapiand_raft_term", 3)

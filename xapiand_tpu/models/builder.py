@@ -8,6 +8,7 @@ matching Xapian document length semantics (used by BM25 normlen).
 
 from __future__ import annotations
 
+import struct
 from collections import defaultdict
 
 import numpy as np
@@ -18,6 +19,22 @@ from xapiand_tpu.schema.schema import IndexedDocument
 from xapiand_tpu.utils import serialise as ser
 
 _I32MAX = np.int32(2**31 - 1)
+
+
+def _materialize_acc_ops(idoc: IndexedDocument) -> None:
+    """Run deferred numeric/date accuracy ops through the Python generators
+    (used on the pure-Python path and the native per-call fallback); emits
+    exactly the terms schema._emit_terms produces eagerly."""
+    from xapiand_tpu.analysis import accuracy as acc_mod
+
+    for num, accs, prefix in idoc.num_acc_ops:
+        idoc.terms.add_boolean(prefix + ":" + ser.serialise_float_term(num))
+        idoc.terms.add_booleans(acc_mod.numeric_terms(num, accs, prefix))
+    idoc.num_acc_ops = []
+    for ts, units, prefix in idoc.date_acc_ops:
+        idoc.terms.add_boolean(prefix + ":" + ser.serialise_float_term(ts))
+        idoc.terms.add_booleans(acc_mod.date_terms(ts, units, prefix))
+    idoc.date_acc_ops = []
 
 
 def _materialize_text_ops(idoc: IndexedDocument) -> None:
@@ -70,6 +87,8 @@ class SegmentBuilder:
     def add(self, idoc: IndexedDocument) -> int:
         if self._inv is not None:
             return self._add_native(idoc)
+        if idoc.num_acc_ops or idoc.date_acc_ops:
+            _materialize_acc_ops(idoc)
         if idoc.text_ops:
             _materialize_text_ops(idoc)
         if idoc.geo_acc_ops:
@@ -113,6 +132,22 @@ class SegmentBuilder:
 
         inv = self._inv
         docid = len(self._doc_keys)
+        if inv.can_add_doc:
+            buf = self._pack_doc(idoc)
+            if buf is not None:
+                self._doc_keys.append(idoc.doc_id)
+                doclen, uniq = inv.add_doc(docid, buf)
+                self._doclen.append(float(doclen))
+                self._uniq.append(int(uniq))
+                for slot, vals in idoc.values.items():
+                    if vals:
+                        self._values[slot][docid] = list(vals)
+                for slot, ranges in idoc.geo_ranges.items():
+                    if ranges:
+                        self._geo[slot].setdefault(docid, []).extend(ranges)
+                return docid
+        if idoc.num_acc_ops or idoc.date_acc_ops:
+            _materialize_acc_ops(idoc)
         self._doc_keys.append(idoc.doc_id)
         inv.begin_doc(docid)
         # raw dict on purpose: .items() would fold bool_terms into it;
@@ -165,6 +200,174 @@ class SegmentBuilder:
             if ranges:
                 self._geo[slot].setdefault(docid, []).extend(ranges)
         return docid
+
+    _DATE_UNIT_ENUM = {"second": 0, "minute": 1, "hour": 2, "day": 3,
+                       "month": 4, "year": 5, "decade": 6, "century": 7,
+                       "millennium": 8}
+    # packed-path timestamp window: year 1000..9999. Above it Python's
+    # fromtimestamp raises; below it decade/century/millennium truncation
+    # can land before year 1 and the Python oracle raises ValueError —
+    # the C++ proleptic calendar wouldn't, so such ops take the Python
+    # fallback to reproduce the oracle's behavior (including the raise)
+    _TS_MIN, _TS_MAX = -30610224000.0, 253402300800.0
+
+    def _pack_doc(self, idoc: IndexedDocument):
+        """Serialise one analysed document into the xt_inv_add_doc buffer
+        (native.cpp packed layout) for a SINGLE ctypes crossing; date and
+        numeric accuracy terms are generated in C++ from the raw values
+        (≙ the reference running GenerateTerms inside DocPreparer,
+        handler.h:256-361). Returns None when any feature needs the
+        per-call path (non-ASCII/non-English text, >16 prefixes);
+        unpackable num/date ops degrade per-op via _materialize_acc_ops
+        semantics instead."""
+        from xapiand_tpu.analysis import termgen as tg_mod
+        from xapiand_tpu.analysis.stem import resolve_language
+        from xapiand_tpu.native import _STEM_MODES, _STOP_MODES
+
+        pk = struct.pack
+        parts = []
+        ap = parts.append
+        # TEXT sections (order preserved: termpos advances per section)
+        for (value, prefixes, language, stem_s, stop_s, weight,
+             with_pos, pos_start, cjk, cjk_w) in idoc.text_ops:
+            text = str(value)
+            if not text.isascii() or len(prefixes) > 16:
+                return None
+            lang = resolve_language(language)
+            if lang not in (None, "english"):
+                return None
+            eff_stem = stem_s if lang else tg_mod.STEM_NONE
+            eff_stop = stop_s if lang else tg_mod.STOP_NONE
+            flags = ((1 if with_pos else 0)
+                     | (_STEM_MODES[eff_stem] << 2)
+                     | (_STOP_MODES[eff_stop] << 4))
+            ap(pk("<BB", 3, len(prefixes)))
+            for p in prefixes:
+                praw = p.encode("utf-8")
+                ap(pk("<H", len(praw)))
+                ap(praw)
+            raw = text.encode("ascii")
+            ap(pk("<ifBI", int(pos_start), float(weight), flags, len(raw)))
+            ap(raw)
+        # plain weighted terms (+ positions)
+        for term, entry in idoc.terms.terms.items():
+            raw = term.encode("utf-8")
+            pos = entry.positions or ()
+            if len(raw) > 0xFFFF or len(pos) > 0xFFFF:
+                return None
+            ap(pk("<BH", 1, len(raw)))
+            ap(raw)
+            ap(pk("<fH", float(entry.wdf), len(pos)))
+            if pos:
+                ap(pk("<%di" % len(pos), *pos))
+        # id term
+        raw = idoc.id_term.encode("utf-8")
+        ap(pk("<BH", 1, len(raw)))
+        ap(raw)
+        ap(pk("<fH", 0.0, 0))
+        # numeric/date accuracy ops; ops the C++ generator can't reproduce
+        # bit-identically spill into extra_bools (same strings as eager)
+        extra_bools = []
+        if idoc.num_acc_ops:
+            from xapiand_tpu.analysis.accuracy import DEF_ACC_NUMERIC
+            groups = []
+            for num, accs, prefix in idoc.num_acc_ops:
+                eff = DEF_ACC_NUMERIC if accs is None else accs
+                ok = (isinstance(num, (int, float))
+                      and not isinstance(num, bool)
+                      and (isinstance(num, float) or abs(num) <= 2**53)
+                      and (not isinstance(num, float) or num == num)
+                      and len(eff) <= 32
+                      and all(isinstance(a, int) and not isinstance(a, bool)
+                              and 0 < a < 2**62 for a in eff)
+                      and abs(float(num)) < 2**62)
+                if not ok:
+                    from xapiand_tpu.analysis import accuracy as acc_mod
+                    extra_bools.append(
+                        prefix + ":" + ser.serialise_float_term(num))
+                    extra_bools.extend(
+                        acc_mod.numeric_terms(num, accs, prefix))
+                    continue
+                if (groups and groups[-1][0] == num
+                        and groups[-1][1] is accs):
+                    groups[-1][2].append(prefix)
+                else:
+                    groups.append((num, accs, [prefix], eff))
+            for num, _accs, prefs, eff in groups:
+                ap(pk("<BdBB", 6, float(num), 1, len(eff)))
+                ap(pk("<%dq" % len(eff), *eff))
+                ap(pk("<B", len(prefs)))
+                for p in prefs:
+                    praw = p.encode("utf-8")
+                    ap(pk("<H", len(praw)))
+                    ap(praw)
+        if idoc.date_acc_ops:
+            from xapiand_tpu.analysis.accuracy import DEF_ACC_DATE
+            enum = self._DATE_UNIT_ENUM
+            groups = []
+            for ts, units, prefix in idoc.date_acc_ops:
+                eff = DEF_ACC_DATE if units is None else units
+                codes = [enum.get(u, -1) for u in eff]
+                ok = (isinstance(ts, float) and ts == ts
+                      and self._TS_MIN <= ts < self._TS_MAX
+                      and len(codes) <= 255 and min(codes, default=0) >= 0)
+                if not ok:
+                    from xapiand_tpu.analysis import accuracy as acc_mod
+                    extra_bools.append(
+                        prefix + ":" + ser.serialise_float_term(ts))
+                    extra_bools.extend(acc_mod.date_terms(ts, units, prefix))
+                    continue
+                if (groups and groups[-1][0] == ts
+                        and groups[-1][1] is units):
+                    groups[-1][2].append(prefix)
+                else:
+                    groups.append((ts, units, [prefix], codes))
+            for ts, _units, prefs, codes in groups:
+                ap(pk("<BdBB%dB" % len(codes), 5, ts, 1, len(codes), *codes))
+                ap(pk("<B", len(prefs)))
+                for p in prefs:
+                    praw = p.encode("utf-8")
+                    ap(pk("<H", len(praw)))
+                    ap(praw)
+        # booleans (chunked: u16 count per section)
+        bools = idoc.terms.bool_terms
+        if extra_bools:
+            bools = bools + extra_bools
+        for i in range(0, len(bools), 0xFFFF):
+            chunk = bools[i:i + 0xFFFF]
+            ap(pk("<BH", 2, len(chunk)))
+            for t in chunk:
+                raw = t.encode("utf-8")
+                if len(raw) > 0xFFFF:
+                    return None
+                ap(pk("<H", len(raw)))
+                ap(raw)
+        # geo accuracy sections (one per distinct cover; prefixes grouped)
+        if idoc.geo_acc_ops:
+            from xapiand_tpu.geo import htm
+            groups = []
+            for ranges, levels, prefix in idoc.geo_acc_ops:
+                if (groups and groups[-1][0] is ranges
+                        and groups[-1][1] == levels):
+                    groups[-1][2].append(prefix)
+                else:
+                    groups.append((ranges, levels, [prefix]))
+            for ranges, levels, prefs in groups:
+                if (len(ranges) > 0xFFFF or not ranges or len(levels) > 255
+                        or len(prefs) > 255
+                        or any(not (0 <= int(lv) < 256) for lv in levels)):
+                    return None
+                ap(pk("<BH", 4, len(ranges)))
+                for a, b in ranges:
+                    ap(pk("<qq", int(a), int(b)))
+                ap(pk("<B%dB" % len(levels), len(levels),
+                      *[int(lv) for lv in levels]))
+                ap(pk("<BB", htm.MAX_LEVEL, len(prefs)))
+                for p in prefs:
+                    praw = p.encode("utf-8")
+                    ap(pk("<H", len(praw)))
+                    ap(praw)
+        return b"".join(parts)
 
     # -- pack ------------------------------------------------------------------
 

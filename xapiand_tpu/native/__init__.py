@@ -65,6 +65,11 @@ class NativeLib:
         c.xt_inv_add_geo_acc.argtypes = [
             ctypes.c_void_p, i64p, i64p, ctypes.c_int32, i32p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32]
+        if hasattr(c, "xt_inv_add_doc"):
+            c.xt_inv_add_doc.restype = ctypes.c_int32
+            c.xt_inv_add_doc.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p,
+                ctypes.c_int64, f64p, i32p]
         c.xt_inv_end_doc.argtypes = [ctypes.c_void_p, f64p, i32p]
         c.xt_inv_counts.argtypes = [ctypes.c_void_p, i64p, i64p, i64p,
                                     i64p, i64p]
@@ -311,6 +316,24 @@ class Inverter:
     def end_doc(self):
         dl, uq, refs = self._end_doc_bufs
         self._c.xt_inv_end_doc(self._h, *refs)
+        return dl.value, uq.value
+
+    @property
+    def can_add_doc(self) -> bool:
+        return hasattr(self._c, "xt_inv_add_doc")
+
+    def add_doc(self, docid: int, buf: bytes):
+        """Packed single-crossing document add (xt_inv_add_doc): one ctypes
+        call indexes the whole analysed doc — terms, booleans, text
+        (tokenize+stem), geo/date/numeric accuracy term generation — in C++.
+        Returns (doclen, uniq). Raises on malformed buffers (the packer in
+        models/builder.py validates before packing, so this never fires on
+        the production path)."""
+        dl, uq, _ = self._end_doc_bufs
+        rc = self._c.xt_inv_add_doc(self._h, docid, buf, len(buf),
+                                    ctypes.byref(dl), ctypes.byref(uq))
+        if rc != 0:
+            raise RuntimeError("xt_inv_add_doc: malformed packed doc")
         return dl.value, uq.value
 
     def export(self):

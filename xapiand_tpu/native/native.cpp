@@ -1036,6 +1036,361 @@ void xt_inv_add_geo_acc(void* h, const int64_t* starts, const int64_t* ends,
     }
 }
 
+// --------------------------------------------------------------------------
+// Packed single-crossing document add.
+//
+// One ctypes call indexes a WHOLE analysed document: text blocks
+// (tokenize+stem natively), pre-formatted boolean/weighted terms, geo
+// accuracy ranges, and — new here — date and numeric accuracy term
+// GENERATION (truncation + formatting) that used to run in Python
+// (xapiand_tpu/analysis/accuracy.py date_terms/numeric_terms +
+// utils/serialise.py serialise_float_term). ≙ the reference's
+// DocPreparer running schema term generation entirely in C++
+// (handler.h:256-361; GenerateTerms src/multivalue/generate_terms.cc).
+//
+// Buffer layout (little-endian, packed by builder.py _pack_doc):
+//   sections until buffer end, each starting with u8 kind:
+//    1 TERM:    u16 len, bytes, f32 wdf, u16 npos, i32[npos]
+//    2 BOOLS:   u16 n, n x (u16 len, bytes)
+//    3 TEXT:    u8 nprefix, nprefix x (u16 len, bytes), i32 pos_start,
+//               f32 wdf, u8 flags (bit0 with_pos, bits 2-3 stem mode,
+//               bits 4-5 stop mode), u32 tlen, ascii bytes
+//    4 GEO:     u16 nranges, nranges x (i64 a, i64 b), u8 nlevels,
+//               u8[nlevels], u8 max_level, u8 nprefix, x (u16, bytes)
+//    5 DATEACC: f64 ts, u8 emit_exact, u8 nunits, u8[nunits] (unit enum
+//               below), u8 nprefix, x (u16, bytes)
+//    6 NUMACC:  f64 value, u8 emit_exact, u8 naccs, i64[naccs],
+//               u8 nprefix, x (u16, bytes)
+// --------------------------------------------------------------------------
+
+namespace xtdate {
+
+// civil-calendar day conversions (Howard Hinnant's public-domain
+// algorithms; the same math any proleptic-Gregorian implementation uses)
+static inline int64_t days_from_civil(int64_t y, unsigned m, unsigned d) {
+    y -= m <= 2;
+    const int64_t era = (y >= 0 ? y : y - 399) / 400;
+    const unsigned yoe = (unsigned)(y - era * 400);
+    const unsigned doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+    const unsigned doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+    return era * 146097 + (int64_t)doe - 719468;
+}
+
+static inline void civil_from_days(int64_t z, int64_t* y, unsigned* m,
+                                   unsigned* d) {
+    z += 719468;
+    const int64_t era = (z >= 0 ? z : z - 146096) / 146097;
+    const unsigned doe = (unsigned)(z - era * 146097);
+    const unsigned yoe = (doe - doe / 1460 + doe / 36524 - doe / 146096)
+                         / 365;
+    const int64_t yy = (int64_t)yoe + era * 400;
+    const unsigned doy = doe - (365 * yoe + yoe / 4 - yoe / 100);
+    const unsigned mp = (5 * doy + 2) / 153;
+    *d = doy - (153 * mp + 2) / 5 + 1;
+    *m = mp + (mp < 10 ? 3 : -9);
+    *y = yy + (*m <= 2);
+}
+
+// units mirror dtutils.DATE_UNITS order
+enum Unit { SECOND = 0, MINUTE, HOUR, DAY, MONTH, YEAR, DECADE, CENTURY,
+            MILLENNIUM };
+static const char* kUnitNames[] = {"second", "minute", "hour", "day",
+                                   "month", "year", "decade", "century",
+                                   "millennium"};
+
+static inline int64_t floordiv(int64_t a, int64_t b) {
+    return (a >= 0) ? a / b : -(((-a) + b - 1) / b);
+}
+
+// truncate a POSIX timestamp to a calendar boundary, matching
+// dtutils.truncate_to exactly: Python's fromtimestamp rounds to the
+// nearest microsecond (half-even) before truncating calendar fields, so
+// operate on integer microseconds via llrint.
+static double trunc_date(double ts, int unit) {
+    int64_t us = (int64_t)llrint(ts * 1e6);
+    switch (unit) {
+        case SECOND: return (double)floordiv(us, 1000000LL);
+        case MINUTE: return (double)(floordiv(us, 60000000LL) * 60);
+        case HOUR:   return (double)(floordiv(us, 3600000000LL) * 3600);
+        case DAY:    return (double)(floordiv(us, 86400000000LL) * 86400);
+        default: break;
+    }
+    int64_t days = floordiv(us, 86400000000LL);
+    int64_t y; unsigned m, d;
+    civil_from_days(days, &y, &m, &d);
+    switch (unit) {
+        case MONTH:      d = 1; break;
+        case YEAR:       m = 1; d = 1; break;
+        case DECADE:     y -= ((y % 10) + 10) % 10; m = 1; d = 1; break;
+        case CENTURY:    y -= ((y % 100) + 100) % 100; m = 1; d = 1; break;
+        case MILLENNIUM: y -= ((y % 1000) + 1000) % 1000; m = 1; d = 1;
+                         break;
+        default: return ts;
+    }
+    return (double)(days_from_civil(y, m, d) * 86400LL);
+}
+
+// utils/serialise.py sortable_key_u64: order-preserving float -> u64
+static inline uint64_t sortable_key(double x) {
+    if (x == 0.0) x = 0.0;  // normalise -0.0
+    uint64_t bits;
+    memcpy(&bits, &x, 8);
+    if (bits & 0x8000000000000000ULL) return ~bits;
+    return bits | 0x8000000000000000ULL;
+}
+
+}  // namespace xtdate
+
+namespace xtinv {
+
+static inline uint16_t rd_u16(const uint8_t* p) {
+    uint16_t v; memcpy(&v, p, 2); return v;
+}
+static inline uint32_t rd_u32(const uint8_t* p) {
+    uint32_t v; memcpy(&v, p, 4); return v;
+}
+static inline int32_t rd_i32(const uint8_t* p) {
+    int32_t v; memcpy(&v, p, 4); return v;
+}
+static inline int64_t rd_i64(const uint8_t* p) {
+    int64_t v; memcpy(&v, p, 8); return v;
+}
+static inline float rd_f32(const uint8_t* p) {
+    float v; memcpy(&v, p, 4); return v;
+}
+static inline double rd_f64(const uint8_t* p) {
+    double v; memcpy(&v, p, 8); return v;
+}
+
+// emit "<prefix>:<016x sortable>" exact value term + per-accuracy terms
+static void emit_date_acc(Inverter* inv, double ts, int emit_exact,
+                          const uint8_t* units, int nunits,
+                          const uint8_t* prefix, uint32_t plen) {
+    std::string& term = inv->scratch;
+    char digits[40];
+    if (emit_exact) {
+        term.assign((const char*)prefix, plen);
+        term += ':';
+        int n = snprintf(digits, sizeof digits, "%016llx",
+                         (unsigned long long)xtdate::sortable_key(ts));
+        term.append(digits, n);
+        inv->emit(term.data(), (uint32_t)term.size(), 0.0f, -1);
+    }
+    for (int u = 0; u < nunits; u++) {
+        int unit = units[u];
+        if (unit < 0 || unit > xtdate::MILLENNIUM) continue;
+        double t = xtdate::trunc_date(ts, unit);
+        term.assign((const char*)prefix, plen);
+        term += "#D";
+        term += xtdate::kUnitNames[unit];
+        int n = snprintf(digits, sizeof digits, ":%lld",
+                         (long long)t);  // trunc toward zero == Python
+        term.append(digits, n);           // int() on whole-second doubles
+        inv->emit(term.data(), (uint32_t)term.size(), 0.0f, -1);
+    }
+}
+
+static void emit_num_acc(Inverter* inv, double value, int emit_exact,
+                         const int64_t* accs, int naccs,
+                         const uint8_t* prefix, uint32_t plen) {
+    std::string& term = inv->scratch;
+    char digits[48];
+    if (emit_exact) {
+        term.assign((const char*)prefix, plen);
+        term += ':';
+        int n = snprintf(digits, sizeof digits, "%016llx",
+                         (unsigned long long)xtdate::sortable_key(value));
+        term.append(digits, n);
+        inv->emit(term.data(), (uint32_t)term.size(), 0.0f, -1);
+    }
+    for (int a = 0; a < naccs; a++) {
+        long long bucket = (long long)std::floor(value / (double)accs[a]);
+        term.assign((const char*)prefix, plen);
+        int n = snprintf(digits, sizeof digits, "#%lld:%lld",
+                         (long long)accs[a], bucket);
+        term.append(digits, n);
+        inv->emit(term.data(), (uint32_t)term.size(), 0.0f, -1);
+    }
+}
+
+}  // namespace xtinv
+
+void xt_inv_end_doc(void* h, double* doclen_out, int32_t* uniq_out);
+
+// returns 0 on success, -1 on malformed buffer / non-ASCII text (no
+// Python fallback should ever hit this: builder.py validates first)
+int32_t xt_inv_add_doc(void* h, int32_t docid, const uint8_t* buf,
+                       int64_t blen, double* doclen_out,
+                       int32_t* uniq_out) {
+    auto* inv = (xtinv::Inverter*)h;
+    xt_inv_begin_doc(h, docid);
+    const uint8_t* p = buf;
+    const uint8_t* end = buf + blen;
+    int64_t termpos = 0;
+    // local prefix scratch (16 max, same ABI cap as xt_inv_index_text)
+    const uint8_t* pptr[16];
+    int32_t plen_arr[16];
+    while (p < end) {
+        uint8_t kind = *p++;
+        switch (kind) {
+            case 1: {  // TERM
+                if (p + 2 > end) return -1;
+                uint16_t len = xtinv::rd_u16(p); p += 2;
+                const uint8_t* t = p; p += len;
+                if (p + 6 > end) return -1;
+                float wdf = xtinv::rd_f32(p); p += 4;
+                uint16_t npos = xtinv::rd_u16(p); p += 2;
+                if (p + 4LL * npos > end) return -1;
+                if (npos) {
+                    std::vector<int32_t> pos(npos);  // unaligned-safe
+                    memcpy(pos.data(), p, 4LL * npos);
+                    xt_inv_add_term(h, t, len, wdf, pos.data(), npos);
+                } else {
+                    xt_inv_add_term(h, t, len, wdf, nullptr, 0);
+                }
+                p += 4LL * npos;
+                break;
+            }
+            case 2: {  // BOOLS
+                if (p + 2 > end) return -1;
+                uint16_t n = xtinv::rd_u16(p); p += 2;
+                for (uint16_t i = 0; i < n; i++) {
+                    if (p + 2 > end) return -1;
+                    uint16_t len = xtinv::rd_u16(p); p += 2;
+                    if (p + len > end) return -1;
+                    inv->emit((const char*)p, len, 0.0f, -1);
+                    p += len;
+                }
+                break;
+            }
+            case 3: {  // TEXT
+                if (p + 1 > end) return -1;
+                uint8_t np = *p++;
+                if (np > 16) return -1;
+                // prefixes are contiguous in the buffer; index_text wants
+                // one concatenated block + lens, which is exactly how
+                // they're packed
+                const uint8_t* pfx0 = nullptr;
+                int32_t total_plen = 0;
+                for (uint8_t i = 0; i < np; i++) {
+                    if (p + 2 > end) return -1;
+                    uint16_t pl = xtinv::rd_u16(p); p += 2;
+                    if (p + pl > end) return -1;
+                    pptr[i] = p;
+                    plen_arr[i] = pl;
+                    if (i == 0) pfx0 = p;
+                    total_plen += pl;
+                    p += pl;
+                }
+                if (p + 13 > end) return -1;
+                int32_t pos_start = xtinv::rd_i32(p); p += 4;
+                float wdf = xtinv::rd_f32(p); p += 4;
+                uint8_t flags = *p++;
+                uint32_t tlen = xtinv::rd_u32(p); p += 4;
+                if (p + tlen > end) return -1;
+                // prefixes packed with 2-byte length headers between them
+                // are NOT contiguous; rebuild a contiguous block in
+                // scratch only when more than one prefix
+                int64_t base = termpos > pos_start ? termpos : pos_start;
+                int64_t r;
+                if (np <= 1) {
+                    r = xt_inv_index_text(h, p, tlen,
+                                          np ? pfx0 : (const uint8_t*)"",
+                                          plen_arr, np, base, wdf,
+                                          flags & 1, (flags >> 2) & 3,
+                                          (flags >> 4) & 3);
+                } else {
+                    std::string pblock;
+                    pblock.reserve(total_plen);
+                    for (uint8_t i = 0; i < np; i++)
+                        pblock.append((const char*)pptr[i], plen_arr[i]);
+                    r = xt_inv_index_text(h, p, tlen,
+                                          (const uint8_t*)pblock.data(),
+                                          plen_arr, np, base, wdf,
+                                          flags & 1, (flags >> 2) & 3,
+                                          (flags >> 4) & 3);
+                }
+                if (r < 0) return -1;
+                termpos = r + 100;  // ≙ tg.increase_termpos between fields
+                p += tlen;
+                break;
+            }
+            case 4: {  // GEO
+                if (p + 2 > end) return -1;
+                uint16_t nr = xtinv::rd_u16(p); p += 2;
+                if (p + 16LL * nr > end) return -1;
+                const uint8_t* ranges = p; p += 16LL * nr;
+                if (p + 1 > end) return -1;
+                uint8_t nl = *p++;
+                if (p + nl + 1 > end) return -1;
+                const uint8_t* levels = p; p += nl;
+                uint8_t max_level = *p++;
+                if (p + 1 > end) return -1;
+                uint8_t np = *p++;
+                std::vector<int64_t> starts(nr), ends(nr);
+                int32_t lv32[256];
+                for (uint16_t i = 0; i < nr; i++) {
+                    starts[i] = xtinv::rd_i64(ranges + 16LL * i);
+                    ends[i] = xtinv::rd_i64(ranges + 16LL * i + 8);
+                }
+                for (uint8_t i = 0; i < nl; i++) lv32[i] = levels[i];
+                for (uint8_t i = 0; i < np; i++) {
+                    if (p + 2 > end) return -1;
+                    uint16_t pl = xtinv::rd_u16(p); p += 2;
+                    if (p + pl > end) return -1;
+                    xt_inv_add_geo_acc(h, starts.data(), ends.data(), nr,
+                                       lv32, nl, max_level, p, pl);
+                    p += pl;
+                }
+                break;
+            }
+            case 5: {  // DATEACC
+                if (p + 10 > end) return -1;
+                double ts = xtinv::rd_f64(p); p += 8;
+                uint8_t emit_exact = *p++;
+                uint8_t nu = *p++;
+                if (p + nu + 1 > end) return -1;
+                const uint8_t* units = p; p += nu;
+                uint8_t np = *p++;
+                for (uint8_t i = 0; i < np; i++) {
+                    if (p + 2 > end) return -1;
+                    uint16_t pl = xtinv::rd_u16(p); p += 2;
+                    if (p + pl > end) return -1;
+                    xtinv::emit_date_acc(inv, ts, emit_exact, units, nu,
+                                         p, pl);
+                    p += pl;
+                }
+                break;
+            }
+            case 6: {  // NUMACC
+                if (p + 10 > end) return -1;
+                double value = xtinv::rd_f64(p); p += 8;
+                uint8_t emit_exact = *p++;
+                uint8_t na = *p++;
+                if (na > 32 || p + 8LL * na + 1 > end) return -1;
+                int64_t accs[32];  // unaligned-safe copy
+                for (uint8_t i = 0; i < na; i++)
+                    accs[i] = xtinv::rd_i64(p + 8LL * i);
+                p += 8LL * na;
+                uint8_t np = *p++;
+                for (uint8_t i = 0; i < np; i++) {
+                    if (p + 2 > end) return -1;
+                    uint16_t pl = xtinv::rd_u16(p); p += 2;
+                    if (p + pl > end) return -1;
+                    xtinv::emit_num_acc(inv, value, emit_exact, accs, na,
+                                        p, pl);
+                    p += pl;
+                }
+                break;
+            }
+            default:
+                return -1;
+        }
+    }
+    xt_inv_end_doc(h, doclen_out, uniq_out);
+    return 0;
+}
+
 void xt_inv_end_doc(void* h, double* doclen_out, int32_t* uniq_out) {
     auto* inv = (xtinv::Inverter*)h;
     double doclen = 0.0;

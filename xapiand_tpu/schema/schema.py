@@ -108,6 +108,12 @@ class IndexedDocument:
     # geo accuracy-term ops deferred to the native inverter (each is
     # (ranges, levels, prefix)); empty on the eager path
     geo_acc_ops: list = dfield(default_factory=list)
+    # numeric/date accuracy-term ops deferred to the native inverter's
+    # packed doc-add (xt_inv_add_doc generates bucket/truncation terms in
+    # C++; ≙ GenerateTerms src/multivalue/generate_terms.cc). Each is
+    # (value_or_ts, accuracies_or_None, prefix); empty on the eager path.
+    num_acc_ops: list = dfield(default_factory=list)
+    date_acc_ops: list = dfield(default_factory=list)
 
 
 def field_prefix(path: str) -> str:
@@ -819,9 +825,15 @@ class Schema:
 
             geo = geospatial.extract(value, error=spec.error)
 
+        ts = None
+        if ftype in (FieldType.DATE, FieldType.DATETIME):
+            # ONE parse serves field terms, global terms, and the value
+            # slot (ISO parsing is a measurable slice of date-heavy docs)
+            ts = dtutils.parse_datetime(value)
+
         def add_terms(prefix: str):
             self._emit_terms(out, spec, ftype, value, prefix, path,
-                             geo=geo)
+                             geo=geo, ts=ts)
 
         field_prefixes = spec.ns_partial_prefixes or (spec.prefix,)
         if ftype == FieldType.TEXT:
@@ -841,7 +853,8 @@ class Schema:
             if do_global_terms:
                 add_terms("")
         if do_field_values and spec.slot is not None:
-            tv = self._typed_value(out, spec, ftype, value, path, geo=geo)
+            tv = self._typed_value(out, spec, ftype, value, path, geo=geo,
+                                   ts=ts)
             if tv is not None:
                 out.values.setdefault(spec.slot, []).append(tv)
 
@@ -864,7 +877,8 @@ class Schema:
         tg.increase_termpos()
         out._termpos = tg.position
 
-    def _emit_terms(self, out, spec, ftype, value, prefix, path, geo=None):
+    def _emit_terms(self, out, spec, ftype, value, prefix, path, geo=None,
+                    ts=None):
         terms = out.terms
         if ftype == FieldType.TEXT:
             self._emit_text_terms(out, spec, value, (prefix,))
@@ -876,14 +890,21 @@ class Schema:
                 terms.add(term.lower(), spec.weight)
         elif ftype in (FieldType.INTEGER, FieldType.POSITIVE, FieldType.FLOATING):
             num = _to_number(value, path)
-            terms.add_boolean(prefix + ":" + ser.serialise_float_term(num))
-            terms.add_booleans(
-                acc_mod.numeric_terms(num, spec.accuracy, prefix))
+            if getattr(out, "_defer", False):
+                out.num_acc_ops.append((num, spec.accuracy, prefix))
+            else:
+                terms.add_boolean(prefix + ":" + ser.serialise_float_term(num))
+                terms.add_booleans(
+                    acc_mod.numeric_terms(num, spec.accuracy, prefix))
         elif ftype in (FieldType.DATE, FieldType.DATETIME):
-            ts = dtutils.parse_datetime(value)
-            terms.add_boolean(prefix + ":" + ser.serialise_float_term(ts))
-            terms.add_booleans(
-                acc_mod.date_terms(ts, spec.accuracy, prefix))
+            if ts is None:
+                ts = dtutils.parse_datetime(value)
+            if getattr(out, "_defer", False):
+                out.date_acc_ops.append((ts, spec.accuracy, prefix))
+            else:
+                terms.add_boolean(prefix + ":" + ser.serialise_float_term(ts))
+                terms.add_booleans(
+                    acc_mod.date_terms(ts, spec.accuracy, prefix))
         elif ftype == FieldType.TIME:
             t = dtutils.parse_time(value)
             terms.add_boolean(prefix + ":" + ser.serialise_float_term(t))
@@ -919,11 +940,11 @@ class Schema:
         else:
             raise SchemaError(f"cannot index type {ftype} at {path!r}")
 
-    def _typed_value(self, out, spec, ftype, value, path, geo=None):
+    def _typed_value(self, out, spec, ftype, value, path, geo=None, ts=None):
         if ftype in (FieldType.INTEGER, FieldType.POSITIVE, FieldType.FLOATING):
             return float(_to_number(value, path))
         if ftype in (FieldType.DATE, FieldType.DATETIME):
-            return dtutils.parse_datetime(value)
+            return ts if ts is not None else dtutils.parse_datetime(value)
         if ftype == FieldType.TIME:
             return dtutils.parse_time(value)
         if ftype == FieldType.TIMEDELTA:
