@@ -102,7 +102,7 @@ def test_remap_shape_and_counts(merged_and_oracle):
 
 def test_postings_sorted_within_terms(merged_and_oracle):
     _, _, _, merged, _ = merged_and_oracle
-    for term in list(dict.keys(merged.terms))[:200]:
+    for term in list(merged.terms.keys())[:200]:
         ti = merged.terms[term]
         ids = merged.post_docids[ti.offset: ti.offset + ti.length]
         assert (ids[1:] > ids[:-1]).all(), term
@@ -111,8 +111,8 @@ def test_postings_sorted_within_terms(merged_and_oracle):
 def test_term_stats_match_fresh_index(merged_and_oracle):
     _, mdb, oracle, merged, _ = merged_and_oracle
     oseg = oracle._searchers[0].segment
-    assert set(dict.keys(merged.terms)) == set(dict.keys(oseg.terms))
-    for term in dict.keys(oseg.terms):
+    assert set(merged.terms.keys()) == set(oseg.terms.keys())
+    for term in oseg.terms.keys():
         a, b = merged.terms[term], oseg.terms[term]
         assert a.length == b.length, term
         assert a.collfreq == b.collfreq, term

@@ -147,7 +147,7 @@ def test_stemmer_matches_nltk():
     b = 0
     for tl in ex["term_lens"][: ex["n_terms"]].tolist():
         got.add(ex["term_buf"][b: b + tl].decode())
-        b += tl
+        b += tl + 1  # exported terms are NUL-separated
     expect = {ns.stem(w) for w in words}
     assert got == expect
 

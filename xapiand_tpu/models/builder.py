@@ -13,6 +13,10 @@ from collections import defaultdict
 
 import numpy as np
 
+from xapiand_tpu.analysis import accuracy as acc_mod
+from xapiand_tpu.analysis import termgen as tg_mod
+from xapiand_tpu.analysis.accuracy import DEF_ACC_DATE, DEF_ACC_NUMERIC
+from xapiand_tpu.analysis.stem import resolve_language
 from xapiand_tpu.models.segment import (GeoColumn, Segment, TermInfo,
                                         TermTable, ValueColumn, size_class)
 from xapiand_tpu.schema.schema import IndexedDocument
@@ -21,11 +25,28 @@ from xapiand_tpu.utils import serialise as ser
 _I32MAX = np.int32(2**31 - 1)
 
 
+_PREFIX_BLOB_CACHE: dict = {}
+
+
+def _prefix_blob(prefixes) -> bytes:
+    """(u16 len + utf-8 bytes) per prefix, memoized: field prefixes repeat
+    on every doc, so _pack_doc never re-encodes them."""
+    key = tuple(prefixes)
+    b = _PREFIX_BLOB_CACHE.get(key)
+    if b is None:
+        out = []
+        for p in key:
+            praw = p.encode("utf-8")
+            out.append(struct.pack("<H", len(praw)))
+            out.append(praw)
+        b = _PREFIX_BLOB_CACHE[key] = b"".join(out)
+    return b
+
+
 def _materialize_acc_ops(idoc: IndexedDocument) -> None:
     """Run deferred numeric/date accuracy ops through the Python generators
     (used on the pure-Python path and the native per-call fallback); emits
     exactly the terms schema._emit_terms produces eagerly."""
-    from xapiand_tpu.analysis import accuracy as acc_mod
 
     for num, accs, prefix in idoc.num_acc_ops:
         idoc.terms.add_boolean(prefix + ":" + ser.serialise_float_term(num))
@@ -40,7 +61,6 @@ def _materialize_acc_ops(idoc: IndexedDocument) -> None:
 def _materialize_text_ops(idoc: IndexedDocument) -> None:
     """Run deferred text ops through the Python TermGenerator (used when a
     deferred document lands in a pure-Python builder)."""
-    from xapiand_tpu.analysis import termgen as tg_mod
 
     termpos = 0
     for (value, prefixes, language, stem_s, stop_s, weight,
@@ -92,8 +112,6 @@ class SegmentBuilder:
         if idoc.text_ops:
             _materialize_text_ops(idoc)
         if idoc.geo_acc_ops:
-            from xapiand_tpu.analysis import accuracy as acc_mod
-
             for ranges, levels, prefix in idoc.geo_acc_ops:
                 idoc.terms.add_booleans(
                     acc_mod.geo_terms(ranges, list(levels), prefix))
@@ -127,9 +145,6 @@ class SegmentBuilder:
         tokenise+stem+per-doc accumulation natively); non-ASCII or
         non-English text ops fall back to the Python TermGenerator per op
         but still land their terms in the inverter."""
-        from xapiand_tpu.analysis import termgen as tg_mod
-        from xapiand_tpu.analysis.stem import resolve_language
-
         inv = self._inv
         docid = len(self._doc_keys)
         if inv.can_add_doc:
@@ -220,8 +235,6 @@ class SegmentBuilder:
         per-call path (non-ASCII/non-English text, >16 prefixes);
         unpackable num/date ops degrade per-op via _materialize_acc_ops
         semantics instead."""
-        from xapiand_tpu.analysis import termgen as tg_mod
-        from xapiand_tpu.analysis.stem import resolve_language
         from xapiand_tpu.native import _STEM_MODES, _STOP_MODES
 
         pk = struct.pack
@@ -242,10 +255,7 @@ class SegmentBuilder:
                      | (_STEM_MODES[eff_stem] << 2)
                      | (_STOP_MODES[eff_stop] << 4))
             ap(pk("<BB", 3, len(prefixes)))
-            for p in prefixes:
-                praw = p.encode("utf-8")
-                ap(pk("<H", len(praw)))
-                ap(praw)
+            ap(_prefix_blob(prefixes))
             raw = text.encode("ascii")
             ap(pk("<ifBI", int(pos_start), float(weight), flags, len(raw)))
             ap(raw)
@@ -269,7 +279,6 @@ class SegmentBuilder:
         # bit-identically spill into extra_bools (same strings as eager)
         extra_bools = []
         if idoc.num_acc_ops:
-            from xapiand_tpu.analysis.accuracy import DEF_ACC_NUMERIC
             groups = []
             for num, accs, prefix in idoc.num_acc_ops:
                 eff = DEF_ACC_NUMERIC if accs is None else accs
@@ -282,7 +291,6 @@ class SegmentBuilder:
                               and 0 < a < 2**62 for a in eff)
                       and abs(float(num)) < 2**62)
                 if not ok:
-                    from xapiand_tpu.analysis import accuracy as acc_mod
                     extra_bools.append(
                         prefix + ":" + ser.serialise_float_term(num))
                     extra_bools.extend(
@@ -297,12 +305,8 @@ class SegmentBuilder:
                 ap(pk("<BdBB", 6, float(num), 1, len(eff)))
                 ap(pk("<%dq" % len(eff), *eff))
                 ap(pk("<B", len(prefs)))
-                for p in prefs:
-                    praw = p.encode("utf-8")
-                    ap(pk("<H", len(praw)))
-                    ap(praw)
+                ap(_prefix_blob(prefs))
         if idoc.date_acc_ops:
-            from xapiand_tpu.analysis.accuracy import DEF_ACC_DATE
             enum = self._DATE_UNIT_ENUM
             groups = []
             for ts, units, prefix in idoc.date_acc_ops:
@@ -312,7 +316,6 @@ class SegmentBuilder:
                       and self._TS_MIN <= ts < self._TS_MAX
                       and len(codes) <= 255 and min(codes, default=0) >= 0)
                 if not ok:
-                    from xapiand_tpu.analysis import accuracy as acc_mod
                     extra_bools.append(
                         prefix + ":" + ser.serialise_float_term(ts))
                     extra_bools.extend(acc_mod.date_terms(ts, units, prefix))
@@ -325,10 +328,7 @@ class SegmentBuilder:
             for ts, _units, prefs, codes in groups:
                 ap(pk("<BdBB%dB" % len(codes), 5, ts, 1, len(codes), *codes))
                 ap(pk("<B", len(prefs)))
-                for p in prefs:
-                    praw = p.encode("utf-8")
-                    ap(pk("<H", len(praw)))
-                    ap(praw)
+                ap(_prefix_blob(prefs))
         # booleans (chunked: u16 count per section)
         bools = idoc.terms.bool_terms
         if extra_bools:
@@ -363,10 +363,7 @@ class SegmentBuilder:
                 ap(pk("<B%dB" % len(levels), len(levels),
                       *[int(lv) for lv in levels]))
                 ap(pk("<BB", htm.MAX_LEVEL, len(prefs)))
-                for p in prefs:
-                    praw = p.encode("utf-8")
-                    ap(pk("<H", len(praw)))
-                    ap(praw)
+                ap(_prefix_blob(prefs))
         return b"".join(parts)
 
     # -- pack ------------------------------------------------------------------
@@ -497,10 +494,7 @@ class SegmentBuilder:
 
         term_infos = TermTable()
         buf = ex["term_buf"]
-        lens = ex["term_lens"][:nt].tolist()
-        offs = ex["offsets"].tolist()
-        cfs = np.rint(ex["collfreq"][:nt]).astype(np.int64).tolist()
-        mws = ex["maxwdf"][:nt].astype(np.float64).tolist()
+        cf_col = np.rint(ex["collfreq"][:nt]).astype(np.int64)
         if nt and total_post:
             mps = np.maximum.reduceat(
                 ex["poslen"], np.minimum(ex["offsets"][:nt],
@@ -508,24 +502,21 @@ class SegmentBuilder:
             # reduceat spans [off_i, off_{i+1}); empty terms read a
             # neighbour's value - zero them via the length mask
             span = ex["offsets"][1:] - ex["offsets"][:nt]
-            mps = np.where(span > 0, mps, 0).tolist()
+            mps = np.where(span > 0, mps, 0)
         else:
-            mps = [0] * nt
-        # pure-ASCII term buffer (overwhelmingly common): byte offsets ==
-        # char offsets, ONE decode + str slicing; else per-term decode
-        text = buf.decode("utf-8")
-        ascii_fast = len(text) == len(buf)
-        b = 0
-        for tid in range(nt):
-            tl = lens[tid]
-            term = text[b: b + tl] if ascii_fast \
-                else buf[b: b + tl].decode("utf-8")
-            b += tl
-            off = offs[tid]
-            # raw tuple; TermTable materializes TermInfo on first access
-            dict.__setitem__(term_infos, term,
-                             (tid, off, offs[tid + 1] - off,
-                              cfs[tid], mws[tid], mps[tid]))
+            mps = np.zeros(nt, np.int64)
+        # term_buf is NUL-separated and sorted (xt_inv_export): the table
+        # stays LAZY — lookups bisect the buffer, stats come from the
+        # shared columns, and bulk paths (merge/snapshot) materialize on
+        # demand. Finalize does ZERO per-term Python work (a 20k-doc geo
+        # corpus creates 2.2M unique terms; even a C-speed dict build of
+        # those was ~1s of the commit).
+        term_infos.cols = (ex["offsets"], cf_col, ex["maxwdf"][:nt], mps)
+        lens32 = ex["term_lens"][:nt]
+        starts = np.zeros(max(nt, 1), np.int64)
+        if nt > 1:
+            np.cumsum(lens32[:-1].astype(np.int64) + 1, out=starts[1:])
+        term_infos.src = (buf, starts[:nt], lens32)
 
         doclen = np.zeros(nd + 1, dtype=np.float32)
         uniqterms = np.ones(nd + 1, dtype=np.float32)

@@ -89,7 +89,8 @@ def merge_segments_data(segs: list[Segment],
 
     # ---- global term dictionary (sorted union, like the builder) ----------
     all_terms = sorted(set().union(
-        *[set(dict.keys(s.terms)) for s in segs])) if segs else []
+        *[set(s.terms.keys() if isinstance(s.terms, TermTable)
+              else dict.keys(s.terms)) for s in segs])) if segs else []
     gtid = {t: i for i, t in enumerate(all_terms)}
     ng = len(all_terms)
 
@@ -98,7 +99,10 @@ def merge_segments_data(segs: list[Segment],
     poslen_chunks, pos_data_chunks, posoff_chunks = [], [], []
     pos_base = 0
     for si, s in enumerate(segs):
-        raws = [( _term_raw(v), t) for t, v in dict.items(s.terms)]
+        if hasattr(s.terms, "raw_items"):
+            raws = [(v, t) for t, v in s.terms.raw_items()]
+        else:  # plain dict (hand-built test segments)
+            raws = [(_term_raw(v), t) for t, v in dict.items(s.terms)]
         raws.sort(key=lambda rv: rv[0][1])          # by offset: posting order
         if raws:
             offs = np.asarray([rv[0][1] for rv in raws], np.int64)

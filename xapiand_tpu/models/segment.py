@@ -61,40 +61,171 @@ class TermInfo:
 
 
 class TermTable(dict):
-    """term -> TermInfo, materialized lazily from raw tuples.
+    """term -> TermInfo, materialized lazily from raw tuples or columns.
 
     A commit exports every term's stats, but queries only ever touch a
     handful - building 100k+ TermInfo dataclasses eagerly was ~40% of
-    segment-finalize time. The builder stores plain tuples; accessors
-    convert+cache on first touch. Iteration over keys never materializes;
-    items()/values() (rare stats paths) materialize on the fly."""
+    segment-finalize time, and even raw 6-tuples cost ~2s/1M terms to
+    allocate. Stored values may be TermInfo, a raw 6-tuple, or an int
+    tid indexing the packed stat columns in `self.cols`
+    (offsets[nt+1] i64, collfreq i64, maxwdf f32, maxpos i64 - the
+    native exporter's arrays, shared not copied). Accessors convert+
+    cache on first touch; raw_items() (merge/snapshot bulk paths)
+    resolves without building TermInfo objects."""
 
-    __slots__ = ()
+    __slots__ = ("cols", "src")
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.cols = None
+        # (buf, starts, lens): the native exporter's NUL-separated sorted
+        # term buffer + per-term byte offsets/lengths. While set, the
+        # dict holds only a CACHE of touched terms; lookups bisect the
+        # buffer (memcmp order == Python bytes order), so a commit does
+        # ZERO per-term Python work. Bulk accessors materialize first.
+        self.src = None
+
+    def _mk(self, tid: int) -> TermInfo:
+        offs, cf, mw, mp = self.cols
+        return TermInfo(tid, int(offs[tid]),
+                        int(offs[tid + 1]) - int(offs[tid]),
+                        int(cf[tid]), float(mw[tid]), int(mp[tid]))
+
+    def _bisect(self, key: str) -> int:
+        """tid of key in the sorted export buffer, or -1."""
+        buf, starts, lens = self.src
+        tb = key.encode("utf-8")
+        lo, hi = 0, len(lens)
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            s = starts[mid]
+            cur = buf[s: s + lens[mid]]
+            if cur < tb:
+                lo = mid + 1
+            elif cur > tb:
+                hi = mid
+            else:
+                return mid
+        return -1
+
+    def _ensure_full(self):
+        """Materialize every key into the dict (bulk iteration paths)."""
+        if self.src is None:
+            return
+        buf, starts, lens = self.src
+        nt = len(lens)
+        # NB: dict(self) would call back into self.keys() — use the raw
+        # dict iterator for the already-cached entries
+        cached = ({k: v for k, v in dict.items(self)}
+                  if dict.__len__(self) else None)
+        parts = buf.decode("utf-8").split("\0")
+        if len(parts) == nt + 1 and not parts[-1]:
+            dict.update(self, zip(parts, range(nt)))
+        else:  # embedded NUL in a term: slice per term
+            for tid in range(nt):
+                s = int(starts[tid])
+                term = buf[s: s + int(lens[tid])].decode("utf-8")
+                dict.__setitem__(self, term, tid)
+        if cached:
+            dict.update(self, cached)
+        self.src = None
 
     def __getitem__(self, k):
-        v = dict.__getitem__(self, k)
-        if type(v) is tuple:
+        try:
+            v = dict.__getitem__(self, k)
+        except KeyError:
+            if self.src is not None:
+                tid = self._bisect(k)
+                if tid >= 0:
+                    v = self._mk(tid)
+                    dict.__setitem__(self, k, v)
+                    return v
+            raise
+        t = type(v)
+        if t is tuple:
             v = TermInfo(*v)
+            dict.__setitem__(self, k, v)
+        elif t is int:
+            v = self._mk(v)
             dict.__setitem__(self, k, v)
         return v
 
     def get(self, k, default=None):
         try:
             v = dict.__getitem__(self, k)
-        except KeyError:
+        except (KeyError, TypeError):
+            if self.src is not None and isinstance(k, str):
+                tid = self._bisect(k)
+                if tid >= 0:
+                    v = self._mk(tid)
+                    dict.__setitem__(self, k, v)
+                    return v
             return default
-        if type(v) is tuple:
+        t = type(v)
+        if t is tuple:
             v = TermInfo(*v)
+            dict.__setitem__(self, k, v)
+        elif t is int:
+            v = self._mk(v)
             dict.__setitem__(self, k, v)
         return v
 
+    def __contains__(self, k):
+        if dict.__contains__(self, k):
+            return True
+        return (self.src is not None and isinstance(k, str)
+                and self._bisect(k) >= 0)
+
+    def __len__(self):
+        if self.src is not None:
+            return len(self.src[2])
+        return dict.__len__(self)
+
+    def __iter__(self):
+        self._ensure_full()
+        return dict.__iter__(self)
+
+    def keys(self):
+        self._ensure_full()
+        return dict.keys(self)
+
     def items(self):
+        self._ensure_full()
         for k in dict.keys(self):
             yield k, self[k]
 
     def values(self):
+        self._ensure_full()
         for k in dict.keys(self):
             yield self[k]
+
+    def raw_items(self):
+        """(term, (tid, offset, length, collfreq, max_wdf, max_poslen))
+        without materializing TermInfo objects - the bulk export used by
+        merge_segments_data and snapshots."""
+        self._ensure_full()
+        if self.cols is not None:
+            offs, cf, mw, mp = self.cols
+            offl = offs.tolist()
+            cfl = cf.tolist()
+            mwl = mw.tolist()
+            mpl = mp.tolist()
+            for k, v in dict.items(self):
+                if type(v) is int:
+                    yield k, (v, offl[v], offl[v + 1] - offl[v],
+                              cfl[v], mwl[v], mpl[v])
+                elif type(v) is tuple:
+                    yield k, v
+                else:
+                    yield k, (v.tid, v.offset, v.length, v.collfreq,
+                              v.max_wdf, v.max_poslen)
+        else:
+            for k, v in dict.items(self):
+                if type(v) is tuple:
+                    yield k, v
+                else:
+                    yield k, (v.tid, v.offset, v.length, v.collfreq,
+                              v.max_wdf, v.max_poslen)
 
 
 @dataclass

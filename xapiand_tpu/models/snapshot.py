@@ -131,10 +131,12 @@ def _write_segment(fh, seg: Segment) -> None:
         "total_doclen": float(seg.total_doclen),
         "guard": seg.guard,
         "doc_keys": list(seg.doc_keys),
-        # raw tuples, not TermInfo objects: dict.items() bypasses the lazy
+        # raw tuples, not TermInfo objects: raw_items() bypasses the lazy
         # TermTable materialisation (eager TermInfo construction was ~40%
-        # of finalize cost; same trick as models/merge._term_raw)
-        "terms": [[t, _term_tuple(v)] for t, v in dict.items(seg.terms)],
+        # of finalize cost; same trick as models/merge)
+        "terms": ([[t, list(v)] for t, v in seg.terms.raw_items()]
+                  if hasattr(seg.terms, "raw_items") else
+                  [[t, _term_tuple(v)] for t, v in dict.items(seg.terms)]),
         "values": [[slot, {"kind": col.kind, "max_vals": col.max_vals,
                            "cat_names": col.cat_names, "raw": col.raw}]
                    for slot, col in seg.values.items()],

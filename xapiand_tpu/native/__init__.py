@@ -21,6 +21,7 @@ _lock = threading.Lock()
 class NativeLib:
     def __init__(self, cdll):
         self._c = cdll
+        self._tls = threading.local()
         c = cdll
         c.xt_fnv1a64.restype = ctypes.c_uint64
         c.xt_fnv1a64.argtypes = [ctypes.c_char_p, ctypes.c_int64]
@@ -145,7 +146,14 @@ class NativeLib:
                       level: int, max_trixels: int = 4096):
         """Bit-identical native htm.cover() for Cap regions; None if the
         buffer overflows (caller falls back / raises like Python)."""
-        buf = (ctypes.c_int32 * (2 * max_trixels))()
+        # reusable thread-local buffer: a fresh 32KB ctypes array (and
+        # its type-cache lookup) per call was ~half this path's cost on
+        # geo-profile indexing; bulk.py's prepare pool calls this from
+        # worker threads, hence thread-local not instance state
+        tl = self._tls
+        buf = getattr(tl, "cover_buf", None)
+        if buf is None or len(buf) < 2 * max_trixels:
+            buf = tl.cover_buf = (ctypes.c_int32 * (2 * max_trixels))()
         n = self._c.xt_htm_cap_cover(lat, lon, radius_rad, level, buf,
                                      max_trixels)
         if n < 0:

@@ -216,19 +216,27 @@ class HostQueryExecutor:
         if not total:
             return None
         self._ensure_positions()
-        terms = list(seg.terms.values())
-        if not terms:
+        nt = len(seg.terms)
+        if not nt:
             return None
-        offs = np.fromiter((t.offset for t in terms), np.int64, len(terms))
-        lens = np.fromiter((t.length for t in terms), np.int64, len(terms))
+        cols = getattr(seg.terms, "cols", None)
+        if cols is not None:
+            # native-export stat columns: no TermInfo materialization
+            offsets, cf_col, _mw, _mp = cols
+            offs = np.asarray(offsets[:nt], np.int64)
+            lens = np.asarray(offsets[1:nt + 1], np.int64) - offs
+        else:
+            terms = list(seg.terms.values())
+            offs = np.fromiter((t.offset for t in terms), np.int64, nt)
+            lens = np.fromiter((t.length for t in terms), np.int64, nt)
         cap = int(os.environ.get("XT_BIGRAM_MAX_OCC", "48000000"))
         minlen = 0
         if total > cap:
             # index only heavy terms: smallest posting-length cutoff
             # whose occurrence mass fits the cap (light phrases verify
             # positionally at trivial cost anyway)
-            occ = np.fromiter((t.collfreq for t in terms),
-                              np.int64, len(terms))
+            occ = cf_col[:nt] if cols is not None else \
+                np.fromiter((t.collfreq for t in terms), np.int64, nt)
             order = np.argsort(-lens, kind="stable")
             mass = np.cumsum(occ[order])
             hi = int(np.searchsorted(mass, cap, side="right"))
@@ -239,7 +247,7 @@ class HostQueryExecutor:
                 return None
         npairs = self._c.xt_qseg_build_bigrams(
             self._h, offs.ctypes.data_as(_i64p),
-            lens.ctypes.data_as(_i64p), len(terms), minlen)
+            lens.ctypes.data_as(_i64p), nt, minlen)
         if npairs < 0:
             return None
         self._bigram_minlen = minlen

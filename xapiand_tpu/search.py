@@ -24,9 +24,25 @@ class SegmentSearcher:
     def __init__(self, seg: Segment, scheme: Optional[WeightScheme] = None,
                  device=None):
         self.segment = seg
-        self.device_segment = DeviceSegment(seg, device=device)
+        self._device = device
+        self._device_segment: Optional[DeviceSegment] = None
         self.scheme = scheme or get_scheme("bm25")
         self._cache: dict = {}
+
+    @property
+    def device_segment(self) -> DeviceSegment:
+        """Device mirror, built LAZILY on the first device-routed query.
+
+        Indexing/commit never pays the HBM upload (9.1ms+ tunnel
+        device_put per array; the dominant cost of geo-profile commits),
+        and pure host-path serving (host_scorer/host_query) never
+        uploads at all — mirroring the reference, whose glass commit is
+        disk-only (glass_inverter.cc flush) with no device involved."""
+        ds = self._device_segment
+        if ds is None:
+            ds = self._device_segment = DeviceSegment(
+                self.segment, device=self._device)
+        return ds
 
     def host_scorer(self):
         """Lazy native latency-path scorer over this segment's flat
@@ -55,8 +71,9 @@ class SegmentSearcher:
     def refresh_deleted(self):
         """Re-upload the delete bitmap after host-side deletes (delta
         deletes on immutable segments, SURVEY.md §7 hard-parts)."""
-        self.device_segment.deleted = jax.device_put(
-            jnp.asarray(self.segment.deleted, jnp.bool_))
+        if self._device_segment is not None:
+            self._device_segment.deleted = jax.device_put(
+                jnp.asarray(self.segment.deleted, jnp.bool_))
         # native executors registered a has-deletes flag at build time
         self.__dict__.pop("_host_query", None)
 
