@@ -126,6 +126,7 @@ class Storage:
             self._fh.flush()
         self._fh.seek(0, os.SEEK_END)
         self._end = self._fh.tell()
+        self._at_end = True
 
     @property
     def size(self) -> int:
@@ -145,13 +146,16 @@ class Storage:
                 body, flags = c, FLAG_COMPRESSED
         offset = self._end
         rec = _REC_HDR.pack(len(body), flags) + body + _SUM.pack(xxh64(body))
-        self._fh.seek(self._end)
+        if not self._at_end:            # a read() moved the position
+            self._fh.seek(self._end)
+            self._at_end = True
         self._fh.write(rec)
         self._end += len(rec)
         return offset
 
     def read(self, offset: int) -> bytes:
         faults.maybe_io("storage.read")
+        self._at_end = False
         self._fh.seek(offset)
         hdr = self._fh.read(_REC_HDR.size)
         if len(hdr) < _REC_HDR.size:
@@ -183,6 +187,7 @@ class Storage:
             except StorageCorruptVolume:
                 return
             yield offset, payload
+            self._at_end = False
             self._fh.seek(offset)
             length, _ = _REC_HDR.unpack(self._fh.read(_REC_HDR.size))
             offset += _REC_HDR.size + length + _SUM.size
@@ -196,6 +201,7 @@ class Storage:
         offset = max(offset, HEADER_SIZE)
         self._fh.truncate(offset)
         self._end = offset
+        self._at_end = False
 
     def fsync(self):
         self._fh.flush()

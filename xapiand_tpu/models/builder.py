@@ -589,6 +589,38 @@ class SegmentBuilder:
                 kind="numeric", hi=hi, lo=lo, max_hi=max_hi,
                 max_lo=max_lo, fval=fval, present=present, cats=None,
                 raw=raw, fval2=None, max_vals=1)
+        # vectorised fast path #2: every doc has exactly ONE string value
+        # (the _id column shape - 50k unique ids made serialise_string_key
+        # the hottest commit-time line). numpy 'S8' encodes+truncates+pads
+        # in C; non-ASCII falls through to the generic loop.
+        if per_doc and all(
+                len(vals) == 1 and type(vals[0]) is str
+                for vals in per_doc.values()):
+            strs = [vals[0] for vals in per_doc.values()]
+            try:
+                s8 = np.array(strs, dtype="S8")
+            except UnicodeEncodeError:
+                s8 = None
+            if s8 is not None:
+                dids = np.fromiter(per_doc.keys(), np.int64, len(per_doc))
+                keys_np = np.ascontiguousarray(s8).view(">u8").ravel() \
+                    .astype(np.uint64)
+                h, l = ser.split_keys_np(keys_np)
+                hi[dids], lo[dids] = h, l
+                max_hi[dids], max_lo[dids] = h, l
+                present[dids] = True
+                for docid, v in zip(per_doc.keys(), strs):
+                    raw[docid] = v
+                names, codes = np.unique(np.array(strs, dtype=object),
+                                         return_inverse=True)
+                cat_codes[dids] = codes.astype(np.int32)
+                col = ValueColumn(
+                    kind="string", hi=hi, lo=lo, max_hi=max_hi,
+                    max_lo=max_lo, fval=fval, present=present, raw=raw,
+                    fval2=None, max_vals=1)
+                col.cats = cat_codes
+                col.cat_names = list(names)
+                return col
         _skey_memo: dict[str, int] = {}
         for docid, vals in per_doc.items():
             raw[docid] = vals[0] if len(vals) == 1 else vals

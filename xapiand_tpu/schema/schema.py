@@ -227,7 +227,11 @@ class Schema:
             self._apply_reserved(spec, self.props.get("schema", {}),
                                  path="", mutate=False)
             self._spec_cache[""] = cached = (None, spec)
-        return copy.copy(cached[1])
+        # copy.copy's protocol probing (~5us/doc) dominated bulk indexing;
+        # FieldSpec is a plain dataclass, a __dict__ clone is equivalent
+        spec = FieldSpec.__new__(FieldSpec)
+        spec.__dict__.update(cached[1].__dict__)
+        return spec
 
     def get_field(self, path: str) -> FieldSpec:
         """Resolve the spec for a dotted field path (query-side view).
