@@ -411,7 +411,7 @@ class BatchSearcher:
         if hq is None:
             return results, rem
         from xapiand_tpu.ops.host_query import conj_eligible
-        from xapiand_tpu.ops.host_scorer import term_constants
+        from xapiand_tpu.ops.host_scorer import host_eligible, term_constants
         from xapiand_tpu.query.plan import compile_ir, resolve_special
 
         seg = self.searcher.segment
@@ -432,6 +432,7 @@ class BatchSearcher:
         if self.global_cf is not None:
             gcf = self.global_cf
         rem = []
+        or_cands: list = []   # (qi, cq) pure-OR queries, host-eligible
         for qi, ir in enumerate(irs):
             cq = compile_ir(resolve_special(ir, self.scheme, st, gtf, gcf),
                             cost_fn=gtf)
@@ -444,9 +445,41 @@ class BatchSearcher:
                 out = hq.run(cq, parts, self.scheme, st, tc, self.k,
                              sort=self.sort or (), aggs=self.aggs_specs)
             if out is None:
-                rem.append(qi)
+                if host_eligible(cq, self.scheme, self.sort or (),
+                                 self.aggs_specs, None):
+                    or_cands.append((qi, cq))
+                else:
+                    rem.append(qi)
             else:
                 results[qi] = out
+        if or_cands:
+            # batch economics: a device batch pays fixed launch+readback
+            # overhead (~10-30ms over the tunnel) regardless of size; the
+            # native TAAT scorer pays ~1-2ns/posting. Serve the WHOLE
+            # pure-OR residue from ONE host crossing when its total
+            # posting work is small (small/medium batches: cfg2 booleans,
+            # mixed serving traffic); past the budget the device batch
+            # amortizes better (the 1M-doc headline workload) and ALL of
+            # it stays on device. Exactness either way: HostScorer
+            # reproduces the engine's (score desc, docid asc) contract
+            # in float64 (ops/host_scorer.py, parity-tested).
+            budget = int(os.environ.get("XT_HOST_OR_BUDGET", "4000000"))
+            total_work = sum(gtf(pt.term) for _qi, cq in or_cands
+                             for pt in cq.terms)
+            if total_work <= budget:
+                hs = self.searcher.host_scorer()
+                plans = []
+                for _qi, cq in or_cands:
+                    offs, lens = hs.offsets_lens(cq)
+                    plans.append((offs, lens,
+                                  term_constants(cq, self.scheme, st,
+                                                 gtf, gcf)))
+                outs = hs.search_many(plans, self.scheme, st, self.k)
+                for (qi, _cq), out in zip(or_cands, outs):
+                    results[qi] = out
+            else:
+                rem.extend(qi for qi, _cq in or_cands)
+                rem.sort()
         return results, rem
 
     def _prefixify(self, cfg_g, stats):
