@@ -450,18 +450,6 @@ def run_ours_config5(docs, queries, n_shards=8):
 
     res = idx.search_batch(queries, k=10)
 
-    if len(docs) > 500_000:
-        # scale run: skip the single-engine duplicate index (3x memory,
-        # 2x wall) - exact parity is proven at <=200k by this same
-        # harness and continuously by tests/test_sharded*.py; sanity
-        # alone here
-        assert sum(r["total"] for r in res) > 0
-        reps = 1
-        t0 = time.time()
-        idx.search_batch(queries, k=10)
-        qps = len(queries) * reps / (time.time() - t0)
-        return {"index_docs_s": len(docs) / index_s, "qps": qps}
-
     # exact rank parity vs the single-segment engine (two-phase global
     # stats make sharded scores identical, test_sharded.py invariant)
     single = Database()
