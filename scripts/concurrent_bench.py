@@ -68,6 +68,58 @@ def corpus_and_queries(n_docs, vocab, n_queries):
     return docs_tokens, queries
 
 
+def mixed_corpus_queries(n_docs, n_queries, seed=7):
+    """Heavy-mix serving row (VERDICT r4 #2): cfg2/cfg3-shaped traffic -
+    1/3 exact phrases, 1/3 faceted AND + value sort + aggs, 1/3 plain OR
+    relevance - over a corpus with positional text + a category + a
+    numeric value field. Returns (ndjson_lines, request_bodies)."""
+    import random
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(3000)]
+    weights = [1.0 / (i + 1) ** 1.07 for i in range(3000)]
+    cats = [f"cat{i}" for i in range(40)]
+    cat_w = [1.0 / (i + 1) ** 0.8 for i in range(40)]
+    lines, bodies_txt = [], []
+    for i in range(n_docs):
+        body = " ".join(rng.choices(words, weights=weights, k=12))
+        bodies_txt.append(body)
+        lines.append(json.dumps({
+            "_id": str(i), "body": body,
+            "cat": rng.choices(cats, weights=cat_w)[0],
+            "price": round(rng.uniform(1.0, 1000.0), 2)}))
+    aggs = {"cats": {"_terms": {"_field": "cat", "_size": 10}},
+            "price_stats": {"_stats": {"_field": "price"}}}
+    sort = [{"price": {"_order": "desc"}}]
+    reqs = []
+    for qi in range(n_queries):
+        kind = qi % 3
+        if kind == 0:     # exact phrase
+            toks = bodies_txt[rng.randrange(n_docs)].split()
+            j = rng.randrange(len(toks) - 1)
+            reqs.append({"_query": {"body": {"_phrase":
+                                             f"{toks[j]} {toks[j+1]}"}},
+                         "_limit": 10})
+        elif kind == 1:   # faceted AND + sort + aggs
+            reqs.append({"_query": {"_and": [
+                            {"cat": f"cat{rng.randint(0, 19)}"},
+                            {"body": f"w{rng.randint(0, 200)}"}]},
+                         "_sort": sort, "_aggs": aggs, "_limit": 10})
+        else:             # plain 3-term OR
+            terms = [f"w{rng.randint(0, 500)}" for _ in range(3)]
+            reqs.append({"_query": {"_or": [{"body": t} for t in terms]},
+                         "_limit": 10})
+    return lines, [json.dumps(b).encode() for b in reqs]
+
+
+def load_lines(port, lines):
+    B = 2000
+    for s in range(0, len(lines), B):
+        req(port, "POST", "/bench/:restore",
+            ("\n".join(lines[s: s + B]) + "\n").encode(),
+            ct="application/x-ndjson")
+    req(port, "POST", "/bench/:commit")
+
+
 def load_corpus(port, docs_tokens):
     chunk = []
     for i, toks in enumerate(docs_tokens):
@@ -84,28 +136,43 @@ def load_corpus(port, docs_tokens):
     req(port, "POST", "/bench/:commit")
 
 
-def drive(port, queries, n_clients, seconds):
+def drive(port, queries, n_clients, seconds, bodies=None):
     """n_clients threads loop over the query list round-robin for
-    `seconds`; returns (aggregate_qps, p50_ms, p99_ms, n_done)."""
-    bodies = [json.dumps({"_query": {"_or": [{"body": t} for t in q]},
-                          "_limit": 10}).encode() for q in queries]
+    `seconds`; returns (aggregate_qps, p50_ms, p99_ms, n_done).
+
+    Keep-alive: each client holds ONE persistent HTTP/1.1 connection
+    (http.client), reconnecting only if the server drops it - the same
+    protocol real clients speak, and it keeps the harness's own CPU out
+    of the measurement (urllib opened a fresh TCP connection per request,
+    which capped the measurable QPS on this 1-core host). Both engines
+    are driven identically."""
+    import http.client
+    if bodies is None:
+        bodies = [json.dumps({"_query": {"_or": [{"body": t} for t in q]},
+                              "_limit": 10}).encode() for q in queries]
     stop = time.time() + seconds
     lats_all, counts = [[] for _ in range(n_clients)], [0] * n_clients
 
     def worker(ci):
-        url = f"http://127.0.0.1:{port}/bench/:search"
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        hdrs = {"Content-Type": "application/json"}
         i = ci  # stagger starting offsets so clients hit different shapes
         while time.time() < stop:
             body = bodies[i % len(bodies)]
             i += n_clients
             tq = time.time()
-            r = urllib.request.Request(
-                url, data=body, method="POST",
-                headers={"Content-Type": "application/json"})
-            with urllib.request.urlopen(r, timeout=600) as resp:
+            try:
+                conn.request("POST", "/bench/:search", body, hdrs)
+                resp = conn.getresponse()
+                resp.read()
+            except (http.client.HTTPException, OSError):
+                conn.close()   # server closed the connection: reconnect
+                conn.request("POST", "/bench/:search", body, hdrs)
+                resp = conn.getresponse()
                 resp.read()
             lats_all[ci].append((time.time() - tq) * 1000)
             counts[ci] += 1
+        conn.close()
 
     t0 = time.time()
     ths = [threading.Thread(target=worker, args=(ci,))
@@ -134,10 +201,16 @@ def main():
     ap.add_argument("--port", type=int, default=18885)
     ap.add_argument("--cpu", action="store_true",
                     help="force JAX onto CPU (smoke test, ours only)")
+    ap.add_argument("--mix", action="store_true",
+                    help="heavy query mix: phrases + facets/aggs + ORs")
     args = ap.parse_args()
 
-    docs_tokens, queries = corpus_and_queries(args.docs, args.vocab,
-                                              args.queries)
+    if args.mix:
+        lines, bodies = mixed_corpus_queries(args.docs, args.queries)
+    else:
+        docs_tokens, queries = corpus_and_queries(args.docs, args.vocab,
+                                                  args.queries)
+        bodies = None
     data_dir = tempfile.mkdtemp(prefix="xt-conc-")
     if args.target == "ours":
         env = dict(os.environ, AIOHTTP_NO_EXTENSIONS="1")
@@ -162,18 +235,29 @@ def main():
         if not wait_http(args.port):
             raise SystemExit("server did not come up")
         t0 = time.time()
-        load_corpus(args.port, docs_tokens)
+        if args.mix:
+            load_lines(args.port, lines)
+        else:
+            load_corpus(args.port, docs_tokens)
         print(f"[conc] indexed {args.docs} in {time.time()-t0:.1f}s",
               file=sys.stderr)
         # warm every query shape once (ours: compiles each shape class)
-        for q in queries:
-            req(args.port, "POST", "/bench/:search",
-                {"_query": {"_or": [{"body": t} for t in q]}, "_limit": 10})
+        if args.mix:
+            for b in bodies:
+                req(args.port, "POST", "/bench/:search", b)
+        else:
+            for q in queries:
+                req(args.port, "POST", "/bench/:search",
+                    {"_query": {"_or": [{"body": t} for t in q]},
+                     "_limit": 10})
         print("[conc] warm done", file=sys.stderr)
         for nc in [int(c) for c in args.clients.split(",")]:
-            qps, p50, p99, n = drive(args.port, queries, nc, args.seconds)
+            qps, p50, p99, n = drive(args.port,
+                                     queries if not args.mix else [],
+                                     nc, args.seconds, bodies=bodies)
             print(json.dumps({
-                "metric": f"{args.target}_rest_qps_{nc}clients_"
+                "metric": f"{args.target}_rest"
+                          f"{'_mix' if args.mix else ''}_qps_{nc}clients_"
                           f"{args.docs // 1000}k",
                 "value": round(qps, 2), "unit": "qps",
                 "detail": {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
