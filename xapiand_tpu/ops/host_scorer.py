@@ -258,6 +258,62 @@ class GlobalHostScorer:
         self._seen = np.zeros(nd, np.uint8)
         self._touched = np.zeros(nd, np.int32)
 
+    def plan_terms(self, cq):
+        """Per-segment (offsets, lens) matrices [S, T] for this query's
+        terms - the cacheable half of a search_many call (the term
+        dictionary lookups; everything else is per-call scratch)."""
+        S = len(self.segs)
+        T = len(cq.terms)
+        offs = np.zeros((S, T), np.int64)
+        lens = np.zeros((S, T), np.int64)
+        for col, pt in enumerate(cq.terms):
+            for si, seg in enumerate(self.segs):
+                ti = seg.get_term(pt.term)
+                if ti is not None:
+                    offs[si, col] = ti.offset
+                    lens[si, col] = ti.length
+        return offs, lens
+
+    def search_planned(self, cq, tc, offs, lens, scheme, stats,
+                       k: int) -> dict:
+        """Single-query hot path over a cached plan (plan_terms + term
+        constants): ONE native crossing, zero term-dictionary work."""
+        from xapiand_tpu.native import lib
+
+        S = len(self.segs)
+        if lib is None or S == 0:
+            return self._fallback([cq], [tc], scheme, stats, k)[0]
+        k = max(int(k), 1)
+        T = offs.shape[1]
+        q_start = np.zeros(1, np.int32)
+        q_nterms = np.full(1, T, np.int32)
+        out_seg = np.empty((1, k), np.int32)
+        out_d = np.empty((1, k), np.int32)
+        out_s = np.empty((1, k), np.float64)
+        counts = np.empty(1, np.int64)
+        k1, b, mn, lf = HostScorer._params(scheme, stats)
+        lib._c.xt_score_topk_global(
+            S,
+            self._docids_ptrs.ctypes.data_as(_i64p),
+            self._wdf_ptrs.ctypes.data_as(_i64p),
+            self._doclen_ptrs.ctypes.data_as(_i64p),
+            self._deleted_ptrs.ctypes.data_as(_i64p),
+            offs.ctypes.data_as(_i64p), lens.ctypes.data_as(_i64p),
+            tc.ctypes.data_as(_f64p), T,
+            q_start.ctypes.data_as(_i32p), q_nterms.ctypes.data_as(_i32p),
+            1, k1, b, mn, lf,
+            self._acc.ctypes.data_as(_f64p),
+            self._seen.ctypes.data_as(_u8p),
+            self._touched.ctypes.data_as(_i32p),
+            k, out_seg.ctypes.data_as(_i32p), out_d.ctypes.data_as(_i32p),
+            out_s.ctypes.data_as(_f64p),
+            counts.ctypes.data_as(_i64p))
+        n = min(int(counts[0]), k)
+        s = out_s[0]
+        s[n:] = -np.inf
+        return {"seg": out_seg[0], "docids": out_d[0], "scores": s,
+                "count": int(counts[0])}
+
     def search_many(self, cqs, tconsts, scheme, stats, k: int) -> list[dict]:
         """-> per-query {"seg": i32[k], "docids": i32[k], "scores": f64[k],
         "count": int}; rows beyond the match count carry -inf scores."""
