@@ -158,11 +158,18 @@ class HostQueryExecutor:
     once, then executes conjunctive queries with single ctypes crossings."""
 
     def __init__(self, segment):
+        import threading
+
         from xapiand_tpu.native import lib
 
         assert lib is not None
         self._c = lib._c
         self.seg = segment
+        # the native QSeg owns per-executor scratch (seen/touched/acc) and
+        # xt_query_exec releases the GIL (ctypes) - concurrent pool
+        # readers on the same segment MUST serialize the native call or
+        # results silently corrupt (found by tests/test_concurrent_reads)
+        self._lock = threading.RLock()   # re-entrant: builders nest
         self._keep = []   # keep numpy arrays alive for registered pointers
 
         def hold(a, dt):
@@ -207,6 +214,12 @@ class HostQueryExecutor:
         measured cfg2 bottleneck; ~ nextword indexes, no reference
         analog: phrasepostlist.cc re-verifies positions per candidate)."""
         if hasattr(self, "_bigram_minlen"):
+            return self._bigram_minlen
+        with self._lock:
+            return self._build_bigrams()
+
+    def _build_bigrams(self):
+        if hasattr(self, "_bigram_minlen"):   # double-checked under lock
             return self._bigram_minlen
         self._bigram_minlen = None
         if os.environ.get("XT_BIGRAM", "1") == "0":
@@ -256,7 +269,12 @@ class HostQueryExecutor:
     def _ensure_positions(self):
         if getattr(self, "_pos_registered", False):
             return
+        with self._lock:
+            if getattr(self, "_pos_registered", False):
+                return
+            self._register_positions()
 
+    def _register_positions(self):
         def hold(a, dt):
             a = np.ascontiguousarray(a, dt)
             self._keep.append(a)
@@ -275,7 +293,12 @@ class HostQueryExecutor:
         col = self.seg.values.get(slot)
         if col is None:
             return False
+        with self._lock:
+            if slot in self._registered_slots:
+                return True
+            return self._register_valcol(slot, col)
 
+    def _register_valcol(self, slot: int, col) -> bool:
         def hold(a, dt):
             a = np.ascontiguousarray(a, dt)
             self._keep.append(a)
@@ -322,7 +345,12 @@ class HostQueryExecutor:
         gcol = self.seg.geo.get(slot)
         if gcol is None:
             return False
+        with self._lock:
+            if slot in self._registered_geo:
+                return True
+            return self._register_geocol(slot, gcol)
 
+    def _register_geocol(self, slot: int, gcol) -> bool:
         def hold(a, dt):
             a = np.ascontiguousarray(a, dt)
             self._keep.append(a)
@@ -510,7 +538,43 @@ class HostQueryExecutor:
         g_nterms_a = np.asarray(g_nterms, np.int32)
         g_neg_a = np.asarray(g_neg, np.uint8)
 
-        matched = self._c.xt_query_exec(
+        with self._lock:
+            matched = self._run_native(
+                t_off_a, t_len_a, t_tc_a, g_start_a, g_nterms_a, g_neg_a,
+                g_start, driver_g, k1, b, mn, lf, f_slots, fp, f_leaves,
+                geo_slots, geo_qstart, geo_qn, granges_a, geo_leaves,
+                sort_mode, sort_slot, ph_start, ph_nterms, ph_tidx_a,
+                ph_window, ph_exact, ph_leaves, agg_kind, agg_slot, aggs,
+                count_only, kk, out_d, out_s, agg_out, agg_off)
+
+        n = min(int(matched), kk)
+        out_s[n:] = -np.inf
+        out = {"count": int(matched), "docids": out_d, "scores": out_s}
+        if aggs:
+            shaped = []
+            for j, spec in enumerate(aggs):
+                o = int(agg_off[j])
+                if spec[0] == "count":
+                    shaped.append(int(matched))
+                elif spec[0] == "terms":
+                    shaped.append(agg_out[o: o + sizes[j]])
+                else:
+                    nn = agg_out[o]
+                    shaped.append({
+                        "n": nn, "s": agg_out[o + 1], "s2": agg_out[o + 2],
+                        "min": agg_out[o + 3] if nn > 0 else np.inf,
+                        "max": agg_out[o + 4] if nn > 0 else -np.inf})
+            out["aggs"] = shaped
+        return out
+
+    def _run_native(self, t_off_a, t_len_a, t_tc_a, g_start_a, g_nterms_a,
+                    g_neg_a, g_start, driver_g, k1, b, mn, lf, f_slots, fp,
+                    f_leaves, geo_slots, geo_qstart, geo_qn, granges_a,
+                    geo_leaves, sort_mode, sort_slot, ph_start, ph_nterms,
+                    ph_tidx_a, ph_window, ph_exact, ph_leaves, agg_kind,
+                    agg_slot, aggs, count_only, kk, out_d, out_s, agg_out,
+                    agg_off):
+        return self._c.xt_query_exec(
             self._h,
             t_off_a.ctypes.data_as(_i64p), t_len_a.ctypes.data_as(_i64p),
             t_tc_a.ctypes.data_as(_f64p),
@@ -534,26 +598,6 @@ class HostQueryExecutor:
             0 if count_only else kk, 1 if count_only else 0,
             out_d.ctypes.data_as(_i32p), out_s.ctypes.data_as(_f64p),
             agg_out.ctypes.data_as(_f64p), agg_off.ctypes.data_as(_i64p))
-
-        n = min(int(matched), kk)
-        out_s[n:] = -np.inf
-        out = {"count": int(matched), "docids": out_d, "scores": out_s}
-        if aggs:
-            shaped = []
-            for j, spec in enumerate(aggs):
-                o = int(agg_off[j])
-                if spec[0] == "count":
-                    shaped.append(int(matched))
-                elif spec[0] == "terms":
-                    shaped.append(agg_out[o: o + sizes[j]])
-                else:
-                    nn = agg_out[o]
-                    shaped.append({
-                        "n": nn, "s": agg_out[o + 1], "s2": agg_out[o + 2],
-                        "min": agg_out[o + 3] if nn > 0 else np.inf,
-                        "max": agg_out[o + 4] if nn > 0 else -np.inf})
-            out["aggs"] = shaped
-        return out
 
 
 def _bm25_params(scheme, stats):

@@ -83,6 +83,11 @@ class HostScorer:
     pre-resolved ctypes pointers into the segment's posting arrays."""
 
     def __init__(self, segment):
+        import threading
+
+        # scratch accumulators are shared per scorer and the native call
+        # releases the GIL: concurrent pool readers must serialize
+        self._lock = threading.Lock()
         self.seg = segment
         self._docids = np.ascontiguousarray(segment.post_docids, np.int32)
         self._wdf = np.ascontiguousarray(segment.post_wdf, np.float32)
@@ -145,8 +150,8 @@ class HostScorer:
         counts = np.empty(nq, np.int64)
         k1, b, mn, lf = self._params(scheme, stats)
         deleted, has_del = self._deleted()
-        if lib is not None:
-            if nq == 1:
+        if lib is not None and nq == 1:
+            with self._lock:
                 offs, lens, tcs = plans[0]
                 counts[0] = lib._c.xt_score_topk(
                     self._p_docids, self._p_wdf, self._p_doclen,
@@ -158,16 +163,17 @@ class HostScorer:
                     self._p_acc, self._p_seen, self._p_touched,
                     k, out_d.ctypes.data_as(_i32p),
                     out_s.ctypes.data_as(_f64p))
-            else:
-                flat_off = np.concatenate([p[0] for p in plans])
-                flat_len = np.concatenate([p[1] for p in plans])
-                flat_tc = np.concatenate([p[2] for p in plans])
-                q_start = np.zeros(nq, np.int32)
-                q_nterms = np.zeros(nq, np.int32)
-                s = 0
-                for i, p in enumerate(plans):
-                    q_start[i], q_nterms[i] = s, len(p[0])
-                    s += len(p[0])
+        elif lib is not None:
+            flat_off = np.concatenate([p[0] for p in plans])
+            flat_len = np.concatenate([p[1] for p in plans])
+            flat_tc = np.concatenate([p[2] for p in plans])
+            q_start = np.zeros(nq, np.int32)
+            q_nterms = np.zeros(nq, np.int32)
+            s = 0
+            for i, p in enumerate(plans):
+                q_start[i], q_nterms[i] = s, len(p[0])
+                s += len(p[0])
+            with self._lock:
                 lib._c.xt_score_topk_many(
                     self._p_docids, self._p_wdf, self._p_doclen,
                     deleted.ctypes.data_as(_u8p) if has_del else _NULL_U8,
@@ -233,6 +239,10 @@ class GlobalHostScorer:
     single-query latency."""
 
     def __init__(self, searchers):
+        import threading
+
+        # shared scratch + GIL-free native call: serialize (see HostScorer)
+        self._lock = threading.Lock()
         self.searchers = list(searchers)
         self.segs = [s.segment for s in self.searchers]
         self._per = [s.host_scorer() for s in self.searchers]
@@ -292,7 +302,8 @@ class GlobalHostScorer:
         out_s = np.empty((1, k), np.float64)
         counts = np.empty(1, np.int64)
         k1, b, mn, lf = HostScorer._params(scheme, stats)
-        lib._c.xt_score_topk_global(
+        with self._lock:
+            lib._c.xt_score_topk_global(
             S,
             self._docids_ptrs.ctypes.data_as(_i64p),
             self._wdf_ptrs.ctypes.data_as(_i64p),
@@ -346,7 +357,8 @@ class GlobalHostScorer:
         out_s = np.empty((nq, k), np.float64)
         counts = np.empty(nq, np.int64)
         k1, b, mn, lf = HostScorer._params(scheme, stats)
-        lib._c.xt_score_topk_global(
+        with self._lock:
+            lib._c.xt_score_topk_global(
             S,
             self._docids_ptrs.ctypes.data_as(_i64p),
             self._wdf_ptrs.ctypes.data_as(_i64p),
