@@ -83,3 +83,45 @@ def test_stats_cache_tracks_mutations():
     db.index_document({"body": "w1"}, doc_id="n1")
     db.commit()
     assert db.stats().doc_count == s2.doc_count + 1
+
+
+def test_search_plan_cache_facets_parity_and_invalidation():
+    """Pool-path plan cache (Database.search): facet queries with sort +
+    aggs reuse the per-segment prepared plans and invalidate on every
+    mutation class; a different aggs/sort shape on the SAME IR never
+    reuses a stale plan."""
+    from xapiand_tpu.query.dsl import parse_sort
+
+    db = Database()
+    rng = random.Random(7)
+    for i in range(4000):
+        db.index_document(
+            {"body": " ".join(rng.choices([f"w{j}" for j in range(100)],
+                                          k=8)),
+             "cat": f"c{rng.randrange(8)}",
+             "price": rng.uniform(1, 100)}, doc_id=str(i))
+    db.commit()
+    dsl = QueryDSL(db.schema)
+    ir = dsl.parse({"_and": [{"cat": "c3"}, {"body": "w5"}]})
+    sort = parse_sort(db.schema, [{"price": {"_order": "desc"}}])
+    aggs = {"cats": {"_terms": {"_field": "cat", "_size": 8}},
+            "ps": {"_stats": {"_field": "price"}}}
+    r1 = db.search(ir, k=10, sort=sort, aggs=aggs)
+    r2 = db.search(ir, k=10, sort=sort, aggs=aggs)
+    assert [h.id for h in r1.hits] == [h.id for h in r2.hits]
+    assert r1.total == r2.total
+    assert repr(r1.aggregations) == repr(r2.aggregations)
+    assert db._search_plan_cache.get(id(ir))[0] is ir
+    if r1.hits:
+        db.delete_document(r1.hits[0].id)
+        r3 = db.search(ir, k=10, sort=sort, aggs=aggs)
+        assert r3.total == r1.total - 1
+        assert r1.hits[0].id not in [h.id for h in r3.hits]
+    for i in range(9000, 9050):
+        db.index_document({"body": "w5", "cat": "c3", "price": 999.0},
+                          doc_id=str(i))
+    db.commit()
+    r4 = db.search(ir, k=10, sort=sort, aggs=aggs)
+    assert r4.hits[0].data.get("price") == 999.0
+    r5 = db.search(ir, k=10, sort=sort)        # same IR, no aggs
+    assert r5.aggregations is None and r5.total == r4.total

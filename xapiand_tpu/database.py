@@ -659,24 +659,50 @@ class Database:
         elif isinstance(scheme, str):
             scheme = get_scheme(scheme)
 
-        slot_ranges = None
-        if aggs:
-            slot_ranges = aggs_mod.slot_ranges_of(
-                [sr.segment for sr in self._searchers])
-        scripted = None
-        if aggs and any(isinstance(b, dict) and "_scripted_metric" in b
-                        for b in aggs.values()):
-            scripted = {n: b for n, b in aggs.items()
-                        if isinstance(b, dict) and "_scripted_metric" in b}
-            aggs = {n: b for n, b in aggs.items() if n not in scripted} \
-                or None
-
-        ir = query if isinstance(query, Q) else \
+        # search-plan cache (serving pool path): everything derived only
+        # from (ir, scheme, sort/aggs/collapse shape, index state) -
+        # resolve+compile, slot ranges, per-segment agg compilations and
+        # the native executor's marshalled arrays - is reused across
+        # requests. Keyed on IR object identity (the server's parsed-IR
+        # cache keeps hot IRs alive) + the same mutation-state tuple as
+        # the host scorers. Measured: a served facet query at 100k docs
+        # spent ~6ms/request rebuilding these (slot_ranges_of ~1.3ms +
+        # ~0.8ms marshalling x segments).
+        ir0 = query if isinstance(query, Q) else \
             QueryDSL(self.schema, term_expander=self.expand_prefix).parse(query)
         stats = self.stats()
-        ir = resolve_special(ir, scheme, stats, self.global_termfreq,
-                             self.global_collfreq)
-        cq = compile_ir(ir, cost_fn=self.global_termfreq)
+        state = (self.revision, getattr(self, "_host_epoch", 0),
+                 len(self._searchers))
+        skey = (state, scheme.key(), repr(sort), repr(aggs),
+                collapse_slot, collapse_max)
+        pcache = getattr(self, "_search_plan_cache", None)
+        if pcache is None:
+            pcache = self._search_plan_cache = {}
+        pent = pcache.get(id(ir0))
+        plan = pent[2] if (pent is not None and pent[0] is ir0
+                           and pent[1] == skey) else None
+        if plan is not None:
+            slot_ranges = plan["slot_ranges"]
+            scripted = plan["scripted"]
+            aggs = plan["aggs"]
+            ir = plan["rir"]
+            cq = plan["cq"]
+        else:
+            slot_ranges = None
+            if aggs:
+                slot_ranges = aggs_mod.slot_ranges_of(
+                    [sr.segment for sr in self._searchers])
+            scripted = None
+            if aggs and any(isinstance(b, dict) and "_scripted_metric" in b
+                            for b in aggs.values()):
+                scripted = {n: b for n, b in aggs.items()
+                            if isinstance(b, dict)
+                            and "_scripted_metric" in b}
+                aggs = {n: b for n, b in aggs.items()
+                        if n not in scripted} or None
+            ir = resolve_special(ir0, scheme, stats, self.global_termfreq,
+                                 self.global_collfreq)
+            cq = compile_ir(ir, cost_fn=self.global_termfreq)
         # serving latency path: a lone plain-relevance query executes
         # host-native (ops/host_scorer.py) - one tunnel readback costs
         # ~9ms (tunnel_probe.py), more than the whole reference request;
@@ -701,7 +727,9 @@ class Database:
         # verifies by binary search. Decided per segment (falls back when
         # a column is missing or the driver conjunct is too big).
         conj_parts = conj_tc = None
-        if host_path_enabled_fn():
+        if plan is not None:
+            conj_parts, conj_tc = plan["conj_parts"], plan["conj_tc"]
+        elif host_path_enabled_fn():
             from xapiand_tpu.ops.host_query import conj_eligible
 
             first_specs = ()
@@ -726,9 +754,17 @@ class Database:
         total = 0
         merged: list[tuple[float, int, int]] = []  # (-score, seg, docid)
         agg_parts, agg_cats, agg_names, agg_meta = [], [], None, None
+        seg_plans = plan["segs"] if plan is not None else None
+        built_segs: list = []
         for seg_idx, searcher in enumerate(self._searchers):
+            sp = seg_plans[seg_idx] if seg_plans is not None else None
             specs, arrays = (), None
-            if aggs:
+            if sp is not None:
+                specs, arrays = sp["specs"], sp["arrays"]
+                if aggs:
+                    agg_names, agg_meta = plan["agg_names"], sp["agg_meta"]
+                    agg_cats.append(sp["cats_j"])
+            elif aggs:
                 (agg_names, specs, arrays,
                  agg_meta) = aggs_mod.compile_for_segment(
                     self.schema, searcher.segment, aggs,
@@ -749,13 +785,24 @@ class Database:
                                     vals[d[1]].cat_names or []
                 agg_cats.append(cats_j)
             out = None
-            if conj_parts is not None:
+            prep = sp["prep"] if sp is not None else None
+            hq = None
+            if prep is None and sp is None and conj_parts is not None:
                 hq = searcher.host_query()
                 if hq is not None and hq.driver_work(cq, conj_parts) \
                         <= self.HOST_MAX_WORK:
-                    out = hq.run(cq, conj_parts, scheme, stats, conj_tc,
-                                 want, sort=sort, aggs=specs,
-                                 count_only=count_only)
+                    prep = hq.prepare(cq, conj_parts, conj_tc,
+                                      sort=sort, aggs=specs)
+            if prep is not None:
+                if hq is None:
+                    hq = searcher.host_query()
+                out = hq.exec_prepared(prep, scheme, stats, want,
+                                       count_only=count_only)
+            if sp is None:
+                built_segs.append({
+                    "specs": specs, "arrays": arrays,
+                    "cats_j": agg_cats[-1] if aggs else None,
+                    "agg_meta": agg_meta, "prep": prep})
             if out is None:
                 bound = bind(cq, searcher.segment, scheme, stats,
                              global_tf=self.global_termfreq, k=want,
@@ -779,6 +826,17 @@ class Database:
                     merged.append((-float(sc),
                                    self._tiebreak(seg_idx, int(did)),
                                    seg_idx, int(did)))
+        if plan is None and isinstance(query, Q):
+            # cache only identity-stable IRs (the server's parsed-IR
+            # cache); dict/string queries parse fresh objects per call
+            if len(pcache) >= 2048:
+                for old in list(pcache)[:1024]:
+                    pcache.pop(old, None)
+            pcache[id(ir0)] = (ir0, skey, {
+                "slot_ranges": slot_ranges, "scripted": scripted,
+                "aggs": aggs, "rir": ir, "cq": cq,
+                "conj_parts": conj_parts, "conj_tc": conj_tc,
+                "agg_names": agg_names, "segs": built_segs})
         result = SearchResult(total=total)
         if aggs and agg_parts:
             result.aggregations = aggs_mod.merge_and_shape(

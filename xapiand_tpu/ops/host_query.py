@@ -384,6 +384,20 @@ class HostQueryExecutor:
         """Execute one conjunctive query -> device-shaped out dict, or
         None when a referenced column is missing on this segment (caller
         falls back to the device path)."""
+        prep = self.prepare(cq, parts, tconst, sort=sort, aggs=aggs)
+        if prep is None:
+            return None
+        return self.exec_prepared(prep, scheme, stats, k,
+                                  count_only=count_only)
+
+    def prepare(self, cq, parts, tconst, sort=(), aggs=()):
+        """Marshal one conjunctive query into the native call's arrays -
+        the cacheable half of run() (~0.8ms/segment of pure-python work
+        per served facet request before round 5 cached it). Returns None
+        when this segment must fall back to the device path; the result
+        is immutable and reusable for any (k, count_only, stats) as long
+        as the segment and tconst stay valid (callers key their caches
+        on the database mutation state)."""
         pos, neg, f_leaves, geo_leaves, ph_leaves = parts
         seg = self.seg
 
@@ -524,12 +538,6 @@ class HostQueryExecutor:
                     return None
                 sizes.append(5)
             agg_off[j] = sum(sizes[:-1])
-        agg_out = np.zeros(max(int(sum(sizes)), 1), np.float64)
-
-        k1, b, mn, lf = _bm25_params(scheme, stats)
-        kk = max(int(k), 1)
-        out_d = np.full(kk, np.int32(2**31 - 1), np.int32)
-        out_s = np.full(kk, -np.inf, np.float64)
 
         t_off_a = np.asarray(t_off, np.int64)
         t_len_a = np.asarray(t_len, np.int64)
@@ -537,19 +545,68 @@ class HostQueryExecutor:
         g_start_a = np.asarray(g_start, np.int32)
         g_nterms_a = np.asarray(g_nterms, np.int32)
         g_neg_a = np.asarray(g_neg, np.uint8)
+        return {
+            "t_off": t_off_a, "t_len": t_len_a, "t_tc": t_tc_a,
+            "g_start": g_start_a, "g_nterms": g_nterms_a, "g_neg": g_neg_a,
+            "n_groups": len(g_start), "driver_g": driver_g,
+            "f_slots": f_slots, "fp": fp, "n_f": len(f_leaves),
+            "geo_slots": geo_slots, "geo_qstart": geo_qstart,
+            "geo_qn": geo_qn, "granges": granges_a,
+            "n_geo": len(geo_leaves),
+            "sort_mode": sort_mode, "sort_slot": sort_slot,
+            "ph_start": ph_start, "ph_nterms": ph_nterms,
+            "ph_tidx": ph_tidx_a, "ph_window": ph_window,
+            "ph_exact": ph_exact, "n_ph": len(ph_leaves),
+            "agg_kind": agg_kind, "agg_slot": agg_slot,
+            "agg_off": agg_off, "n_aggs": len(aggs or ()),
+            "sizes": sizes, "aggs": aggs,
+        }
 
+    def exec_prepared(self, prep, scheme, stats, k: int,
+                      count_only: bool = False) -> dict:
+        """The per-request half: scratch allocation + ONE native crossing
+        + output shaping. Thread-safe (the native scratch serializes on
+        the executor lock)."""
+        k1, b, mn, lf = _bm25_params(scheme, stats)
+        kk = max(int(k), 1)
+        out_d = np.full(kk, np.int32(2**31 - 1), np.int32)
+        out_s = np.full(kk, -np.inf, np.float64)
+        sizes = prep["sizes"]
+        agg_out = np.zeros(max(int(sum(sizes)), 1), np.float64)
+        agg_off = prep["agg_off"]
         with self._lock:
-            matched = self._run_native(
-                t_off_a, t_len_a, t_tc_a, g_start_a, g_nterms_a, g_neg_a,
-                g_start, driver_g, k1, b, mn, lf, f_slots, fp, f_leaves,
-                geo_slots, geo_qstart, geo_qn, granges_a, geo_leaves,
-                sort_mode, sort_slot, ph_start, ph_nterms, ph_tidx_a,
-                ph_window, ph_exact, ph_leaves, agg_kind, agg_slot, aggs,
-                count_only, kk, out_d, out_s, agg_out, agg_off)
+            matched = self._c.xt_query_exec(
+                self._h,
+                prep["t_off"].ctypes.data_as(_i64p),
+                prep["t_len"].ctypes.data_as(_i64p),
+                prep["t_tc"].ctypes.data_as(_f64p),
+                prep["g_start"].ctypes.data_as(_i32p),
+                prep["g_nterms"].ctypes.data_as(_i32p),
+                prep["g_neg"].ctypes.data_as(_u8p),
+                prep["n_groups"], prep["driver_g"], k1, b, mn, lf,
+                prep["f_slots"].ctypes.data_as(_i32p),
+                prep["fp"].ctypes.data_as(_i32p), prep["n_f"],
+                prep["geo_slots"].ctypes.data_as(_i32p),
+                prep["geo_qstart"].ctypes.data_as(_i32p),
+                prep["geo_qn"].ctypes.data_as(_i32p),
+                prep["granges"].ctypes.data_as(_i32p), prep["n_geo"],
+                prep["sort_mode"], prep["sort_slot"],
+                prep["ph_start"].ctypes.data_as(_i32p),
+                prep["ph_nterms"].ctypes.data_as(_i32p),
+                prep["ph_tidx"].ctypes.data_as(_i32p),
+                prep["ph_window"].ctypes.data_as(_i32p),
+                prep["ph_exact"].ctypes.data_as(_u8p), prep["n_ph"],
+                prep["agg_kind"].ctypes.data_as(_i32p),
+                prep["agg_slot"].ctypes.data_as(_i32p), prep["n_aggs"],
+                0 if count_only else kk, 1 if count_only else 0,
+                out_d.ctypes.data_as(_i32p), out_s.ctypes.data_as(_f64p),
+                agg_out.ctypes.data_as(_f64p),
+                agg_off.ctypes.data_as(_i64p))
 
         n = min(int(matched), kk)
         out_s[n:] = -np.inf
         out = {"count": int(matched), "docids": out_d, "scores": out_s}
+        aggs = prep["aggs"]
         if aggs:
             shaped = []
             for j, spec in enumerate(aggs):
@@ -566,39 +623,6 @@ class HostQueryExecutor:
                         "max": agg_out[o + 4] if nn > 0 else -np.inf})
             out["aggs"] = shaped
         return out
-
-    def _run_native(self, t_off_a, t_len_a, t_tc_a, g_start_a, g_nterms_a,
-                    g_neg_a, g_start, driver_g, k1, b, mn, lf, f_slots, fp,
-                    f_leaves, geo_slots, geo_qstart, geo_qn, granges_a,
-                    geo_leaves, sort_mode, sort_slot, ph_start, ph_nterms,
-                    ph_tidx_a, ph_window, ph_exact, ph_leaves, agg_kind,
-                    agg_slot, aggs, count_only, kk, out_d, out_s, agg_out,
-                    agg_off):
-        return self._c.xt_query_exec(
-            self._h,
-            t_off_a.ctypes.data_as(_i64p), t_len_a.ctypes.data_as(_i64p),
-            t_tc_a.ctypes.data_as(_f64p),
-            g_start_a.ctypes.data_as(_i32p),
-            g_nterms_a.ctypes.data_as(_i32p),
-            g_neg_a.ctypes.data_as(_u8p),
-            len(g_start), driver_g, k1, b, mn, lf,
-            f_slots.ctypes.data_as(_i32p), fp.ctypes.data_as(_i32p),
-            len(f_leaves),
-            geo_slots.ctypes.data_as(_i32p),
-            geo_qstart.ctypes.data_as(_i32p),
-            geo_qn.ctypes.data_as(_i32p),
-            granges_a.ctypes.data_as(_i32p), len(geo_leaves),
-            sort_mode, sort_slot,
-            ph_start.ctypes.data_as(_i32p), ph_nterms.ctypes.data_as(_i32p),
-            ph_tidx_a.ctypes.data_as(_i32p),
-            ph_window.ctypes.data_as(_i32p), ph_exact.ctypes.data_as(_u8p),
-            len(ph_leaves),
-            agg_kind.ctypes.data_as(_i32p), agg_slot.ctypes.data_as(_i32p),
-            len(aggs or ()),
-            0 if count_only else kk, 1 if count_only else 0,
-            out_d.ctypes.data_as(_i32p), out_s.ctypes.data_as(_f64p),
-            agg_out.ctypes.data_as(_f64p), agg_off.ctypes.data_as(_i64p))
-
 
 def _bm25_params(scheme, stats):
     if type(scheme) is not BM25:
