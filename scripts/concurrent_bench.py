@@ -223,6 +223,8 @@ def main():
         cmd = [sys.executable, "-m", "xapiand_tpu.server",
                "--port", str(args.port), "--data-dir", data_dir,
                "--bind", "127.0.0.1"]
+        if os.environ.get("XT_HTTP_CLIENTS"):
+            cmd += ["--num-http-clients", os.environ["XT_HTTP_CLIENTS"]]
     else:
         env = dict(os.environ)
         cmd = [args.binary, "-D", data_dir, "--port", str(args.port),

